@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":...} for the driver (BENCH_r{N}.json).
+  *
+  * Queries are forced with .count() after a warm-up of the session
+  * (catalog + codegen JIT) so the numbers reflect steady-state plan
+  * execution, which is what scales to a real cluster.
+  */
 object Bench {
+
+  /** Headline subset: one per major operator family; kept small enough
+    * that the full bench stays in minutes at sf0.1. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_join_inner",
+    "q05_join_full_outer",
+    "q10_rollup",
+    "q13_count_distinct",
+    "q16_over_running",
+    "q19_union_all",
+    "q26_subqueries_sql",
+    "q28_explode_words")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val defs = Registry.all.filter(d => headline.contains(d.name))
+    // JVM/codegen warm-up on the smallest sf (not timed).
+    defs.foreach(d =>
+      try d.fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () })
+
+    val results = defs.map { d =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try d.fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: $e") }
+      d.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
