@@ -43,11 +43,15 @@ object Bench {
       try d.fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () })
 
+    // min of 2 runs: steady-state plan cost, robust to harness stalls
     val results = defs.map { d =>
-      val t0 = System.nanoTime()
-      try d.fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: $e") }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try d.fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      d.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

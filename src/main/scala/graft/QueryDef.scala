@@ -28,7 +28,8 @@ trait QueryModule {
 /** Assembles every module's queries; SparkEntry delegates here. */
 object Registry {
   def modules: Seq[QueryModule] = Seq(
-    graft.operators.RelationalQueries
+    graft.operators.RelationalQueries,
+    graft.functions.ScalarQueries
   )
 
   lazy val all: Seq[QueryDef] = {

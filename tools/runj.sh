@@ -1,0 +1,7 @@
+#!/bin/bash
+# direct-java runner mirroring build.sbt javaOptions
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic; do OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
+exec java -Dderby.system.home=/tmp $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC $JAVA_EXTRA \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
