@@ -30,7 +30,11 @@ object Registry {
   def modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
     graft.functions.ScalarQueries,
-    graft.streaming.StreamQueries
+    graft.streaming.StreamQueries,
+    graft.pipeline.Dedup,
+    graft.pipeline.Similarity,
+    graft.pipeline.TextAnalysis,
+    graft.pipeline.Multimodal
   )
 
   lazy val all: Seq[QueryDef] = {

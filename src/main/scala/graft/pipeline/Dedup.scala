@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash + LSH banding, SimHash, and
+  * character-n-gram Jaccard with blocking. All hashing is
+  * md5-derived so the DuckDB oracle can reproduce it bit-for-bit;
+  * every stage is pure Catalyst expressions (codegen'd, shuffle only
+  * on the group-bys/joins), so the plans scale linearly — at 100 TB
+  * the LSH band join is the only wide dependency and is keyed on
+  * band values, which distribute uniformly.
+  */
+object Dedup extends QueryModule {
+
+  /** First 8 hex chars of md5 as a long — the shared cross-engine hash. */
+  private def hexHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Same hash in DuckDB SQL (no conv(); digit-expand the hex). */
+  private def duckHash(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
+
+  /** Word 3-shingles, distinct, Spark side (0-based array lambda). */
+  private val sparkShingles =
+    """array_distinct(transform(sequence(0, size(w)-3),
+      |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))""".stripMargin
+
+  /** Same in DuckDB (1-based). */
+  private val duckShingles =
+    "list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ----- exact dedup: hash full text, keep min doc_id per hash -----
+    q("q50_dedup_exact",
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY h""") { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+    },
+
+    // ----- MinHash signatures: 4 seeded min-hashes over word
+    // 3-shingles (shingle → hash_i → per-doc min) -----
+    q("q51_minhash_signatures",
+      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) AS s FROM words WHERE len(w) >= 3)
+         |SELECT doc_id,
+         |  min(${duckHash("'0:'||s")}) AS m0,
+         |  min(${duckHash("'1:'||s")}) AS m1,
+         |  min(${duckHash("'2:'||s")}) AS m2,
+         |  min(${duckHash("'3:'||s")}) AS m3
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      minhashSignatures(s, dir).orderBy(col("doc_id"))
+    },
+
+    // ----- LSH banding (b=4 bands of r=1 — high recall) → candidate
+    // pairs → verify with word-shingle Jaccard -----
+    q("q52_minhash_lsh_pairs",
+      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |shl AS (SELECT doc_id, $duckShingles AS shingles FROM words WHERE len(w) >= 3),
+         |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+         |sig AS (SELECT doc_id,
+         |    min(${duckHash("'0:'||s")}) AS m0, min(${duckHash("'1:'||s")}) AS m1,
+         |    min(${duckHash("'2:'||s")}) AS m2, min(${duckHash("'3:'||s")}) AS m3
+         |  FROM sh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |   AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3))
+         |SELECT doc_a, doc_b,
+         |  len(list_intersect(x.shingles, y.shingles))::DOUBLE
+         |    / len(list_distinct(x.shingles || y.shingles)) AS jacc
+         |FROM cand JOIN shl x ON cand.doc_a = x.doc_id
+         |          JOIN shl y ON cand.doc_b = y.doc_id
+         |WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+         |    / len(list_distinct(x.shingles || y.shingles)) >= 0.1
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val shl = Tables.t(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+      val sig = minhashSignatures(s, dir)
+      val a = sig.select(col("doc_id").as("doc_a"), col("m0").as("a0"),
+        col("m1").as("a1"), col("m2").as("a2"), col("m3").as("a3"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("m0").as("b0"),
+        col("m1").as("b1"), col("m2").as("b2"), col("m3").as("b3"))
+      val cand = a.join(b, col("doc_a") < col("doc_b")
+          && (col("a0") === col("b0") || col("a1") === col("b1")
+            || col("a2") === col("b2") || col("a3") === col("b3")))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
+        size(array_distinct(concat(col("x_sh"), col("y_sh"))))
+      cand
+        .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")), "doc_a")
+        .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")), "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(col("jacc") >= 0.1)
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- SimHash: 32-bit signature from frequency-weighted word
+    // hashes (bit j votes ±1 per occurrence; sign → bit) -----
+    q("q53_simhash",
+      s"""WITH wrd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |wh AS (SELECT doc_id, ${duckHash("word")} AS h FROM wrd),
+         |bits AS (
+         |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM wh CROSS JOIN (SELECT unnest(range(32)) AS j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 0 THEN 2**j ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val wh = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .withColumn("h", hexHash(col("word")))
+      wh.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1)
+          .otherwise(-1)).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") > 0, pow(lit(2.0), col("j"))).otherwise(0.0))
+          .cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- n-gram Jaccard near-dup pairs with (lang, source) blocking
+    // (the blocking key is the scale lever: candidates never cross
+    // blocks, so the join is a per-block local product) -----
+    q("q54_ngram_jaccard",
+      """WITH g AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(1, length(text)-1),
+        |                                 i -> substr(text, i, 3))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / len(list_distinct(a.grams || b.grams)) AS jacc
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / len(list_distinct(a.grams || b.grams)) >= 0.6
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val g = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("""array_distinct(transform(sequence(1, length(text)-2),
+                 |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+      val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("grams").as("g_a"))
+      val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("grams").as("g_b"))
+      val jacc = size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+        size(array_distinct(concat(col("g_a"), col("g_b"))))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jacc", jacc)
+        .filter(col("jacc") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- document fingerprint: bottom-3 sketch of char-4-gram
+    // hashes (order-free, locality-preserving id for fast near-dup
+    // pre-grouping) -----
+    q("q55_fingerprint",
+      s"""WITH g AS (SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(range(1, length(text)-2),
+         |      i -> ${duckHash("substr(text, i, 4)")}))) AS hs
+         |  FROM documents)
+         |SELECT doc_id, array_to_string(hs[1:3], '-') AS fp
+         |FROM g ORDER BY doc_id""") { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("""array_sort(array_distinct(transform(sequence(1, length(text)-3),
+                 |  i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))))"""
+            .stripMargin).as("hs"))
+        .select(col("doc_id"),
+          array_join(slice(col("hs"), 1, 3), "-").as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Shared MinHash signature computation (4 seeded hashes). */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.t(s, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("s"))
+    sh.groupBy(col("doc_id")).agg(
+      min(hexHash(concat(lit("0:"), col("s")))).as("m0"),
+      min(hexHash(concat(lit("1:"), col("s")))).as("m1"),
+      min(hexHash(concat(lit("2:"), col("s")))).as("m2"),
+      min(hexHash(concat(lit("3:"), col("s")))).as("m3"))
+  }
+}
