@@ -29,6 +29,7 @@ trait QueryModule {
 object Registry {
   def modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
+    graft.operators.ApiQueries,
     graft.functions.ScalarQueries,
     graft.streaming.StreamQueries,
     graft.pipeline.Dedup,

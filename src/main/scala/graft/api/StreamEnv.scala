@@ -1,0 +1,139 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** DataStream-like unbounded façade (reference flink-streaming-java/
+  * .../DataStream.java:1, KeyedStream.java, WindowedStream.java) over
+  * streaming Datasets.
+  *
+  * Time semantics: event time is a real TimestampType column +
+  * `assignWatermark` (periodic bounded-out-of-orderness model only —
+  * Flink's punctuated watermarks have no Spark analog, documented
+  * SURVEY §2.10); processing time ≈ current_timestamp() per
+  * micro-batch. Keyed state/timers lower to flatMapGroupsWithState
+  * (GroupState + GroupStateTimeout), windows to window()/
+  * session_window aggregations.
+  */
+final class StreamEnv(val spark: SparkSession) {
+
+  def socketTextStream(host: String, port: Int): StreamOps[String] = {
+    implicit val e: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    new StreamOps(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .as[String])
+  }
+
+  def rateStream(rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Monitored-directory file source (StreamExecutionEnvironment
+    * .java:940 readFile + PROCESS_CONTINUOUSLY). */
+  def readFileStream(format: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).format(format).load(dir)
+  }
+
+  def fromDataFrame(df: DataFrame): StreamOpsRow = new StreamOpsRow(df)
+}
+
+/** Untyped (Row) stream ops — the Table-ish surface. */
+final class StreamOpsRow(val df: DataFrame) {
+  def assignWatermark(tsCol: String, delay: String): StreamOpsRow =
+    new StreamOpsRow(df.withWatermark(tsCol, delay))
+  def filter(c: Column): StreamOpsRow = new StreamOpsRow(df.filter(c))
+  def select(cols: Column*): StreamOpsRow = new StreamOpsRow(df.select(cols: _*))
+  def union(o: StreamOpsRow): StreamOpsRow = new StreamOpsRow(df.union(o.df))
+
+  /** Tumbling/sliding event-time window agg (TumblingEventTimeWindows,
+    * SlidingEventTimeWindows). */
+  def timeWindowAgg(tsCol: String, size: String, slide: Option[String],
+      keys: Seq[Column], aggs: Column*): DataFrame = {
+    val w = slide.fold(window(col(tsCol), size))(sl => window(col(tsCol), size, sl))
+    df.groupBy((w +: keys): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session windows (EventTimeSessionWindows.java:59). */
+  def sessionWindowAgg(tsCol: String, gap: String,
+      keys: Seq[Column], aggs: Column*): DataFrame =
+    df.groupBy((session_window(col(tsCol), gap) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Interval join (KeyedStream.java:414): equi-key + time-bounded. */
+  def intervalJoin(other: StreamOpsRow, keyCond: Column,
+      leftTs: String, rightTs: String,
+      lowerBound: String, upperBound: String): DataFrame =
+    df.join(other.df, keyCond
+      && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerBound")
+      && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperBound"))
+
+  /** Side outputs (OutputTag analog): tag once, fan out by predicate;
+    * each returned stream shares the single upstream plan. */
+  def sideOutputs(tags: (String, Column)*): Map[String, DataFrame] =
+    tags.toMap.map { case (name, pred) => name -> df.filter(pred) }
+
+  def printSink(): StreamingQuery =
+    df.writeStream.format("console").outputMode("append").start()
+
+  def memorySink(name: String, mode: String = "append"): DataFrame = {
+    df.sparkSession.catalog.dropTempView(name)
+    val query = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    query.processAllAvailable()
+    query.stop()
+    df.sparkSession.table(name)
+  }
+
+  def foreachBatchSink(f: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch(f)
+}
+
+/** Typed stream ops — map/flatMap/keyBy surface of DataStream<T>. */
+final class StreamOps[T](val ds: Dataset[T]) {
+  private implicit def enc: Encoder[T] = ds.encoder
+
+  def map[R: Encoder](f: T => R): StreamOps[R] = new StreamOps(ds.map(f))
+  def flatMap[R: Encoder](f: T => IterableOnce[R]): StreamOps[R] =
+    new StreamOps(ds.flatMap(f))
+  def filter(f: T => Boolean): StreamOps[T] = new StreamOps(ds.filter(f))
+  def union(o: StreamOps[T]): StreamOps[T] = new StreamOps(ds.union(o.ds))
+
+  def keyBy[K: Encoder](key: T => K): KeyedStream[K, T] =
+    new KeyedStream(ds.groupByKey(key))
+
+  /** connect (ConnectedStreams.java): two typed streams into one
+    * keyed operator via an Either union. */
+  def connect[U](other: StreamOps[U])(implicit
+      e: Encoder[Either[T, U]]): StreamOps[Either[T, U]] =
+    new StreamOps(ds.map(l => Left(l): Either[T, U])
+      .union(other.ds.map(r => Right(r): Either[T, U])))
+}
+
+/** KeyedStream<T,K> analog: keyed state + timers via GroupState. */
+final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDataset[K, T]) {
+
+  /** KeyedProcessFunction analog (KeyedStream.java:301): per-key
+    * iterator + mutable state; event/proc-time timers map to
+    * GroupStateTimeout timeouts. */
+  def process[S: Encoder, R: Encoder](
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      f: (K, Iterator[T], GroupState[S]) => Iterator[R]): Dataset[R] =
+    kv.flatMapGroupsWithState(OutputMode.Append, timeout)(f)
+
+  /** Running per-key reduce (KeyedStream.java:690) — per-trigger
+    * cadence, not per-record (documented difference). */
+  def reduce(f: (T, T) => T)(implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
+    kv.reduceGroups(f)
+
+  def mapWithState[S: Encoder, R: Encoder](
+      f: (K, Iterator[T], GroupState[S]) => R): Dataset[R] =
+    kv.mapGroupsWithState(GroupStateTimeout.NoTimeout)(f)
+}
+
+object StreamEnv {
+  def apply(spark: SparkSession): StreamEnv = new StreamEnv(spark)
+}

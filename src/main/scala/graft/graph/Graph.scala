@@ -1,0 +1,140 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gelly-style graph on two DataFrames (reference flink-gelly/.../
+  * Graph.java, 2346 LoC; iteration models pregel/ spargel/ gsa/).
+  *
+  * vertices: (id: Long, ...attrs) — edges: (src: Long, dst: Long).
+  * Algorithms are driver-side iterative DataFrame loops (the Spark-
+  * idiomatic Pregel): each superstep is one distributed join+agg, and
+  * lineage is truncated with localCheckpoint every few supersteps so
+  * plans stay bounded at scale. Messages shuffle on vertex id — the
+  * same key every superstep, so AQE reuses the partitioning.
+  */
+final class Graph(val vertices: DataFrame, val edges: DataFrame) {
+
+  private def spark: SparkSession = vertices.sparkSession
+
+  /** Both directions of the edge set (undirected view). */
+  def undirected: DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  def degrees: DataFrame =
+    undirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+
+  def subgraph(vPred: Column): Graph = {
+    val keep = vertices.filter(vPred).select(col("id"))
+    val e2 = edges
+      .join(keep.withColumnRenamed("id", "src"), "src")
+      .join(keep.withColumnRenamed("id", "dst"), "dst")
+      .select(col("src"), col("dst"))
+    new Graph(vertices.filter(vPred), e2)
+  }
+
+  def mapVertices(f: Column, name: String): Graph =
+    new Graph(vertices.withColumn(name, f), edges)
+
+  def reverse: Graph =
+    new Graph(vertices, edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Connected components by min-label propagation (reference
+    * library/ConnectedComponents.java): label(v) starts at v, each
+    * superstep takes the min over neighbors, until fixpoint. */
+  def connectedComponents(maxIter: Int = 30): DataFrame = {
+    val und = undirected.localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .groupBy(col("id")).agg(min(col("comp")).as("n_comp"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** PageRank, fixed iterations, damping 0.85 (library/linkanalysis/
+    * PageRank.java). Out-degree-normalized contributions; dangling
+    * mass redistributed uniformly. */
+  def pageRank(iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val n = vertices.count().toDouble
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out"))
+    val withDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(col("src"), col("dst"), col("out")).localCheckpoint()
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("out")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("recv"))
+      val next = vertices.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+      ranks = if (i % 5 == 0) next.localCheckpoint() else next
+    }
+    ranks
+  }
+
+  /** Single-source shortest paths, unit weights (library/
+    * SingleSourceShortestPaths.java) — BFS frontier relaxation. */
+  def sssp(source: Long, maxIter: Int = 30): DataFrame = {
+    val und = undirected.localCheckpoint()
+    var dist = vertices.select(col("id"),
+      when(col("id") === source, 0L).otherwise(Long.MaxValue).as("dist"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = und.join(dist.filter(col("dist") =!= Long.MaxValue),
+          und("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("cand"))
+      val next = dist.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"))
+        .localCheckpoint()
+      changed = next.join(dist.withColumnRenamed("dist", "old"), "id")
+        .filter(col("dist") =!= col("old")).count()
+      dist = next
+      i += 1
+    }
+    dist.select(col("id"),
+      when(col("dist") === Long.MaxValue, lit(null)).otherwise(col("dist")).as("dist"))
+  }
+
+  /** Triangle count per vertex (library/TriangleEnumerator.java):
+    * canonical-direction edge join, counted once per corner. */
+  def triangleCount(): DataFrame = {
+    val canon = undirected.filter(col("src") < col("dst")).localCheckpoint()
+    val tri = canon.as("ab")
+      .join(canon.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(canon.as("ac"),
+        col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+}
+
+object Graph {
+  def apply(vertices: DataFrame, edges: DataFrame): Graph =
+    new Graph(vertices, edges)
+
+  /** Build from an edge list alone (vertex set inferred). */
+  def fromEdges(edges: DataFrame): Graph = {
+    val v = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    new Graph(v, edges)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.api.BatchEnv
+import graft.graph.Graph
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Queries driven through the typed façades (BatchEnv/Graph) instead
+  * of raw DataFrames — proving the DataSet-like API (§2.3-2.5) and the
+  * Gelly-like algorithms (§2.13) give oracle-identical results.
+  */
+object ApiQueries extends QueryModule {
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ----- typed groupBy + whole-group reduce through BatchEnv
+    // (DataSet.groupBy + reduceGroup) -----
+    q("q60_api_typed_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS decimal(18,4))) AS decimal(38,4)) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      import s.implicits._
+      val env = BatchEnv(s)
+      val li = new graft.api.BatchOps(
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+          .as[(String, String, Double)])
+      li.groupBy(r => (r._1, r._2))
+        .reduceGroup { (k, it) =>
+          var n = 0L
+          var sum = BigDecimal(0).setScale(4)
+          it.foreach { r =>
+            n += 1
+            sum += BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_EVEN)
+          }
+          (k._1, k._2, sum, n)
+        }
+        .toDF("l_returnflag", "l_linestatus", "sum_qty", "n")
+        .withColumn("sum_qty", col("sum_qty").cast(DecimalType(38, 4)))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ----- connected components on the customer/supplier bipartite
+    // graph via the driver-loop Pregel (DataSet.iterate analog);
+    // oracle = transitive closure by recursive CTE -----
+    q("q61_graph_cc",
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(n, m) AS (
+        |  SELECT src, src FROM und
+        |  UNION
+        |  SELECT r.n, u.dst FROM reach r JOIN und u ON r.m = u.src)
+        |SELECT n AS id, min(m) AS comp FROM reach GROUP BY n
+        |ORDER BY id""") { (s, dir) =>
+      val edges = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.fromEdges(edges).connectedComponents()
+        .orderBy(col("id"))
+    },
+
+    // ----- triangle count on the per-region nation clique -----
+    q("q62_graph_triangles",
+      """WITH e AS (
+        |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+        |tri AS (
+        |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        |  FROM e ab JOIN e bc ON ab.dst = bc.src
+        |  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
+        |SELECT id, count(*) AS triangles
+        |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+        |GROUP BY id ORDER BY id""") { (s, dir) =>
+      val n = Tables.t(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("src"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("dst"), col("n_regionkey").as("rk2"))
+      val edges = a.join(b, col("rk") === col("rk2") && col("src") < col("dst"))
+        .select(col("src").cast("long"), col("dst").cast("long"))
+      Graph.fromEdges(edges).triangleCount()
+        .orderBy(col("id"))
+    },
+
+    // ----- BFS shortest paths from one customer across the bipartite
+    // graph (unit weights); oracle = recursive-CTE BFS -----
+    q("q63_graph_sssp",
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |walk(id, d) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.id WHERE w.d < 6)
+        |SELECT v.id, CAST(min(w.d) AS BIGINT) AS dist
+        |FROM (SELECT src AS id FROM und UNION SELECT dst FROM und) v
+        |LEFT JOIN walk w ON w.id = v.id
+        |GROUP BY v.id ORDER BY v.id""") { (s, dir) =>
+      val edges = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.fromEdges(edges).sssp(1L, maxIter = 6)
+        .orderBy(col("id"))
+    }
+  )
+}
