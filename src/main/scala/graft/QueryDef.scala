@@ -35,7 +35,9 @@ object Registry {
     graft.pipeline.Dedup,
     graft.pipeline.Similarity,
     graft.pipeline.TextAnalysis,
-    graft.pipeline.Multimodal
+    graft.pipeline.Multimodal,
+    graft.cep.CepQueries,
+    graft.table.TableQueries
   )
 
   lazy val all: Seq[QueryDef] = {

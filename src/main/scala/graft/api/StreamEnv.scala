@@ -106,11 +106,19 @@ final class StreamOps[T](val ds: Dataset[T]) {
     new KeyedStream(ds.groupByKey(key))
 
   /** connect (ConnectedStreams.java): two typed streams into one
-    * keyed operator via an Either union. */
+    * keyed operator via a tagged union (Either itself is abstract and
+    * cannot round-trip through an Encoder). */
   def connect[U](other: StreamOps[U])(implicit
-      e: Encoder[Either[T, U]]): StreamOps[Either[T, U]] =
-    new StreamOps(ds.map(l => Left(l): Either[T, U])
-      .union(other.ds.map(r => Right(r): Either[T, U])))
+      e: Encoder[Tagged[T, U]]): StreamOps[Tagged[T, U]] =
+    new StreamOps(ds.map(l => Tagged[T, U](Some(l), None))
+      .union(other.ds.map(r => Tagged[T, U](None, Some(r)))))
+}
+
+/** Encodable Either: exactly one side is defined. */
+final case class Tagged[A, B](left: Option[A], right: Option[B]) {
+  def isLeft: Boolean = left.isDefined
+  def isRight: Boolean = right.isDefined
+  def fold[C](fl: A => C)(fr: B => C): C = left.map(fl).getOrElse(fr(right.get))
 }
 
 /** KeyedStream<T,K> analog: keyed state + timers via GroupState. */

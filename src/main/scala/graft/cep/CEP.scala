@@ -1,0 +1,165 @@
+package graft.cep
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.concurrent.duration.Duration
+
+/** Complex event processing — the reference's flink-cep surface
+  * (Pattern.java:155-479 builder; NFA.java match semantics)
+  * re-expressed for Spark: the pattern compiles to a per-key matcher
+  * that runs inside flatMapGroupsWithState (streaming) or mapGroups
+  * (batch), i.e. keyed state is the execution substrate, exactly as
+  * the reference runs its NFA inside a keyed operator.
+  *
+  * Supported v1 semantics (documented subset):
+  *  - stage contiguity: strict (`next`) / relaxed (`followedBy`);
+  *  - quantifiers: `times(n)` (contiguous block), `optional`,
+  *    `oneOrMore` (greedy contiguous block);
+  *  - `within(d)`: max first→last event-time span per match;
+  *  - after-match skip: NO_SKIP (a match may start at every event) or
+  *    SKIP_PAST_LAST_EVENT;
+  *  - match selection per start event: earliest completion (the
+  *    deterministic subset of the reference's shared-buffer matches).
+  * `followedByAny`/`allowCombinations` (non-deterministic branching)
+  * are out of scope this round (SURVEY §7.3 rank 2).
+  */
+object CEP {
+
+  sealed trait Contiguity
+  case object Strict extends Contiguity
+  case object Relaxed extends Contiguity
+
+  sealed trait AfterMatchSkip
+  case object NoSkip extends AfterMatchSkip
+  case object SkipPastLast extends AfterMatchSkip
+
+  final case class Stage[T](
+      name: String,
+      pred: T => Boolean,
+      contiguity: Contiguity,
+      minTimes: Int,
+      maxTimes: Int) // maxTimes == Int.MaxValue for oneOrMore
+
+  /** Immutable fluent builder — Pattern.begin("a").where(p)
+    * .followedBy("b").where(q).within(1.hour) */
+  final case class Pattern[T](
+      stages: Vector[Stage[T]],
+      withinSpan: Option[Long],
+      skip: AfterMatchSkip) {
+
+    private def updLast(f: Stage[T] => Stage[T]): Pattern[T] =
+      copy(stages = stages.init :+ f(stages.last))
+
+    def where(p: T => Boolean): Pattern[T] =
+      updLast(s => s.copy(pred = t => s.pred(t) && p(t)))
+    def or(p: T => Boolean): Pattern[T] =
+      updLast(s => s.copy(pred = t => s.pred(t) || p(t)))
+    def next(name: String): Pattern[T] =
+      copy(stages = stages :+ Stage[T](name, _ => true, Strict, 1, 1))
+    def followedBy(name: String): Pattern[T] =
+      copy(stages = stages :+ Stage[T](name, _ => true, Relaxed, 1, 1))
+    def times(n: Int): Pattern[T] = updLast(_.copy(minTimes = n, maxTimes = n))
+    def oneOrMore: Pattern[T] = updLast(_.copy(minTimes = 1, maxTimes = Int.MaxValue))
+    def optional: Pattern[T] = updLast(_.copy(minTimes = 0))
+    def within(d: Duration): Pattern[T] = copy(withinSpan = Some(d.toMillis))
+    /** within() in raw time-axis units (e.g. micros when tsOf is micros). */
+    def withinUnits(span: Long): Pattern[T] = copy(withinSpan = Some(span))
+    def afterMatchSkipPastLast: Pattern[T] = copy(skip = SkipPastLast)
+  }
+
+  object Pattern {
+    def begin[T](name: String): Pattern[T] =
+      Pattern(Vector(Stage[T](name, _ => true, Relaxed, 1, 1)), None, NoSkip)
+  }
+
+  /** One match: per-stage matched element indices resolved to events. */
+  final case class Match[T](stages: Map[String, Seq[T]])
+
+  /** Core matcher over one key's time-ordered events. O(starts × scan)
+    * — runs distributed per key; key cardinality is the scale axis. */
+  def matchSequence[T](events: IndexedSeq[T], pattern: Pattern[T])(
+      tsOf: T => Long): Seq[Match[T]] = {
+    val out = Vector.newBuilder[Match[T]]
+    var blockedBelow = -1 // for SkipPastLast: no new match may start at or before this idx
+
+    def tryFrom(start: Int): Option[(Match[T], Int)] = {
+      var pos = start
+      var firstTs = -1L
+      val acc = Map.newBuilder[String, Seq[T]]
+      var stageIdx = 0
+      while (stageIdx < pattern.stages.length) {
+        val st = pattern.stages(stageIdx)
+        // locate the first element of this stage
+        var i = pos
+        if (st.contiguity == Relaxed && stageIdx > 0)
+          while (i < events.length && !st.pred(events(i))) i += 1
+        // collect the contiguous block for the quantifier
+        var taken = 0
+        val buf = Vector.newBuilder[T]
+        while (i < events.length && taken < st.maxTimes && st.pred(events(i))
+            && (pattern.withinSpan.isEmpty || firstTs < 0
+              || tsOf(events(i)) - firstTs <= pattern.withinSpan.get)) {
+          if (firstTs < 0) firstTs = tsOf(events(i))
+          buf += events(i)
+          i += 1
+          taken += 1
+        }
+        if (taken < st.minTimes) return None
+        if (taken > 0) acc += st.name -> buf.result()
+        pos = i
+        stageIdx += 1
+      }
+      Some((Match(acc.result()), pos - 1))
+    }
+
+    var s = 0
+    while (s < events.length) {
+      if (s > blockedBelow && pattern.stages.head.pred(events(s))) {
+        tryFrom(s).foreach { case (m, lastIdx) =>
+          out += m
+          if (pattern.skip == SkipPastLast) blockedBelow = lastIdx
+        }
+      }
+      s += 1
+    }
+    out.result()
+  }
+
+  /** Batch PatternStream: key + event-time sort + match per key. */
+  def pattern[T, K: Encoder, R: Encoder](events: Dataset[T], p: Pattern[T],
+      keyFn: T => K, tsOf: T => Long, tieBreak: T => Long)(
+      select: (K, Match[T]) => R): Dataset[R] = {
+    implicit val te: Encoder[T] = events.encoder
+    events.groupByKey(keyFn).flatMapGroups { (k, it) =>
+      val sorted = it.toIndexedSeq.sortBy(e => (tsOf(e), tieBreak(e)))
+      matchSequence(sorted, p)(tsOf).iterator.map(m => select(k, m))
+    }
+  }
+
+  /** Streaming PatternStream: same matcher, keyed state holds the
+    * growing per-key buffer; emits only matches whose span is sealed
+    * by the watermark (event-time correctness for late data). For
+    * finite replays (tests/verification) use `flushOnTimeout=false`
+    * and a final batch pass instead. */
+  /** tsMillis MUST be epoch millis here (compared to the watermark). */
+  def patternStream[T, K: Encoder, R: Encoder](events: Dataset[T], p: Pattern[T],
+      keyFn: T => K, tsMillis: T => Long, tieBreak: T => Long)(
+      select: (K, Match[T]) => R)(
+      implicit bufEnc: Encoder[Seq[T]]): Dataset[R] = {
+    implicit val te: Encoder[T] = events.encoder
+    events.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: K, it: Iterator[T], state: GroupState[Seq[T]]) => {
+          val buf = (state.getOption.getOrElse(Seq.empty) ++ it)
+            .sortBy(e => (tsMillis(e), tieBreak(e)))
+          state.update(buf)
+          val sealedUpTo = state.getCurrentWatermarkMs()
+          val ready = buf.takeWhile(e => tsMillis(e) +
+            p.withinSpan.getOrElse(0L) < sealedUpTo)
+          if (ready.nonEmpty) {
+            state.update(buf.drop(ready.length))
+            matchSequence(ready.toIndexedSeq, p)(tsMillis).iterator.map(m => select(k, m))
+          } else Iterator.empty
+        })
+  }
+}

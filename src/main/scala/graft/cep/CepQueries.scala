@@ -1,0 +1,90 @@
+package graft.cep
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import scala.concurrent.duration._
+
+/** CEP patterns over the events table, verified against window-
+  * function oracles (each oracle is an independent SQL formulation of
+  * the same match semantics — SURVEY §2.12).
+  */
+object CepQueries extends QueryModule {
+
+  /** (user_id, event_id, event_type, ts_us) */
+  private type Ev = (Long, Long, String, Long)
+
+  private def typedEvents(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ----- followedBy (relaxed contiguity) + within: view → purchase
+    // within 1h, earliest completion per start event -----
+    q("q64_cep_followed_by",
+      """WITH pairs AS (
+        |  SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |                       ORDER BY p.ts, p.event_id) AS rn
+        |  FROM events v JOIN events p ON v.user_id = p.user_id
+        |   AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |SELECT view_id, purchase_id FROM pairs WHERE rn = 1
+        |ORDER BY view_id""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+        .followedBy("purchase").where(_._3 == "purchase")
+        .withinUnits(1.hour.toMicros)
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (_, m) => (m.stages("view").head._2, m.stages("purchase").head._2)
+      }.toDF("view_id", "purchase_id")
+        .orderBy(col("view_id"))
+    },
+
+    // ----- next (strict contiguity): signup immediately followed by
+    // click in the user's stream -----
+    q("q65_cep_strict_next",
+      """WITH seq AS (
+        |  SELECT event_id, event_type,
+        |    lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id AS signup_id, nid AS click_id
+        |FROM seq WHERE event_type = 'signup' AND nt = 'click'
+        |ORDER BY signup_id""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("signup").where(_._3 == "signup")
+        .next("click").where(_._3 == "click")
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (_, m) => (m.stages("signup").head._2, m.stages("click").head._2)
+      }.toDF("signup_id", "click_id")
+        .orderBy(col("signup_id"))
+    },
+
+    // ----- times(3) quantifier: three consecutive errors (every start
+    // position reported — NO_SKIP) -----
+    q("q66_cep_times",
+      """WITH seq AS (
+        |  SELECT event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+        |    lead(event_id, 1) OVER w AS id1, lead(event_id, 2) OVER w AS id2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id AS e0, id1 AS e1, id2 AS e2
+        |FROM seq WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+        |ORDER BY e0""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("errs").where(_._3 == "error").times(3)
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (_, m) =>
+          val ids = m.stages("errs").map(_._2)
+          (ids(0), ids(1), ids(2))
+      }.toDF("e0", "e1", "e2")
+        .orderBy(col("e0"))
+    }
+  )
+}

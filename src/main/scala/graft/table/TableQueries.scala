@@ -1,0 +1,88 @@
+package graft.table
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.FlinkFunctions
+import org.apache.spark.sql.functions._
+
+/** Queries through the Table/SQL façade: Flink group-window SQL
+  * dialect (TUMBLE), SIMILAR TO, registered UDFs, COLLECT multiset —
+  * the §2.11/§2.5 pieces that needed custom work (SURVEY §7.2).
+  */
+object TableQueries extends QueryModule {
+
+  private val H6 = 6 * 3600 * 1000L
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ----- Flink TUMBLE SQL syntax through the dialect shim -----
+    q("q67_sql_tumble_dialect",
+      s"""SELECT epoch_ms((epoch_ms(ts) // $H6) * $H6) AS w_start,
+         |  event_type, count(*) AS n
+         |FROM events GROUP BY 1, 2
+         |ORDER BY w_start, event_type""") { (s, dir) =>
+      val env = TableEnv(s)
+      env.registerTable("events", Tables.t(s, dir, "events"))
+      env.sqlQuery(
+        """SELECT TUMBLE_START(ts, INTERVAL '6' HOUR) AS w_start,
+          |       event_type, COUNT(*) AS n
+          |FROM events
+          |GROUP BY TUMBLE(ts, INTERVAL '6' HOUR), event_type
+          |ORDER BY w_start, event_type""".stripMargin)
+    },
+
+    // ----- SIMILAR TO (SQL-regex → Java-regex translation); oracle
+    // uses the hand-translated anchored regex -----
+    q("q68_similar_to",
+      """SELECT p_partkey, p_name,
+        |  regexp_full_match(p_name, '.*(ot|in).*') AS m1,
+        |  regexp_full_match(p_name, 'h.t .*') AS m2,
+        |  regexp_full_match(p_name, '.*[aeiou]') AS m3
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      import FlinkFunctions.similar
+      Tables.t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"),
+        similar(col("p_name"), "%(ot|in)%").as("m1"),
+        similar(col("p_name"), "h_t %").as("m2"),
+        similar(col("p_name"), "%[aeiou]").as("m3"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ----- registered UDFs (registerFunction path) + numeric TRUNCATE
+    // + TEMPORAL OVERLAPS -----
+    q("q69_udf_trunc_overlaps",
+      """SELECT o_orderkey,
+        |  sign(o_totalprice) * floor(abs(o_totalprice) * 10) / 10 AS trunc1,
+        |  sign(o_totalprice - 200000) * floor(abs(o_totalprice - 200000) * 100) / 100 AS trunc2,
+        |  (o_orderdate <= TIMESTAMP '1997-06-30 00:00:00'
+        |   AND TIMESTAMP '1997-01-01 00:00:00' <= o_orderdate + INTERVAL 30 DAY) AS in_h1_97
+        |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      FlinkFunctions.register(s)
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  truncate_num(o_totalprice, 1) AS trunc1,
+          |  truncate_num(o_totalprice - 200000, 2) AS trunc2,
+          |  o_orderdate, o_orderdate + INTERVAL 30 DAY AS order_end
+          |FROM orders""".stripMargin)
+        .select(col("o_orderkey"), col("trunc1"), col("trunc2"),
+          FlinkFunctions.temporalOverlaps(
+            col("o_orderdate"), col("order_end"),
+            lit("1997-01-01").cast("timestamp"), lit("1997-06-30").cast("timestamp"))
+            .as("in_h1_97"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ----- COLLECT multiset aggregate (element→count), rendered
+    // sorted for portable comparison -----
+    q("q70_collect_multiset",
+      """SELECT c_nationkey, string_agg(seg || ':' || n, ',' ORDER BY seg) AS segs
+        |FROM (SELECT c_nationkey, c_mktsegment AS seg, count(*) AS n
+        |      FROM customer GROUP BY 1, 2)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""") { (s, dir) =>
+      Tables.t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(FlinkFunctions.collectMultisetString(col("c_mktsegment")).as("segs"))
+        .orderBy(col("c_nationkey"))
+    }
+  )
+}

@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import java.sql.Timestamp
+
+class StreamEnvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("keyed process function accumulates state across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counted = new StreamOps(input.toDS())
+      .keyBy(_._1)
+      .process[Int, (String, Int)]() { (k, it, state) =>
+        val total = state.getOption.getOrElse(0) + it.map(_._2).sum
+        state.update(total)
+        Iterator((k, total))
+      }
+    val query = counted.writeStream.format("memory")
+      .queryName("graft_test_process").outputMode("append").start()
+    input.addData(("a", 1), ("b", 2))
+    query.processAllAvailable()
+    input.addData(("a", 3))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("graft_test_process").as[(String, Int)].collect().toSet
+    assert(rows == Set(("a", 1), ("b", 2), ("a", 4)))
+  }
+
+  test("tumbling window agg over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val env = StreamEnv(spark)
+    val agg = env.fromDataFrame(input.toDF().toDF("ts", "k", "v"))
+      .assignWatermark("ts", "10 minutes")
+      .timeWindowAgg("ts", "15 minutes", None, Seq(col("k")),
+        count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("window.start").as("w"), col("k"), col("n"), col("s"))
+    input.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(20), "a", 4.0))
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_test_window").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_test_window")
+      .select(col("k"), col("n"), col("s")).as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 2L, 3.0), ("a", 1L, 4.0)))
+  }
+
+  test("side outputs split one stream into filtered views") {
+    val df = Seq((1, "ok"), (2, "err"), (3, "ok")).toDF("id", "kind")
+    val outs = new StreamOpsRow(df).sideOutputs(
+      "good" -> (col("kind") === "ok"),
+      "bad" -> (col("kind") === "err"))
+    assert(outs("good").count() == 2 && outs("bad").count() == 1)
+  }
+
+  test("connect merges two typed streams via a tagged union") {
+    val a = new StreamOps(Seq(1, 2).toDS())
+    val b = new StreamOps(Seq("x").toDS())
+    val r = a.connect(b).ds.collect()
+    assert(r.count(_.isLeft) == 2 && r.count(_.isRight) == 1)
+    assert(r.filter(_.isRight).map(_.fold(_.toString)(identity)).toSeq == Seq("x"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.duration._
+import CEP._
+
+/** Pure matcher semantics (reference NFA.java behaviors, port of the
+  * shapes in flink-cep pattern tests). Events: (id, type, ts). */
+class CepSpec extends AnyFunSuite {
+
+  private type E = (Long, String, Long)
+  private def ev(s: String): IndexedSeq[E] =
+    s.split(" ").zipWithIndex.map { case (t, i) => (i.toLong, t, i.toLong * 10) }.toIndexedSeq
+
+  private def ids(m: Match[E], stage: String): Seq[Long] = m.stages(stage).map(_._1)
+
+  test("strict next matches only adjacent events") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a").next("b").where(_._2 == "b")
+    val ms = matchSequence(ev("a x b a b"), p)(_._3)
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) == Seq((3L, 4L)))
+  }
+
+  test("relaxed followedBy skips intervening events") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a").followedBy("b").where(_._2 == "b")
+    val ms = matchSequence(ev("a x b a b"), p)(_._3)
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) == Seq((0L, 2L), (3L, 4L)))
+  }
+
+  test("times(n) requires a contiguous block") {
+    val p = Pattern.begin[E]("e").where(_._2 == "e").times(3)
+    val ms = matchSequence(ev("e e e e x e e"), p)(_._3)
+    assert(ms.map(m => ids(m, "e")) == Seq(Seq(0L, 1, 2), Seq(1L, 2, 3)))
+  }
+
+  test("oneOrMore is greedy over the contiguous block") {
+    val p = Pattern.begin[E]("e").where(_._2 == "e").oneOrMore
+      .followedBy("x").where(_._2 == "x")
+    val ms = matchSequence(ev("e e x"), p)(_._3)
+    assert(ms.map(m => (ids(m, "e"), ids(m, "x"))) ==
+      Seq((Seq(0L, 1), Seq(2L)), (Seq(1L), Seq(2L))))
+  }
+
+  test("optional stage may be empty") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .next("opt").where(_._2 == "o").optional
+      .followedBy("b").where(_._2 == "b")
+    val ms = matchSequence(ev("a b a o b"), p)(_._3)
+    assert(ms.size == 2)
+    assert(!ms.head.stages.contains("opt"))
+    assert(ids(ms(1), "opt") == Seq(3L))
+  }
+
+  test("within bounds the first-to-last span") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b").withinUnits(15)
+    // b at ts 20 is 20 units after a at ts 0 → out of window
+    val ms = matchSequence(ev("a x b"), p)(_._3)
+    assert(ms.isEmpty)
+    val ms2 = matchSequence(ev("a b"), p)(_._3)
+    assert(ms2.size == 1)
+  }
+
+  test("afterMatchSkipPastLast suppresses overlapping matches") {
+    val p = Pattern.begin[E]("e").where(_._2 == "e").times(2).afterMatchSkipPastLast
+    val ms = matchSequence(ev("e e e e"), p)(_._3)
+    assert(ms.map(m => ids(m, "e")) == Seq(Seq(0L, 1), Seq(2L, 3)))
+  }
+
+  test("where conjuncts and or disjuncts compose") {
+    val p = Pattern.begin[E]("ab").where(e => e._2 == "a").or(_._2 == "b")
+    val ms = matchSequence(ev("a b c"), p)(_._3)
+    assert(ms.size == 2)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FlinkFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("similarToRegex translates SQL wildcards and anchors") {
+    assert(FlinkFunctions.similarToRegex("%(ot|in)%") == "^.*(ot|in).*$")
+    assert(FlinkFunctions.similarToRegex("h_t %") == "^h.t .*$")
+    assert("hot plate".matches(FlinkFunctions.similarToRegex("h_t %")))
+    assert(!"hat".matches(FlinkFunctions.similarToRegex("h_t %")))
+    // regex metachars in the SQL pattern are literal
+    assert("a.b".matches(FlinkFunctions.similarToRegex("a.b")))
+    assert(!"axb".matches(FlinkFunctions.similarToRegex("a.b")))
+  }
+
+  test("truncateNumeric truncates toward zero") {
+    val r = Seq(3.19, -3.19, 0.0).toDF("x")
+      .select(FlinkFunctions.truncateNumeric(col("x"), 1).as("t"))
+      .as[Double].collect().toSeq
+    assert(r == Seq(3.1, -3.1, 0.0))
+  }
+
+  test("sum0 yields 0 on empty input") {
+    val r = Seq(1, 2, 3).toDF("x").filter(col("x") > 10)
+      .agg(FlinkFunctions.sum0(col("x"))).as[Long].collect()
+    assert(r.toSeq == Seq(0L))
+  }
+
+  test("temporalOverlaps matches interval intersection") {
+    val df = Seq((1, 5, 3, 8), (1, 2, 3, 4)).toDF("s1", "e1", "s2", "e2")
+    val r = df.select(FlinkFunctions.temporalOverlaps(
+      col("s1"), col("e1"), col("s2"), col("e2"))).as[Boolean].collect().toSeq
+    assert(r == Seq(true, false))
+  }
+
+  test("CollectAggregator builds multiset with counts") {
+    val agg = new FlinkFunctions.CollectAggregator[String]
+    val m = agg.merge(
+      agg.reduce(agg.reduce(agg.zero, "a"), "b"),
+      agg.reduce(agg.zero, "a"))
+    assert(agg.finish(m) == Map("a" -> 2, "b" -> 1))
+  }
+
+  test("collectMultisetString renders sorted elem:count") {
+    val r = Seq("b", "a", "b").toDF("x")
+      .agg(FlinkFunctions.collectMultisetString(col("x"))).as[String].collect()
+    assert(r.toSeq == Seq("a:1,b:2"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def g(edges: (Long, Long)*): Graph =
+    Graph.fromEdges(edges.toSeq.toDF("src", "dst"))
+
+  test("connectedComponents finds two components") {
+    val cc = g((1L, 2L), (2L, 3L), (10L, 11L)).connectedComponents()
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("sssp computes hop distances and null for unreachable") {
+    val d = g((1L, 2L), (2L, 3L), (10L, 11L)).sssp(1L)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> -1L, 11L -> -1L))
+  }
+
+  test("triangleCount on K4 gives 3 per vertex") {
+    val k4 = g((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val t = k4.triangleCount().as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("pageRank mass sums to ~1 and favors the hub") {
+    val star = g((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+    val pr = star.pageRank(iters = 15).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr(1L) > pr(3L) && pr(1L) > pr(4L))
+  }
+
+  test("degrees and subgraph") {
+    val gg = g((1L, 2L), (2L, 3L))
+    val deg = gg.degrees.as[(Long, Long)].collect().toMap
+    assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val sub = gg.subgraph(col("id") < 3)
+    assert(sub.undirected.count() == 2) // only 1<->2 remains
+  }
+}
