@@ -37,7 +37,8 @@ object Registry {
     graft.pipeline.TextAnalysis,
     graft.pipeline.Multimodal,
     graft.cep.CepQueries,
-    graft.table.TableQueries
+    graft.table.TableQueries,
+    graft.sources.SourceQueries
   )
 
   lazy val all: Seq[QueryDef] = {

@@ -126,6 +126,29 @@ final class BatchOps[T](val ds: Dataset[T]) {
     new BatchOps(cur)
   }
 
+  /** Delta iteration (DataSet.java:1206 iterateDelta): a solution set
+    * updated by keyed deltas plus a shrinking workset; terminates when
+    * the workset empties or maxIter is hit. The solution merge is a
+    * distributed keyed cogroup (delta wins), never a driver collect. */
+  def iterateDelta[K: Encoder](workset0: BatchOps[T], maxIter: Int,
+      checkpointEvery: Int = 3)(keyOf: T => K)(
+      step: (Dataset[T], Dataset[T]) => (Dataset[T], Dataset[T])): BatchOps[T] = {
+    var solution = ds
+    var workset = workset0.ds
+    var i = 0
+    while (i < maxIter && !workset.isEmpty) {
+      val (delta, nextWs) = step(solution, workset)
+      val d = delta.localCheckpoint()
+      solution = solution.groupByKey(keyOf).cogroup(d.groupByKey(keyOf)) {
+        (_, sIt, dIt) => if (dIt.hasNext) dIt else sIt
+      }
+      if ((i + 1) % checkpointEvery == 0) solution = solution.localCheckpoint()
+      workset = nextWs.localCheckpoint()
+      i += 1
+    }
+    new BatchOps(solution)
+  }
+
   // ----- sinks (DataSet.java:1492-1780) -----
   def writeAsText(path: String): Unit =
     ds.toDF().write.mode("overwrite").text(path)

@@ -85,14 +85,18 @@ object Dedup extends QueryModule {
         .withColumn("w", split(lower(col("text")), " "))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+      // The scalable LSH shape: explode signatures into (band, value)
+      // bucket rows and equi-join on the bucket key — a hash-partition
+      // join linear in bucket sizes. An OR-of-bands join condition
+      // would compile to a nested-loop O(n²) plan instead.
       val sig = minhashSignatures(s, dir)
-      val a = sig.select(col("doc_id").as("doc_a"), col("m0").as("a0"),
-        col("m1").as("a1"), col("m2").as("a2"), col("m3").as("a3"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("m0").as("b0"),
-        col("m1").as("b1"), col("m2").as("b2"), col("m3").as("b3"))
-      val cand = a.join(b, col("doc_a") < col("doc_b")
-          && (col("a0") === col("b0") || col("a1") === col("b1")
-            || col("a2") === col("b2") || col("a3") === col("b3")))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
+          .as(Seq("band", "bval")))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+      val cand = a.join(b, Seq("band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
         size(array_distinct(concat(col("x_sh"), col("y_sh"))))

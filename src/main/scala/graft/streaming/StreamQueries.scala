@@ -256,6 +256,34 @@ object StreamQueries extends QueryModule {
         .select(col("purchase_id"), col("error_id"))
       viaMemorySink(s, joined, "append", "graft_stream_ij")
         .orderBy(col("purchase_id"), col("error_id"))
+    },
+
+    // ----- streaming OVER aggregate via foreachBatch (SURVEY §7.3
+    // rank 5: Spark has no window functions on streams; the proc-time
+    // variants run per micro-batch — batch-global here since the file
+    // source yields one batch, matching the batch oracle) -----
+    q("q76_stream_over_foreachbatch",
+      """SELECT event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id) AS INTEGER) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val outPath = "/root/repo/target/roundtrip/q76_over"
+      new java.io.File(outPath).delete()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val query = streamEvents(s, dir).writeStream.foreachBatch {
+        (df: DataFrame, _: Long) =>
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("running_n",
+              count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .select(col("event_id"), col("rn"), col("running_n"))
+            .write.mode("overwrite").parquet(outPath)
+      }.start()
+      query.processAllAvailable()
+      query.stop()
+      s.read.parquet(outPath).orderBy(col("event_id"))
     }
   )
 }

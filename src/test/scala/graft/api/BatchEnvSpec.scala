@@ -62,6 +62,15 @@ class BatchEnvSpec extends SparkSpec {
     assert(r.output().toSeq == Seq(128))
   }
 
+  test("iterateDelta applies keyed deltas until the workset drains") {
+    val solution = env.fromCollection(Seq((1, 10), (2, 20), (3, 30)))
+    val workset = env.fromCollection(Seq((3, 100)))
+    val r = solution.iterateDelta(workset, maxIter = 5)(_._1) { (_, ws) =>
+      (ws, ws.filter(_ => false)) // delta = workset, then drain
+    }
+    assert(r.output().toSet == Set((1, 10), (2, 20), (3, 100)))
+  }
+
   test("sample is deterministic under a seed") {
     val a = env.generateSequence(1, 1000).sample(withReplacement = false, 0.1, seed = 7).count()
     val b = env.generateSequence(1, 1000).sample(withReplacement = false, 0.1, seed = 7).count()

@@ -1,0 +1,34 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MLEnvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linear regression recovers a linear relationship") {
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val train = MLEnv.assemble(df, Seq("x"))
+    val model = MLEnv.linearRegression(train, "y")
+    assert(math.abs(model.coefficients(0) - 3.0) < 1e-6)
+    assert(math.abs(model.intercept - 7.0) < 1e-4)
+    assert(MLEnv.rmse(model.transform(train), "y") < 1e-6)
+  }
+
+  test("scalers and polynomial features transform shapes") {
+    val df = MLEnv.assemble(Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b"), Seq("a", "b"))
+    assert(MLEnv.standardScaler(df).columns.contains("scaled"))
+    assert(MLEnv.minMaxScaler(df).columns.contains("scaled"))
+    val poly = MLEnv.polynomialFeatures(df, degree = 2)
+    assert(poly.columns.contains("poly"))
+  }
+
+  test("ALS fits on the events-derived ratings without error") {
+    val ratings = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id").cast("int").as("u"),
+        (col("event_id") % 20).cast("int").as("i"),
+        col("value").cast("float").as("r"))
+    val model = MLEnv.als(ratings, "u", "i", "r", rank = 4, maxIter = 2)
+    assert(model.userFactors.count() > 0)
+  }
+}
