@@ -23,7 +23,17 @@ object Bench {
     "q16_over_running",
     "q19_union_all",
     "q26_subqueries_sql",
-    "q28_explode_words")
+    "q28_explode_words",
+    "q40_window_tumble",
+    "q42_window_session",
+    "q48_interval_join",
+    "q51_minhash_signatures",
+    "q53_simhash",
+    "q54_ngram_jaccard",
+    "q56_ann_bruteforce",
+    "q58_text_stats",
+    "q73_temporal_asof_join",
+    "q77_salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,7 +38,8 @@ object Registry {
     graft.pipeline.Multimodal,
     graft.cep.CepQueries,
     graft.table.TableQueries,
-    graft.sources.SourceQueries
+    graft.sources.SourceQueries,
+    graft.operators.ScaleQueries
   )
 
   lazy val all: Seq[QueryDef] = {

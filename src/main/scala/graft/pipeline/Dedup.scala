@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.CharNGrams.char_ngrams
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (hash-groupBy), MinHash + LSH banding, SimHash, and
@@ -152,14 +153,26 @@ object Dedup extends QueryModule {
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
       val g = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          expr("""array_distinct(transform(sequence(1, length(text)-2),
-                 |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+          // native codegen'd gram builder; sorted ONCE per doc so the
+          // per-pair intersection is a linear merge
+          array_sort(array_distinct(char_ngrams(col("text"), 3))).as("grams"))
       val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("grams").as("g_a"))
       val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("grams").as("g_b"))
-      val jacc = size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-        size(array_distinct(concat(col("g_a"), col("g_b"))))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
+      val common = graft.functions.SortedIntersectSize
+        .sorted_intersect_size(col("g_a"), col("g_b"))
+      // |A∪B| = |A|+|B|-|A∩B| — no per-pair array materialization
+      val jacc = common.cast("double") /
+        (size(col("g_a")) + size(col("g_b")) - common)
+      // size-ratio prefilter: J(A,B) >= t implies |A|/|B| >= t (since
+      // |∩| <= |A| and |∪| >= |B|) — prunes most pairs before the
+      // O(|A|+|B|) set ops ever run; results are provably unchanged
+      // shuffle-hash, not broadcast: the gram arrays make rows wide, so
+      // broadcasting the build side would serialize tens of MB through
+      // the driver; hash-partitioning on the block key streams instead
+      a.join(b.hint("shuffle_hash"), Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b")
+          && size(col("g_a")) >= lit(0.6) * size(col("g_b"))
+          && size(col("g_b")) >= lit(0.6) * size(col("g_a")))
         .withColumn("jacc", jacc)
         .filter(col("jacc") >= 0.6)
         .select(col("doc_a"), col("doc_b"), col("jacc"))
@@ -178,9 +191,8 @@ object Dedup extends QueryModule {
          |FROM g ORDER BY doc_id""") { (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("doc_id"),
-          expr("""array_sort(array_distinct(transform(sequence(1, length(text)-3),
-                 |  i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))))"""
-            .stripMargin).as("hs"))
+          array_sort(array_distinct(transform(char_ngrams(col("text"), 4),
+            g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))).as("hs"))
         .select(col("doc_id"),
           array_join(slice(col("hs"), 1, 3), "-").as("fp"))
         .orderBy(col("doc_id"))
