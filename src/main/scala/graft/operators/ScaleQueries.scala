@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, QueryModule, Tables}
 import graft.api.Skew
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.types.DecimalType
 
 /** Scale-technique demonstrations whose results are oracle-checked:
@@ -73,6 +74,62 @@ object ScaleQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // ----- TPC-H Q5 analog: 6-way snowflake join (region→nation→
+    // customer+supplier co-nation condition→orders→lineitem). The two
+    // tiny dims broadcast; the fact-side join keys drive the shuffle -----
+    q("q81_local_supplier_volume",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))
+        |           * CAST(1 - l_discount AS decimal(18,4))) AS decimal(38,8)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'AMERICA')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 4))
+      val r = Tables.t(s, dir, "region").filter(col("r_name").isin("ASIA", "AMERICA"))
+      val n = Tables.t(s, dir, "nation")
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      Tables.t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables.t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(DecimalType(38, 8)).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // ----- TPC-H Q18 analog: grouped HAVING subquery + semi join back
+    // to the fact (large-order customers) -----
+    q("q82_large_orders",
+      """SELECT c_name, o_orderkey, o_totalprice, qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS decimal(18,4))) AS decimal(38,4)) AS qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS decimal(18,4))) > 120) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""") { (s, dir) =>
+      val big = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_raw"))
+        .filter(col("qty_raw") > 120)
+        .select(col("l_orderkey"), col("qty_raw").cast(DecimalType(38, 4)).as("qty"))
+      big.join(Tables.t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }
   )
 }

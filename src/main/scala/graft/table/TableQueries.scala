@@ -72,6 +72,26 @@ object TableQueries extends QueryModule {
         .orderBy(col("o_orderkey"))
     },
 
+    // ----- fluent Table API (string expressions) end-to-end: filter →
+    // join → groupBy.select → orderBy, Flink table.scala style -----
+    q("q80_table_api_fluent",
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS decimal(38,4)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment
+        |ORDER BY seg""") { (s, dir) =>
+      Table(Tables.t(s, dir, "orders"))
+        .where("o_orderstatus = 'F'")
+        .join(Table(Tables.t(s, dir, "customer")), "o_custkey = c_custkey")
+        .groupBy("c_mktsegment")
+        .select("c_mktsegment as seg, count(*) as n, " +
+          "cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(38,4)) as revenue")
+        .select("seg, n, revenue")
+        .orderBy("seg")
+        .toDF
+    },
+
     // ----- COLLECT multiset aggregate (element→count), rendered
     // sorted for portable comparison -----
     q("q70_collect_multiset",
