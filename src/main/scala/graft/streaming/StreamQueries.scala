@@ -284,6 +284,102 @@ object StreamQueries extends QueryModule {
       query.processAllAvailable()
       query.stop()
       s.read.parquet(outPath).orderBy(col("event_id"))
+    },
+
+    // ----- stream-stream LEFT OUTER interval join (reference
+    // NonWindowLeftRightJoin/TimeBoundedStreamJoin): unmatched left
+    // rows emit only once the watermark seals their join window, so a
+    // far-future sentinel row (filtered back out) flushes the tail -----
+    q("q83_stream_outer_join",
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p LEFT JOIN events e
+        |  ON p.user_id = e.user_id AND e.event_type = 'error'
+        | AND e.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id, error_id NULLS FIRST""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+      val sentinelDf = sentinel.toDF().toDF("event_id", "ts", "user_id")
+
+      val p = streamEvents(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .unionByName(sentinelDf)
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 minute")
+      // the stream watermark is the min across inputs, so the right
+      // side needs its own sentinel or unmatched-left emission stalls
+      val sentinelR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      sentinelR.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+      val e = streamEvents(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .unionByName(sentinelR.toDF().toDF("event_id", "ts", "user_id"))
+        .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 minute")
+      val joined = p.join(e,
+          col("p_user") === col("e_user")
+            && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+            && col("e_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("purchase_id"), col("error_id"))
+      viaMemorySink(s, joined, "append", "graft_stream_oj")
+        .filter(col("purchase_id") =!= -1L)
+        .orderBy(col("purchase_id"), col("error_id").asc_nulls_first)
+    },
+
+    // ----- STREAMING session windows (q42 is the batch run of the
+    // same assigner); sentinel flush seals every session under the
+    // watermark so append mode emits the complete final state -----
+    q("q84_stream_session",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, min(ts) AS w_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, w_start""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+      val agg = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .unionByName(sentinel.toDF().toDF("event_id", "ts", "user_id"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("w_start"), col("n"))
+      viaMemorySink(s, agg, "append", "graft_stream_sess")
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
+    // ----- exactly-once file sink (StreamingFileSink.java:95 analog):
+    // writeStream parquet + checkpointLocation; re-read proves commit -----
+    q("q85_stream_file_sink",
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val out = "/root/repo/target/roundtrip/q85_sink"
+      val chk = "/root/repo/target/roundtrip/q85_chk"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      val query = streamEvents(s, dir)
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      query.processAllAvailable()
+      query.stop()
+      s.read.parquet(out)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     }
   )
 }

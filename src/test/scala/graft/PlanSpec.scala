@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties we rely on must
+  * survive refactors — these assert on the formatted physical plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = Registry.all.find(_.name == name).get.fn(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes filter and prunes columns at the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused column not pruned")
+  }
+
+  test("q02 broadcasts both dimension sides") {
+    val p = plan("q02_shipping_priority")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q52 LSH candidates use an equi join, never a nested loop") {
+    val p = plan("q52_minhash_lsh_pairs")
+    assert(!p.contains("NestedLoop"), "OR-of-bands regression: nested-loop join")
+  }
+
+  test("q73 as-of join is a single window pass (no join operator)") {
+    val p = plan("q73_temporal_asof_join")
+    assert(!p.contains("Join"), "as-of should not use a join")
+    assert(p.contains("Window"))
+  }
+
+  test("q79 bucketed join itself has no shuffle (only the final agg does)") {
+    val p = plan("q79_bucketed_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "bucketed co-located join regressed to shuffling its inputs")
+  }
+}
