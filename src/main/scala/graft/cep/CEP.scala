@@ -136,30 +136,49 @@ object CEP {
     }
   }
 
-  /** Streaming PatternStream: same matcher, keyed state holds the
-    * growing per-key buffer; emits only matches whose span is sealed
-    * by the watermark (event-time correctness for late data). For
-    * finite replays (tests/verification) use `flushOnTimeout=false`
-    * and a final batch pass instead. */
-  /** tsMillis MUST be epoch millis here (compared to the watermark). */
+  /** Streaming PatternStream: the per-key buffer lives in GroupState;
+    * a match is emitted exactly once its START event is sealed — the
+    * watermark has passed start.ts + within, so every event that could
+    * participate in that match has arrived. Events older than
+    * watermark - within can no longer start or join any future match
+    * and are evicted (state is watermark-bounded). An event-time
+    * timeout re-fires idle keys when their next start seals.
+    *
+    * `tsMillis` MUST be epoch millis (it is compared to the
+    * watermark), and the pattern MUST have within() — an unbounded
+    * pattern would need unbounded state and can never seal.
+    */
   def patternStream[T, K: Encoder, R: Encoder](events: Dataset[T], p: Pattern[T],
       keyFn: T => K, tsMillis: T => Long, tieBreak: T => Long)(
       select: (K, Match[T]) => R)(
       implicit bufEnc: Encoder[Seq[T]]): Dataset[R] = {
+    require(p.withinSpan.isDefined,
+      "patternStream requires within() — unbounded patterns cannot seal")
+    val span = p.withinSpan.get
     implicit val te: Encoder[T] = events.encoder
     events.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (k: K, it: Iterator[T], state: GroupState[Seq[T]]) => {
           val buf = (state.getOption.getOrElse(Seq.empty) ++ it)
             .sortBy(e => (tsMillis(e), tieBreak(e)))
-          state.update(buf)
-          val sealedUpTo = state.getCurrentWatermarkMs()
-          val ready = buf.takeWhile(e => tsMillis(e) +
-            p.withinSpan.getOrElse(0L) < sealedUpTo)
-          if (ready.nonEmpty) {
-            state.update(buf.drop(ready.length))
-            matchSequence(ready.toIndexedSeq, p)(tsMillis).iterator.map(m => select(k, m))
-          } else Iterator.empty
+          val wm = state.getCurrentWatermarkMs()
+          def isSealed(e: T): Boolean = tsMillis(e) + span < wm
+          val out =
+            if (buf.headOption.exists(isSealed))
+              matchSequence(buf.toIndexedSeq, p)(tsMillis)
+                .filter { m =>
+                  val first = m.stages.values.flatten
+                    .minBy(e => (tsMillis(e), tieBreak(e)))
+                  isSealed(first)
+                }
+            else Seq.empty
+          val keep = buf.filterNot(isSealed)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(keep)
+            state.setTimeoutTimestamp(tsMillis(keep.head) + span + 1)
+          }
+          out.iterator.map(m => select(k, m))
         })
   }
 }

@@ -135,6 +135,28 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // ----- SimHash near-dup pairs: Hamming distance over signatures
+    // (bit_count(xor) — the cheap second stage of the SimHash
+    // pipeline; at scale, bucket by signature prefix instead of the
+    // lang block to keep the pair space linear) -----
+    q("q56b_simhash_pairs",
+      s"""WITH $duckSimhash
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sh = simhashWithLang(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("simhash").as("h_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("simhash").as("h_b"))
+      a.join(b, Seq("lang"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ----- n-gram Jaccard near-dup pairs with (lang, source) blocking
     // (the blocking key is the scale lever: candidates never cross
     // blocks, so the join is a per-block local product) -----
@@ -198,6 +220,34 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** DuckDB CTE fragment computing (doc_id, lang, simhash). */
+  private val duckSimhash =
+    s"""wrd AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+       |wh AS (SELECT doc_id, lang, ${duckHash("word")} AS h FROM wrd),
+       |bits AS (
+       |  SELECT doc_id, lang, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wh CROSS JOIN (SELECT unnest(range(32)) AS j)
+       |  GROUP BY doc_id, lang, j),
+       |sh AS (SELECT doc_id, lang,
+       |  CAST(sum(CASE WHEN v > 0 THEN 2**j ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id, lang)""".stripMargin
+
+  /** (doc_id, lang, simhash) — shared by q53's signature dump and
+    * q56b's pair stage. */
+  private def simhashWithLang(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .withColumn("h", hexHash(col("word")))
+    wh.select(col("doc_id"), col("lang"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("lang"), col("j"))
+      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)).as("v"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("j"))).otherwise(0.0))
+        .cast("long").as("simhash"))
+  }
 
   /** Shared MinHash signature computation (4 seeded hashes). */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {

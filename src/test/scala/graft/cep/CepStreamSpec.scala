@@ -1,0 +1,52 @@
+package graft.cep
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import scala.concurrent.duration._
+
+/** CEP over a live stream: matches emit only once the watermark seals
+  * their possible span (late events can no longer change them). */
+class CepStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Ev = (Long, Long, String, Timestamp)
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("patternStream emits watermark-sealed matches incrementally") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDF().toDF("user_id", "event_id", "typ", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+
+    val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+      .followedBy("purchase").where(_._3 == "purchase")
+      .within(10.seconds)
+
+    val matches = CEP.patternStream(events, p,
+      (e: Ev) => e._1, (e: Ev) => e._4.getTime, (e: Ev) => e._2) {
+      (uid, m) => (uid, m.stages("view").head._2, m.stages("purchase").head._2)
+    }
+
+    val q = matches.writeStream.format("memory")
+      .queryName("graft_cep_stream").outputMode("append").start()
+    try {
+      // batch 1: the pattern occurs, but its window is not sealed yet
+      input.addData((1L, 100L, "view", ts("10:00:00")), (1L, 101L, "purchase", ts("10:00:05")))
+      q.processAllAvailable()
+      assert(spark.table("graft_cep_stream").count() == 0)
+
+      // push the watermark far past the window in two steps (the
+      // watermark advances at the START of the following batch)
+      input.addData((2L, 200L, "view", ts("10:10:00")))
+      q.processAllAvailable()
+      input.addData((2L, 201L, "view", ts("10:20:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("graft_cep_stream").as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 101L)))
+    } finally q.stop()
+  }
+}
