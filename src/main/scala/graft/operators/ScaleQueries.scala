@@ -130,6 +130,75 @@ object ScaleQueries extends QueryModule {
         .join(Tables.t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // ----- TPC-H Q10 analog: returned-item revenue per customer,
+    // top 20 -----
+    q("q83b_returned_items",
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))
+        |           * CAST(1 - l_discount AS decimal(18,4))) AS decimal(38,8)) AS revenue,
+        |  n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""") { (s, dir) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 4))
+      Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(DecimalType(38, 8)).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ----- TPC-H Q14 analog: conditional aggregation (promo share) -----
+    q("q84b_promo_share",
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS decimal(18,4)) * CAST(1 - l_discount AS decimal(18,4))
+        |        ELSE CAST(0 AS decimal(18,4)) END) AS decimal(38,8)) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))
+        |           * CAST(1 - l_discount AS decimal(18,4))) AS decimal(38,8)) AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY y ORDER BY y""") { (s, dir) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 4))
+      val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DecimalType(38, 8)).as("promo_rev"),
+          sum(rev).cast(DecimalType(38, 8)).as("total_rev"))
+        .orderBy(col("y"))
+    },
+
+    // ----- TPC-H Q19 analog: disjunction of conjunctive range
+    // predicates (the classic OR-of-ANDs pushdown shape) -----
+    q("q85b_disjunctive_predicates",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))) AS decimal(38,4)) AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+        |   OR (p_type = 'ECONOMY' AND l_quantity >= 30)""") { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) && col("l_quantity") >= 5)
+            || (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) && col("l_quantity") >= 10)
+            || (col("p_type") === "ECONOMY" && col("l_quantity") >= 30))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("rev"))
     }
   )
 }

@@ -81,6 +81,70 @@ object Similarity extends QueryModule {
     q("q57_ann_bucketed",
       duckCos("a.vec_id < 10", "a.label = b.label AND a.vec_id <> b.vec_id")) { (s, dir) =>
       topk(s, dir, sameLabel = true)
+    },
+
+    // ----- IVF-shaped two-stage search: stage 1 routes each probe to
+    // the nearest coarse representative (deterministic: the min-vec_id
+    // member of each label cluster — swap in k-means centroids without
+    // changing the plan); stage 2 scans only that cluster. The corpus
+    // side never fans out: probes × clusters is the only extra work. -----
+    q("q58b_ann_ivf",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |reps AS (
+        |  SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |probe2rep AS (
+        |  SELECT q.vec_id AS query_id, reps.label,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(sum(fq.x * fr.x) / (nq.nrm * nr.nrm), 6) DESC, reps.label) AS rk
+        |  FROM e q JOIN reps ON true
+        |  JOIN flat fq ON fq.vec_id = q.vec_id
+        |  JOIN flat fr ON fr.vec_id = reps.rep_id AND fr.i = fq.i
+        |  JOIN norms nq ON nq.vec_id = q.vec_id
+        |  JOIN norms nr ON nr.vec_id = reps.rep_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id, reps.label, nq.nrm, nr.nrm),
+        |routed AS (SELECT query_id, label FROM probe2rep WHERE rk = 1),
+        |scored AS (
+        |  SELECT r.query_id, b.vec_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM routed r JOIN e b ON b.label = r.label
+        |  JOIN flat fa ON fa.vec_id = r.query_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = r.query_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  WHERE b.vec_id <> r.query_id
+        |  GROUP BY r.query_id, b.vec_id, na.nrm, nb.nrm),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val reps = e.groupBy(col("label").as("rep_label"))
+        .agg(min(col("vec_id")).as("rep_id"))
+        .join(e.select(col("vec_id").as("rep_id"), col("embedding").as("ev")), "rep_id")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wRoute = Window.partitionBy(col("query_id"))
+        .orderBy(col("rep_score").desc, col("rep_label"))
+      val routed = queries.crossJoin(broadcast(reps))
+        .withColumn("rep_score", round(expr(cosExpr), 6))
+        .withColumn("rk", row_number().over(wRoute))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("qv"), col("rep_label"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      e.select(col("vec_id"), col("label"), col("embedding").as("ev"))
+        .join(broadcast(routed), col("label") === col("rep_label")
+          && col("vec_id") =!= col("query_id"))
+        .withColumn("score", round(expr(cosExpr), 6))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("query_id"), col("rn"))
     }
   )
 }

@@ -361,6 +361,32 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"), col("w_start"))
     },
 
+    // ----- keyed running minBy/maxBy on a stream (KeyedStream.java:849)
+    // — final state of the continuously-updated extreme rows -----
+    q("q86b_stream_minby_maxby",
+      """WITH r AS (SELECT user_id, event_id, round(value, 6) AS v FROM events),
+        |mx AS (SELECT user_id, event_id AS max_event, v AS max_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY v DESC, event_id) AS rn FROM r),
+        |mn AS (SELECT user_id, event_id AS min_event, v AS min_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn FROM r)
+        |SELECT mx.user_id, max_event, max_value, min_event, min_value
+        |FROM mx JOIN mn ON mx.user_id = mn.user_id
+        |WHERE mx.rn = 1 AND mn.rn = 1
+        |ORDER BY mx.user_id""") { (s, dir) =>
+      // event values are 2-dp, so extreme-value ties are common: break
+      // them deterministically by smallest event_id via struct ordering
+      val agg = streamEvents(s, dir)
+        .select(col("user_id"), col("event_id"), round(col("value"), 6).as("v"))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_id"), struct(col("v"), -col("event_id"))).as("max_event"),
+          max(col("v")).as("max_value"),
+          min_by(col("event_id"), struct(col("v"), col("event_id"))).as("min_event"),
+          min(col("v")).as("min_value"))
+      viaMemorySink(s, agg, "complete", "graft_stream_minmax")
+        .orderBy(col("user_id"))
+    },
+
     // ----- exactly-once file sink (StreamingFileSink.java:95 analog):
     // writeStream parquet + checkpointLocation; re-read proves commit -----
     q("q85_stream_file_sink",
