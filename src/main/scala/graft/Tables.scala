@@ -15,13 +15,18 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-      // TimestampType (µs) refuses outright; read the raw int64 nanos
-      // and integer-divide to µs (the data is µs-aligned, so this is
-      // lossless — verified against DuckDB's TIMESTAMP_NS cast).
+      // The driver's events.parquet stores ts as TIMESTAMP(NANOS),
+      // which Spark's TimestampType (µs) refuses outright; read the
+      // raw int64 nanos and integer-divide to µs (the data is
+      // µs-aligned, so this is lossless — verified against DuckDB's
+      // TIMESTAMP_NS cast). Re-written copies (tools.Scale) already
+      // store µs and pass through unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so queries can exercise the

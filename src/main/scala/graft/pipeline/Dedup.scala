@@ -173,6 +173,11 @@ object Dedup extends QueryModule {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
         |    / len(list_distinct(a.grams || b.grams)) >= 0.6
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      // NOTE on scale: exact blocked all-pairs verification is
+      // inherently quadratic in the size of a duplicate cluster — on
+      // corpora with heavy duplication run q50 (exact hash) and q52
+      // (LSH candidates) first and reserve this operator for the
+      // surviving candidate set.
       val g = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           // native codegen'd gram builder; sorted ONCE per doc so the

@@ -29,10 +29,12 @@ object StreamQueries extends QueryModule {
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(raw)
+    val st = s.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")  // file source wants a dir
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
+      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else st
   }
 
   /** Run a streaming DF to completion into a memory sink; return the

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive an N×-scaled copy of an sf directory under
+  * target/ (ids shifted per replica so keys stay distinct and joins
+  * keep TPC-H-ish selectivity). Used to probe how plans scale beyond
+  * the provided sf0.1 — linearity here is the evidence that the
+  * operator designs hold at 100 TB.
+  *
+  * Usage: Scale <srcSfDir> <outDir> <multiplier>
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, multS) = args.take(3)
+    val mult = multS.toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      df.crossJoin(spark.range(mult).select(col("id").as("__rep")))
+        .select(df.columns.map { c =>
+          shifts.get(c) match {
+            case Some(base) => (col(c) + col("__rep") * base).as(c)
+            case None => col(c)
+          }
+        }: _*)
+
+    val K = 100000000L // replica key shift
+    // fact tables replicate with shifted keys; dims stay as-is so
+    // join fan-in grows like the data (the realistic shape)
+    val plans = Map(
+      "lineitem" -> Map("l_orderkey" -> K),
+      "orders" -> Map("o_orderkey" -> K),
+      "events" -> Map("event_id" -> K),
+      "documents" -> Map("doc_id" -> K),
+      "embeddings" -> Map("vec_id" -> K))
+    for (t <- graft.Tables.names) {
+      val df = graft.Tables.t(spark, src, t)
+      val scaled = plans.get(t).map(replicate(df, _)).getOrElse(df)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale] $t -> ${if (plans.contains(t)) mult + "x" else "1x"}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FlinkFunctions
+import graft.cep.CEP
+import scala.util.Random
+
+/** Aggregator/matcher laws (FIXTURES.md layer 3) — property-style
+  * over seeded random inputs (scalatest+scalacheck bridge is not on
+  * the offline classpath, so generation is hand-rolled). */
+class PropertySpec extends AnyFunSuite {
+
+  private val agg = new FlinkFunctions.CollectAggregator[Int]
+  private def lists(r: Random) = List.fill(r.nextInt(30))(r.nextInt(10))
+
+  test("CollectAggregator: merge commutative/associative, zero identity, counts exact") {
+    val r = new Random(42)
+    for (_ <- 1 to 200) {
+      val (xs, ys, zs) = (lists(r), lists(r), lists(r))
+      val (a, b, c) = (xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce), zs.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      assert(agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)))
+      assert(agg.merge(a, agg.zero) == a)
+      assert(agg.finish(a) == xs.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+  }
+
+  test("similarToRegex: wildcard laws over random alphanumerics") {
+    val r = new Random(7)
+    for (_ <- 1 to 200) {
+      val s = Random.alphanumeric.take(r.nextInt(12)).mkString
+      assert(s.matches(FlinkFunctions.similarToRegex("%")))
+      if (s.nonEmpty) {
+        assert(s.matches(FlinkFunctions.similarToRegex(s)))
+        assert(s.matches(FlinkFunctions.similarToRegex(s.head.toString + "%")))
+        assert((s.length == 1) == s.matches(FlinkFunctions.similarToRegex("_")))
+      }
+    }
+  }
+
+  test("CEP matchSequence: matches time-ordered, within respected, count exact") {
+    type E = (Long, String, Long)
+    val r = new Random(13)
+    for (_ <- 1 to 300) {
+      val flags = List.fill(r.nextInt(25))(r.nextBoolean())
+      val evs = flags.zipWithIndex.map { case (f, i) =>
+        (i.toLong, if (f) "a" else "x", i.toLong * 10)
+      }.toIndexedSeq
+      val p = CEP.Pattern.begin[E]("a").where(_._2 == "a")
+        .followedBy("b").where(_._2 == "a").withinUnits(30)
+      val ms = CEP.matchSequence(evs, p)(_._3)
+      ms.foreach { m =>
+        val fst = m.stages("a").head
+        val snd = m.stages("b").head
+        assert(snd._3 > fst._3, "stage order must follow event time")
+        assert(snd._3 - fst._3 <= 30, "within bound violated")
+      }
+      val expected = evs.zipWithIndex.count { case (e, i) =>
+        e._2 == "a" && evs.drop(i + 1).takeWhile(_._3 - e._3 <= 30).exists(_._2 == "a")
+      }
+      assert(ms.size == expected)
+    }
+  }
+}
