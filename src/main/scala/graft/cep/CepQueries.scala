@@ -85,6 +85,32 @@ object CepQueries extends QueryModule {
           (ids(0), ids(1), ids(2))
       }.toDF("e0", "e1", "e2")
         .orderBy(col("e0"))
+    },
+
+    // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
+    // restricted clause parsed and compiled onto the same matcher -----
+    q("q87_match_recognize",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, value, event_type,
+        |    lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+        |    lead(value) OVER w AS nv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS view_id, nid AS purchase_id,
+        |  round(nv, 6) AS purchase_value
+        |FROM seq WHERE event_type = 'view' AND nt = 'purchase'
+        |ORDER BY view_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("value", round(col("value"), 6))
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES A.event_id AS view_id, B.event_id AS purchase_id,
+          |         B.value AS purchase_value
+          |PATTERN (A B)
+          |DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'"""
+          .stripMargin)
+        .orderBy(col("view_id"))
     }
   )
 }

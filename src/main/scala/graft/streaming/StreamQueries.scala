@@ -111,6 +111,39 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"), col("w_start"))
     },
 
+    // ----- dynamic-gap session windows (DynamicEventTimeSessionWindows
+    // .java): gap depends on the event — errors hold the session only
+    // 10 min, everything else 30 min. Spark merges per-event windows
+    // [ts, ts+gap); oracle reproduces with variable-gap islands. -----
+    q("q42b_session_dynamic_gap",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    ts + (CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+        |               ELSE INTERVAL 30 MINUTE END) AS w_end
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max,
+        |    CASE WHEN max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR ts >= max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS w_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, w_start""") { (s, dir) =>
+      val gap = when(col("event_type") === "error", "10 minutes")
+        .otherwise("30 minutes")
+      Tables.t(s, dir, "events")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("w_start"), col("n"))
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
     // ----- the same tumble as a REAL streaming query: readStream +
     // watermark + windowed agg, complete mode, final state compared -----
     q("q43_stream_tumble",
