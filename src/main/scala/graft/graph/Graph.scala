@@ -113,6 +113,26 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
       when(col("dist") === Long.MaxValue, lit(null)).otherwise(col("dist")).as("dist"))
   }
 
+  /** Jaccard similarity of neighbor sets for every connected vertex
+    * pair (library/similarity/JaccardIndex.java): |N(a)∩N(b)| via the
+    * shared-neighbor wedge join, |N(a)∪N(b)| = deg(a)+deg(b)-common —
+    * one equi-join on the wedge centre, linear in Σ deg². */
+  def jaccardIndex(): DataFrame = {
+    val und = undirected.localCheckpoint()
+    val deg = degrees
+    // wedges: a-c-b with a<b → one row per shared neighbor
+    val common = und.as("e1").join(und.as("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .select(col("e1.src").as("a"), col("e2.src").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .select(col("a"), col("b"),
+        (col("common").cast("double") / (col("da") + col("db") - col("common")))
+          .as("jaccard"))
+  }
+
   /** Triangle count per vertex (library/TriangleEnumerator.java):
     * canonical-direction edge join, counted once per corner. */
   def triangleCount(): DataFrame = {

@@ -108,6 +108,32 @@ object ApiQueries extends QueryModule {
         .distinct()
       Graph.fromEdges(edges).sssp(1L, maxIter = 6)
         .orderBy(col("id"))
+    },
+
+    // ----- neighbor-set Jaccard similarity (library/similarity/
+    // JaccardIndex.java) on the customer/supplier bipartite graph -----
+    q("q88_graph_jaccard",
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM und GROUP BY src),
+        |common AS (
+        |  SELECT e1.src AS a, e2.src AS b, count(*) AS c
+        |  FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        |  GROUP BY e1.src, e2.src)
+        |SELECT a, b, round(c::DOUBLE / (da.degree + db.degree - c), 6) AS jaccard
+        |FROM common JOIN deg da ON da.id = a JOIN deg db ON db.id = b
+        |WHERE c::DOUBLE / (da.degree + db.degree - c) >= 0.5
+        |ORDER BY a, b""") { (s, dir) =>
+      val edges = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.fromEdges(edges).jaccardIndex()
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }
