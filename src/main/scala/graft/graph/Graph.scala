@@ -113,6 +113,40 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
       when(col("dist") === Long.MaxValue, lit(null)).otherwise(col("dist")).as("dist"))
   }
 
+  /** Synchronous label propagation (library/LabelPropagation.java):
+    * each superstep every vertex adopts its neighborhood's most
+    * frequent label, ties broken by the smallest label — deterministic
+    * under synchronous updates. */
+  def labelPropagation(iters: Int): DataFrame = {
+    val und = undirected.localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("label"))
+    for (i <- 1 to iters) {
+      val freq = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("n").desc, col("label"))
+      val next = freq.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("label"))
+      labels = (if (i % 5 == 0) next.localCheckpoint() else next)
+    }
+    labels
+  }
+
+  /** Summarization (library/Summarization.java): collapse vertices by
+    * a grouping column into a super-graph of (group) vertices and
+    * aggregated (srcGroup, dstGroup, edgeCount) edges. */
+  def summarize(groupCol: String): (DataFrame, DataFrame) = {
+    val v2g = vertices.select(col("id"), col(groupCol).as("grp"))
+    val superV = v2g.groupBy(col("grp")).agg(count(lit(1)).as("n_vertices"))
+    val superE = edges
+      .join(v2g.withColumnRenamed("id", "src").withColumnRenamed("grp", "src_grp"), "src")
+      .join(v2g.withColumnRenamed("id", "dst").withColumnRenamed("grp", "dst_grp"), "dst")
+      .groupBy(col("src_grp"), col("dst_grp")).agg(count(lit(1)).as("n_edges"))
+    (superV, superE)
+  }
+
   /** Jaccard similarity of neighbor sets for every connected vertex
     * pair (library/similarity/JaccardIndex.java): |N(a)∩N(b)| via the
     * shared-neighbor wedge join, |N(a)∪N(b)| = deg(a)+deg(b)-common —

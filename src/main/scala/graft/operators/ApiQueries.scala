@@ -134,6 +134,32 @@ object ApiQueries extends QueryModule {
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // ----- graph summarization (library/Summarization.java): collapse
+    // the nation graph by region into a super-graph -----
+    q("q89_graph_summarize",
+      """WITH v2g AS (SELECT n_nationkey AS id, n_regionkey AS grp FROM nation),
+        |e AS (
+        |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_nationkey < b.n_nationkey
+        |   AND (a.n_regionkey = b.n_regionkey OR a.n_nationkey + 5 = b.n_nationkey))
+        |SELECT sa.grp AS src_grp, sb.grp AS dst_grp, count(*) AS n_edges
+        |FROM e JOIN v2g sa ON e.src = sa.id JOIN v2g sb ON e.dst = sb.id
+        |GROUP BY sa.grp, sb.grp
+        |ORDER BY src_grp, dst_grp""") { (s, dir) =>
+      val n = Tables.t(s, dir, "nation")
+      val verts = n.select(col("n_nationkey").cast("long").as("id"),
+        col("n_regionkey").as("grp"))
+      val a = n.select(col("n_nationkey").as("ak"), col("n_regionkey").as("ar"))
+      val b = n.select(col("n_nationkey").as("bk"), col("n_regionkey").as("br"))
+      val edges = a.join(b, col("ak") < col("bk")
+          && (col("ar") === col("br") || col("ak") + 5 === col("bk")))
+        .select(col("ak").cast("long").as("src"), col("bk").cast("long").as("dst"))
+      val (_, superE) = new Graph(verts, edges).summarize("grp")
+      superE.select(col("src_grp"), col("dst_grp"), col("n_edges"))
+        .orderBy(col("src_grp"), col("dst_grp"))
     }
   )
 }

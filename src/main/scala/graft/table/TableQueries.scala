@@ -92,6 +92,44 @@ object TableQueries extends QueryModule {
         .toDF
     },
 
+    // ----- INSERT INTO via sqlUpdate (TableEnvironment.scala:776 —
+    // 1.8's only DML): write a filtered projection to a catalog table,
+    // read it back -----
+    q("q90_insert_into",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""") { (s, dir) =>
+      val env = TableEnv(s)
+      env.registerTable("nation_src", Tables.t(s, dir, "nation"))
+      s.sql("DROP TABLE IF EXISTS g_nation_sink")
+      s.sql("""CREATE TABLE g_nation_sink (n_nationkey INT, n_name STRING)
+              |USING parquet LOCATION '/root/repo/target/roundtrip/q90_sink'"""
+        .stripMargin)
+      env.sqlUpdate(
+        """INSERT OVERWRITE TABLE g_nation_sink
+          |SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey = 2"""
+          .stripMargin)
+      s.table("g_nation_sink").orderBy(col("n_nationkey"))
+    },
+
+    // ----- base64/hex encode-decode round trips (FromBase64/ToBase64,
+    // Hex — stringExpressions.scala:428-468): identity proves both
+    // directions -----
+    q("q91_encodings",
+      """SELECT p_partkey,
+        |  to_base64(encode(p_name)) AS b64,
+        |  p_name AS b64_roundtrip,
+        |  upper(hex(encode(p_brand))) AS hexed,
+        |  p_brand AS hex_roundtrip
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      Tables.t(s, dir, "part").select(
+        col("p_partkey"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        decode(unbase64(base64(col("p_name").cast("binary"))), "UTF-8").as("b64_roundtrip"),
+        hex(col("p_brand").cast("binary")).as("hexed"),
+        decode(unhex(hex(col("p_brand").cast("binary"))), "UTF-8").as("hex_roundtrip"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ----- COLLECT multiset aggregate (element→count), rendered
     // sorted for portable comparison -----
     q("q70_collect_multiset",

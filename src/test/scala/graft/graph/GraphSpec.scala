@@ -34,6 +34,23 @@ class GraphSpec extends SparkSpec {
     assert(pr(1L) > pr(3L) && pr(1L) > pr(4L))
   }
 
+  test("labelPropagation separates two cliques") {
+    // two triangles bridged by one edge: labels converge per clique
+    val gg = g((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val labels = gg.labelPropagation(iters = 4).as[(Long, Long)].collect().toMap
+    assert(labels(1L) == labels(2L))
+    assert(labels(10L) == labels(11L) && labels(11L) == labels(12L))
+  }
+
+  test("summarize collapses groups into a super-graph") {
+    val verts = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val (sv, se) = new Graph(verts, edges).summarize("grp")
+    assert(sv.as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    assert(se.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "a", 1L), ("a", "b", 1L)))
+  }
+
   test("degrees and subgraph") {
     val gg = g((1L, 2L), (2L, 3L))
     val deg = gg.degrees.as[(Long, Long)].collect().toMap
