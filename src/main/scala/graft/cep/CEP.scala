@@ -28,6 +28,10 @@ object CEP {
   sealed trait Contiguity
   case object Strict extends Contiguity
   case object Relaxed extends Contiguity
+  /** followedByAny: branch to EVERY qualifying continuation (the
+    * reference's non-deterministic relaxed contiguity). Only valid
+    * for single-element stages (times 1). */
+  case object RelaxedAny extends Contiguity
 
   sealed trait AfterMatchSkip
   case object NoSkip extends AfterMatchSkip
@@ -58,6 +62,8 @@ object CEP {
       copy(stages = stages :+ Stage[T](name, _ => true, Strict, 1, 1))
     def followedBy(name: String): Pattern[T] =
       copy(stages = stages :+ Stage[T](name, _ => true, Relaxed, 1, 1))
+    def followedByAny(name: String): Pattern[T] =
+      copy(stages = stages :+ Stage[T](name, _ => true, RelaxedAny, 1, 1))
     def times(n: Int): Pattern[T] = updLast(_.copy(minTimes = n, maxTimes = n))
     def oneOrMore: Pattern[T] = updLast(_.copy(minTimes = 1, maxTimes = Int.MaxValue))
     def optional: Pattern[T] = updLast(_.copy(minTimes = 0))
@@ -79,44 +85,66 @@ object CEP {
     * — runs distributed per key; key cardinality is the scale axis. */
   def matchSequence[T](events: IndexedSeq[T], pattern: Pattern[T])(
       tsOf: T => Long): Seq[Match[T]] = {
+    require(pattern.stages.forall(st =>
+      st.contiguity != RelaxedAny || (st.minTimes == 1 && st.maxTimes == 1)),
+      "followedByAny supports single-element stages only")
     val out = Vector.newBuilder[Match[T]]
     var blockedBelow = -1 // for SkipPastLast: no new match may start at or before this idx
 
-    def tryFrom(start: Int): Option[(Match[T], Int)] = {
-      var pos = start
-      var firstTs = -1L
-      val acc = Map.newBuilder[String, Seq[T]]
-      var stageIdx = 0
-      while (stageIdx < pattern.stages.length) {
-        val st = pattern.stages(stageIdx)
-        // locate the first element of this stage
-        var i = pos
-        if (st.contiguity == Relaxed && stageIdx > 0)
-          while (i < events.length && !st.pred(events(i))) i += 1
-        // collect the contiguous block for the quantifier
-        var taken = 0
-        val buf = Vector.newBuilder[T]
-        while (i < events.length && taken < st.maxTimes && st.pred(events(i))
-            && (pattern.withinSpan.isEmpty || firstTs < 0
-              || tsOf(events(i)) - firstTs <= pattern.withinSpan.get)) {
-          if (firstTs < 0) firstTs = tsOf(events(i))
-          buf += events(i)
-          i += 1
-          taken += 1
-        }
-        if (taken < st.minTimes) return None
-        if (taken > 0) acc += st.name -> buf.result()
-        pos = i
-        stageIdx += 1
+    /** All completions from (stageIdx, pos): deterministic stages
+      * yield at most one continuation; RelaxedAny branches to every
+      * qualifying element. Returns (per-stage events, last index). */
+    def expand(stageIdx: Int, pos: Int, firstTs0: Long,
+        acc: List[(String, Seq[T])]): Iterator[(List[(String, Seq[T])], Int)] = {
+      if (stageIdx == pattern.stages.length)
+        return Iterator((acc, pos - 1))
+      val st = pattern.stages(stageIdx)
+      def inWindow(i: Int, firstTs: Long): Boolean =
+        pattern.withinSpan.isEmpty || firstTs < 0 ||
+          tsOf(events(i)) - firstTs <= pattern.withinSpan.get
+
+      st.contiguity match {
+        case RelaxedAny =>
+          // branch on every qualifying element at or after pos
+          Iterator.range(pos, events.length)
+            .filter(i => st.pred(events(i)) && inWindow(i, firstTs0))
+            .flatMap { i =>
+              val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
+              expand(stageIdx + 1, i + 1, fTs,
+                (st.name -> Seq(events(i))) :: acc)
+            }
+        case _ =>
+          var i = pos
+          if (st.contiguity == Relaxed && stageIdx > 0)
+            while (i < events.length && !st.pred(events(i))) i += 1
+          var taken = 0
+          var firstTs = firstTs0
+          val buf = Vector.newBuilder[T]
+          while (i < events.length && taken < st.maxTimes && st.pred(events(i))
+              && inWindow(i, firstTs)) {
+            if (firstTs < 0) firstTs = tsOf(events(i))
+            buf += events(i)
+            i += 1
+            taken += 1
+          }
+          if (taken < st.minTimes) Iterator.empty
+          else {
+            val acc2 = if (taken > 0) (st.name -> buf.result()) :: acc else acc
+            expand(stageIdx + 1, i, firstTs, acc2)
+          }
       }
-      Some((Match(acc.result()), pos - 1))
     }
 
     var s = 0
     while (s < events.length) {
       if (s > blockedBelow && pattern.stages.head.pred(events(s))) {
-        tryFrom(s).foreach { case (m, lastIdx) =>
-          out += m
+        val completions = expand(0, s, -1L, Nil)
+        val branching = pattern.stages.exists(_.contiguity == RelaxedAny)
+        val selected =
+          if (branching) completions.toSeq // all non-deterministic matches
+          else completions.take(1).toSeq   // earliest completion
+        selected.foreach { case (accList, lastIdx) =>
+          out += Match(accList.reverse.toMap)
           if (pattern.skip == SkipPastLast) blockedBelow = lastIdx
         }
       }

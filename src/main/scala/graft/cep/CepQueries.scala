@@ -87,6 +87,25 @@ object CepQueries extends QueryModule {
         .orderBy(col("e0"))
     },
 
+    // ----- followedByAny (non-deterministic relaxed contiguity,
+    // NFA.java shared-buffer multi-match): EVERY view→purchase pair
+    // within the hour, not just the earliest completion -----
+    q("q92_cep_followed_by_any",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+        .followedByAny("purchase").where(_._3 == "purchase")
+        .withinUnits(1.hour.toMicros)
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (_, m) => (m.stages("view").head._2, m.stages("purchase").head._2)
+      }.toDF("view_id", "purchase_id")
+        .orderBy(col("view_id"), col("purchase_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

@@ -66,6 +66,14 @@ class CepSpec extends AnyFunSuite {
     assert(ms.map(m => ids(m, "e")) == Seq(Seq(0L, 1), Seq(2L, 3)))
   }
 
+  test("followedByAny branches to every qualifying continuation") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedByAny("b").where(_._2 == "b")
+    val ms = matchSequence(ev("a b x b"), p)(_._3)
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) ==
+      Seq((0L, 1L), (0L, 3L)))
+  }
+
   test("where conjuncts and or disjuncts compose") {
     val p = Pattern.begin[E]("ab").where(e => e._2 == "a").or(_._2 == "b")
     val ms = matchSequence(ev("a b c"), p)(_._3)
