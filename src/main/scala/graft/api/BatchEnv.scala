@@ -3,7 +3,6 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import scala.reflect.runtime.universe.TypeTag
 
 /** DataSet-like bounded-batch façade (reference flink-java/.../
   * DataSet.java:1, 1803 LoC) over Spark Datasets.
