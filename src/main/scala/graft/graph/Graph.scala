@@ -167,6 +167,33 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
           .as("jaccard"))
   }
 
+  /** Adamic-Adar similarity (library/similarity/AdamicAdar.java):
+    * Σ over shared neighbors c of 1/ln(deg(c)) — the wedge join again,
+    * with the centre's degree attached before aggregation. */
+  def adamicAdar(): DataFrame = {
+    val und = undirected.localCheckpoint()
+    val deg = degrees
+    und.as("e1").join(und.as("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .select(col("e1.src").as("a"), col("e2.src").as("b"), col("e1.dst").as("c"))
+      .join(deg.select(col("id").as("c"), col("degree").as("dc")), "c")
+      .filter(col("dc") > 1) // ln(1) = 0 would divide by zero
+      .groupBy(col("a"), col("b"))
+      .agg(sum(lit(1.0) / log(col("dc").cast("double"))).as("adamic_adar"))
+  }
+
+  /** Local clustering coefficient (library/clustering/
+    * LocalClusteringCoefficient.java): triangles(v) / C(deg(v), 2). */
+  def clusteringCoefficient(): DataFrame = {
+    val deg = degrees
+    val tri = triangleCount()
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        when(col("degree") < 2, 0.0)
+          .otherwise(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+            (col("degree") * (col("degree") - 1))).as("coefficient"))
+  }
+
   /** Triangle count per vertex (library/TriangleEnumerator.java):
     * canonical-direction edge join, counted once per corner. */
   def triangleCount(): DataFrame = {

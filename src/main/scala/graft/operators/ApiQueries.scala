@@ -160,6 +160,69 @@ object ApiQueries extends QueryModule {
       val (_, superE) = new Graph(verts, edges).summarize("grp")
       superE.select(col("src_grp"), col("dst_grp"), col("n_edges"))
         .orderBy(col("src_grp"), col("dst_grp"))
+    },
+
+    // ----- Adamic-Adar similarity (library/similarity/AdamicAdar
+    // .java) on the bipartite purchase graph: shared-neighbor wedges
+    // weighted by 1/ln(centre degree) -----
+    q("q93_graph_adamic_adar",
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM und GROUP BY src),
+        |wedges AS (
+        |  SELECT e1.src AS a, e2.src AS b, e1.dst AS c
+        |  FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src)
+        |SELECT a, b, round(sum(1.0 / ln(d.degree)), 6) AS adamic_adar
+        |FROM wedges JOIN deg d ON d.id = c
+        |WHERE d.degree > 1
+        |GROUP BY a, b
+        |HAVING sum(1.0 / ln(d.degree)) >= 3.0
+        |ORDER BY a, b""") { (s, dir) =>
+      val edges = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.fromEdges(edges).adamicAdar()
+        .filter(col("adamic_adar") >= 3.0)
+        .select(col("a"), col("b"), round(col("adamic_adar"), 6).as("adamic_adar"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ----- local clustering coefficient (library/clustering/) on the
+    // region-clique + chain graph -----
+    q("q94_graph_clustering_coef",
+      """WITH e AS (
+        |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_nationkey < b.n_nationkey
+        |   AND (a.n_regionkey = b.n_regionkey OR a.n_nationkey + 1 = b.n_nationkey)),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM und GROUP BY src),
+        |canon AS (SELECT src, dst FROM und WHERE src < dst),
+        |tri AS (
+        |  SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
+        |  FROM canon ab JOIN canon bc ON ab.dst = bc.src
+        |  JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst),
+        |tcount AS (
+        |  SELECT id, count(*) AS triangles
+        |  FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id)
+        |SELECT d.id, d.degree,
+        |  round(CASE WHEN d.degree < 2 THEN 0.0
+        |    ELSE coalesce(t.triangles, 0) * 2.0 / (d.degree * (d.degree - 1))
+        |    END, 6) AS coefficient
+        |FROM deg d LEFT JOIN tcount t ON t.id = d.id
+        |ORDER BY d.id""") { (s, dir) =>
+      val n = Tables.t(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("ak"), col("n_regionkey").as("ar"))
+      val b = n.select(col("n_nationkey").as("bk"), col("n_regionkey").as("br"))
+      val edges = a.join(b, col("ak") < col("bk")
+          && (col("ar") === col("br") || col("ak") + 1 === col("bk")))
+        .select(col("ak").cast("long").as("src"), col("bk").cast("long").as("dst"))
+      Graph.fromEdges(edges).clusteringCoefficient()
+        .select(col("id"), col("degree"), round(col("coefficient"), 6).as("coefficient"))
+        .orderBy(col("id"))
     }
   )
 }
