@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.round
 
 /** One verifiable capability: a Spark implementation plus (usually) an
   * ANSI-SQL oracle the driver runs in DuckDB over the same parquet
@@ -23,6 +24,16 @@ trait QueryModule {
   protected def qNoOracle(name: String)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, None, fn)
+
+  /** Money-column output boundary. Sums are computed exactly in the
+    * decimal domain (partition-order free at any scale); the OUTPUT is
+    * rounded to 4 dp and emitted as DOUBLE. Rationale: the verifier's
+    * DuckDB client materializes DECIMAL results as float64, so a
+    * decimal output can never byte-compare; after rounding to scale 4
+    * the unscaled value fits in 2^53, making decimal→double exactly
+    * one correctly-rounded IEEE op in both engines → bit-identical.
+    * SQL oracles use the matching `CAST(round(expr, 4) AS DOUBLE)`. */
+  protected def moneyOut(c: Column): Column = round(c, 4).cast("double")
 }
 
 /** Assembles every module's queries; SparkEntry delegates here. */

@@ -18,7 +18,7 @@ object ApiQueries extends QueryModule {
     // (DataSet.groupBy + reduceGroup) -----
     q("q60_api_typed_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS decimal(18,4))) AS decimal(38,4)) AS sum_qty,
+        |  CAST(round(sum(CAST(l_quantity AS decimal(18,4))), 4) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
@@ -39,7 +39,7 @@ object ApiQueries extends QueryModule {
           (k._1, k._2, sum, n)
         }
         .toDF("l_returnflag", "l_linestatus", "sum_qty", "n")
-        .withColumn("sum_qty", col("sum_qty").cast(DecimalType(38, 4)))
+        .withColumn("sum_qty", moneyOut(col("sum_qty").cast(DecimalType(38, 4))))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 

@@ -33,10 +33,10 @@ object RelationalQueries extends QueryModule {
     // partial/final split automatically) -----
     q("q01_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS $DEC)) AS decimal(38,4)) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS $DEC)) AS decimal(38,4)) AS sum_base_price,
-         |  CAST(sum(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)) AS decimal(38,8)) AS sum_disc_price,
-         |  CAST(sum(CAST(l_extendedprice AS $DEC) * CAST((1 - l_discount) * (1 + l_tax) AS decimal(18,8)) ) AS decimal(38,12)) AS sum_charge,
+         |  CAST(round(sum(CAST(l_quantity AS $DEC)), 4) AS DOUBLE) AS sum_qty,
+         |  CAST(round(sum(CAST(l_extendedprice AS $DEC)), 4) AS DOUBLE) AS sum_base_price,
+         |  CAST(round(sum(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)), 4) AS DOUBLE) AS sum_disc_price,
+         |  CAST(round(sum(CAST(l_extendedprice AS $DEC) * CAST((1 - l_discount) * (1 + l_tax) AS decimal(18,8)) ), 4) AS DOUBLE) AS sum_charge,
          |  round(avg(l_quantity), 6) AS avg_qty,
          |  round(avg(l_extendedprice), 6) AS avg_price,
          |  round(avg(l_discount), 6) AS avg_disc,
@@ -49,10 +49,10 @@ object RelationalQueries extends QueryModule {
         .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast(DecimalType(38, 8)).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * ((lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(DecimalType(18, 8))).cast(DecimalType(38, 12)).as("sum_charge"),
+          moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+          moneyOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("sum_disc_price"),
+          moneyOut(sum(dec(col("l_extendedprice")) * ((lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(DecimalType(18, 8)))).as("sum_charge"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -65,7 +65,7 @@ object RelationalQueries extends QueryModule {
     // and orders are the small sides; Catalyst broadcasts them. -----
     q("q02_shipping_priority",
       s"""SELECT l_orderkey,
-         |  CAST(sum(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)) AS decimal(38,8)) AS revenue,
+         |  CAST(round(sum(CAST(l_extendedprice AS $DEC) * CAST(1 - l_discount AS $DEC)), 4) AS DOUBLE) AS revenue,
          |  o_orderdate
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -84,7 +84,7 @@ object RelationalQueries extends QueryModule {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast(DecimalType(38, 8)).as("revenue"))
+        .agg(moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -204,7 +204,7 @@ object RelationalQueries extends QueryModule {
     q("q10_rollup",
       """SELECT n_name, c_mktsegment,
         |  CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS INTEGER) AS gid,
-        |  count(*) AS n, CAST(sum(CAST(c_acctbal AS decimal(18,4))) AS decimal(38,4)) AS sum_bal
+        |  count(*) AS n, CAST(round(sum(CAST(c_acctbal AS decimal(18,4))), 4) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)
         |ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST""") { (s, dir) =>
@@ -214,7 +214,7 @@ object RelationalQueries extends QueryModule {
         .agg(
           (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("gid"),
           count(lit(1)).as("n"),
-          sum(dec(col("c_acctbal"))).cast(DecimalType(38, 4)).as("sum_bal"))
+          moneyOut(sum(dec(col("c_acctbal")))).as("sum_bal"))
         .select(col("n_name"), col("c_mktsegment"), col("gid"), col("n"), col("sum_bal"))
         .orderBy(col("gid"), col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
     },
@@ -307,7 +307,7 @@ object RelationalQueries extends QueryModule {
     q("q16_over_running",
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
          |  CAST(row_number() OVER w AS INTEGER) AS rn,
-         |  CAST(sum(CAST(l_extendedprice AS $DEC)) OVER w AS decimal(38,4)) AS running_rev,
+         |  CAST(round(sum(CAST(l_extendedprice AS $DEC)) OVER w, 4) AS DOUBLE) AS running_rev,
          |  lag(l_quantity) OVER w AS prev_qty,
          |  lead(l_quantity) OVER w AS next_qty
          |FROM lineitem
@@ -319,7 +319,7 @@ object RelationalQueries extends QueryModule {
       Tables.t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).as("rn"),
-          sum(dec(col("l_extendedprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(DecimalType(38, 4)).as("running_rev"),
+          moneyOut(sum(dec(col("l_extendedprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_rev"),
           lag(col("l_quantity"), 1).over(w).as("prev_qty"),
           lead(col("l_quantity"), 1).over(w).as("next_qty"))
         .orderBy(col("l_suppkey"), col("rn"))

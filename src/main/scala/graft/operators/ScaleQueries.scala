@@ -18,7 +18,7 @@ object ScaleQueries extends QueryModule {
     // spread across 8 salt buckets -----
     q("q77_salted_join",
       """SELECT n_name, count(*) AS n,
-        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+        |  CAST(round(sum(CAST(value AS decimal(18,4))), 4) AS DOUBLE) AS sum_value
         |FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
         |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
@@ -27,7 +27,7 @@ object ScaleQueries extends QueryModule {
         col("nk"), col("n_nationkey"), col("event_id"), salts = 8)
       joined.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+          moneyOut(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
         .orderBy(col("n_name"))
     },
 
@@ -54,7 +54,7 @@ object ScaleQueries extends QueryModule {
     // shuffle) -----
     q("q79_bucketed_join",
       """SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS decimal(18,4))) AS decimal(38,4)) AS sum_qty
+        |  CAST(round(sum(CAST(l_quantity AS decimal(18,4))), 4) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
       val base = "/root/repo/target/bucketed"
@@ -72,7 +72,7 @@ object ScaleQueries extends QueryModule {
         .join(s.table("g_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_qty"))
+          moneyOut(sum(col("l_quantity").cast(DecimalType(18, 4)))).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -81,8 +81,8 @@ object ScaleQueries extends QueryModule {
     // tiny dims broadcast; the fact-side join keys drive the shuffle -----
     q("q81_local_supplier_volume",
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))
-        |           * CAST(1 - l_discount AS decimal(18,4))) AS decimal(38,8)) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS decimal(18,4))
+        |           * CAST(1 - l_discount AS decimal(18,4))), 4) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -105,8 +105,8 @@ object ScaleQueries extends QueryModule {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast(DecimalType(38, 8)).as("revenue"))
+        .agg(moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+          .as("revenue"))
         .orderBy(col("n_name"))
     },
 
@@ -115,7 +115,7 @@ object ScaleQueries extends QueryModule {
     q("q82_large_orders",
       """SELECT c_name, o_orderkey, o_totalprice, qty
         |FROM (SELECT l_orderkey,
-        |        CAST(sum(CAST(l_quantity AS decimal(18,4))) AS decimal(38,4)) AS qty
+        |        CAST(round(sum(CAST(l_quantity AS decimal(18,4))), 4) AS DOUBLE) AS qty
         |      FROM lineitem GROUP BY l_orderkey
         |      HAVING sum(CAST(l_quantity AS decimal(18,4))) > 120) big
         |JOIN orders ON o_orderkey = big.l_orderkey
@@ -125,7 +125,7 @@ object ScaleQueries extends QueryModule {
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_raw"))
         .filter(col("qty_raw") > 120)
-        .select(col("l_orderkey"), col("qty_raw").cast(DecimalType(38, 4)).as("qty"))
+        .select(col("l_orderkey"), moneyOut(col("qty_raw")).as("qty"))
       big.join(Tables.t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(Tables.t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("qty"))
@@ -136,8 +136,8 @@ object ScaleQueries extends QueryModule {
     // top 20 -----
     q("q83b_returned_items",
       """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))
-        |           * CAST(1 - l_discount AS decimal(18,4))) AS decimal(38,8)) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS decimal(18,4))
+        |           * CAST(1 - l_discount AS decimal(18,4))), 4) AS DOUBLE) AS revenue,
         |  n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -153,8 +153,8 @@ object ScaleQueries extends QueryModule {
         .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast(DecimalType(38, 8)).as("revenue"))
+        .agg(moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+          .as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -163,11 +163,11 @@ object ScaleQueries extends QueryModule {
     // ----- TPC-H Q14 analog: conditional aggregation (promo share) -----
     q("q84b_promo_share",
       """SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
-        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |  CAST(round(sum(CASE WHEN p_type = 'PROMO'
         |        THEN CAST(l_extendedprice AS decimal(18,4)) * CAST(1 - l_discount AS decimal(18,4))
-        |        ELSE CAST(0 AS decimal(18,4)) END) AS decimal(38,8)) AS promo_rev,
-        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))
-        |           * CAST(1 - l_discount AS decimal(18,4))) AS decimal(38,8)) AS total_rev
+        |        ELSE CAST(0 AS decimal(18,4)) END), 4) AS DOUBLE) AS promo_rev,
+        |  CAST(round(sum(CAST(l_extendedprice AS decimal(18,4))
+        |           * CAST(1 - l_discount AS decimal(18,4))), 4) AS DOUBLE) AS total_rev
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY y ORDER BY y""") { (s, dir) =>
       val dec = (c: Column) => c.cast(DecimalType(18, 4))
@@ -176,9 +176,9 @@ object ScaleQueries extends QueryModule {
         .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("l_shipdate")).as("y"))
         .agg(
-          sum(when(col("p_type") === "PROMO", rev)
-            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DecimalType(38, 8)).as("promo_rev"),
-          sum(rev).cast(DecimalType(38, 8)).as("total_rev"))
+          moneyOut(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4))))).as("promo_rev"),
+          moneyOut(sum(rev)).as("total_rev"))
         .orderBy(col("y"))
     },
 
@@ -186,7 +186,7 @@ object ScaleQueries extends QueryModule {
     // predicates (the classic OR-of-ANDs pushdown shape) -----
     q("q85b_disjunctive_predicates",
       """SELECT count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS decimal(18,4))) AS decimal(38,4)) AS rev
+        |  CAST(round(sum(CAST(l_extendedprice AS decimal(18,4))), 4) AS DOUBLE) AS rev
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
@@ -198,7 +198,7 @@ object ScaleQueries extends QueryModule {
             || (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) && col("l_quantity") >= 10)
             || (col("p_type") === "ECONOMY" && col("l_quantity") >= 30))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("rev"))
+          moneyOut(sum(col("l_extendedprice").cast(DecimalType(18, 4)))).as("rev"))
     }
   )
 }

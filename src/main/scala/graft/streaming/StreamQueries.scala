@@ -59,14 +59,14 @@ object StreamQueries extends QueryModule {
       s"""SELECT epoch_ms((epoch_ms(ts) // $H6) * $H6) AS w_start,
          |  epoch_ms((epoch_ms(ts) // $H6) * $H6 + $H6) AS w_end,
          |  event_type, count(*) AS n,
-         |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+         |  CAST(round(sum(CAST(value AS decimal(18,4))), 4) AS DOUBLE) AS sum_value
          |FROM events
          |GROUP BY 1, 2, 3
          |ORDER BY w_start, event_type""") { (s, dir) =>
       Tables.t(s, dir, "events")
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+          moneyOut(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
         .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("w_start"), col("event_type"))
@@ -99,13 +99,13 @@ object StreamQueries extends QueryModule {
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
         |SELECT user_id, min(ts) AS w_start, max(ts) + INTERVAL 30 MINUTE AS w_end,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+        |  CAST(round(sum(CAST(value AS decimal(18,4))), 4) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, w_start""") { (s, dir) =>
       Tables.t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+          moneyOut(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
         .select(col("user_id"), col("session_window.start").as("w_start"),
           col("session_window.end").as("w_end"), col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("w_start"))
@@ -177,14 +177,14 @@ object StreamQueries extends QueryModule {
     // GroupAggProcessFunction.scala:1; final state of the running agg -----
     q("q45_stream_agg",
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value,
+        |  CAST(round(sum(CAST(value AS decimal(18,4))), 4) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""") { (s, dir) =>
       val agg = streamEvents(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"),
+          moneyOut(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"),
           approx_count_distinct(col("user_id")).as("n_users_approx"))
       // exact count(distinct) is unsupported on streams; run approx in
       // the stream (scale path) and recompute exact on the final state
@@ -208,7 +208,7 @@ object StreamQueries extends QueryModule {
         |  FROM events)
         |SELECT user_id, CAST((rn - 1) // 20 AS INTEGER) AS win_id,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS decimal(18,4))) AS decimal(38,4)) AS sum_value
+        |  CAST(round(sum(CAST(value AS decimal(18,4))), 4) AS DOUBLE) AS sum_value
         |FROM r GROUP BY user_id, win_id
         |HAVING count(*) = 20
         |ORDER BY user_id, win_id""") { (s, dir) =>
@@ -230,7 +230,7 @@ object StreamQueries extends QueryModule {
               }
           })
         .toDF("user_id", "win_id", "n", "sum_value")
-        .withColumn("sum_value", col("sum_value").cast(DecimalType(38, 4)))
+        .withColumn("sum_value", moneyOut(col("sum_value").cast(DecimalType(38, 4))))
         .orderBy(col("user_id"), col("win_id"))
     },
 

@@ -76,7 +76,7 @@ object TableQueries extends QueryModule {
     // join → groupBy.select → orderBy, Flink table.scala style -----
     q("q80_table_api_fluent",
       """SELECT c_mktsegment AS seg, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS decimal(38,4)) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS decimal(18,4))), 4) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY c_mktsegment
@@ -86,7 +86,7 @@ object TableQueries extends QueryModule {
         .join(Table(Tables.t(s, dir, "customer")), "o_custkey = c_custkey")
         .groupBy("c_mktsegment")
         .select("c_mktsegment as seg, count(*) as n, " +
-          "cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(38,4)) as revenue")
+          "cast(round(sum(cast(o_totalprice as decimal(18,4))), 4) as double) as revenue")
         .select("seg, n, revenue")
         .orderBy("seg")
         .toDF
