@@ -172,6 +172,16 @@ object CEP {
     * and are evicted (state is watermark-bounded). An event-time
     * timeout re-fires idle keys when their next start seals.
     *
+    * SKIP_PAST_LAST progress is part of the keyed state (reference:
+    * the NFA's computation-state prune on AfterMatchSkipStrategy,
+    * flink-cep/.../nfa/NFA.java): the (ts, tie) of the last EMITTED
+    * match's final event is persisted as a fence, and every event at
+    * or before the fence — buffered or newly arriving — is discarded,
+    * so a start inside an already-emitted match can never fire in a
+    * later micro-batch. Only emitted (sealed) matches advance the
+    * fence: an unsealed match's shape may still change, so it must
+    * not block anything across triggers.
+    *
     * `tsMillis` MUST be epoch millis (it is compared to the
     * watermark), and the pattern MUST have within() — an unbounded
     * pattern would need unbounded state and can never seal.
@@ -184,10 +194,22 @@ object CEP {
       "patternStream requires within() — unbounded patterns cannot seal")
     val span = p.withinSpan.get
     implicit val te: Encoder[T] = events.encoder
+    // state = (fenceTs, fenceTie, buffer); Long.MinValue = no fence yet
+    implicit val stEnc: Encoder[(Long, Long, Seq[T])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, bufEnc)
     events.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (k: K, it: Iterator[T], state: GroupState[Seq[T]]) => {
-          val buf = (state.getOption.getOrElse(Seq.empty) ++ it)
+        (k: K, it: Iterator[T], state: GroupState[(Long, Long, Seq[T])]) => {
+          val (fenceTs, fenceTie, prev) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue, Seq.empty[T]))
+          def pastFence(e: T): Boolean = {
+            val t = tsMillis(e)
+            t > fenceTs || (t == fenceTs && tieBreak(e) > fenceTie)
+          }
+          val buf = (prev ++ it)
+            .filter(e => p.skip != SkipPastLast || pastFence(e))
             .sortBy(e => (tsMillis(e), tieBreak(e)))
           val wm = state.getCurrentWatermarkMs()
           def isSealed(e: T): Boolean = tsMillis(e) + span < wm
@@ -200,11 +222,28 @@ object CEP {
                   isSealed(first)
                 }
             else Seq.empty
-          val keep = buf.filterNot(isSealed)
-          if (keep.isEmpty) state.remove()
+          var (nfTs, nfTie) = (fenceTs, fenceTie)
+          if (p.skip == SkipPastLast && out.nonEmpty) {
+            val last = out.flatMap(_.stages.values.flatten)
+              .maxBy(e => (tsMillis(e), tieBreak(e)))
+            nfTs = tsMillis(last); nfTie = tieBreak(last)
+          }
+          val keep = buf.filterNot(isSealed).filter { e =>
+            p.skip != SkipPastLast || {
+              val t = tsMillis(e)
+              t > nfTs || (t == nfTs && tieBreak(e) > nfTie)
+            }
+          }
+          // the fence itself expires once no event at or before it can
+          // still arrive (wm has passed fence + span ≥ fence + delay)
+          if (keep.isEmpty && (nfTs == Long.MinValue || wm > nfTs + span))
+            state.remove()
           else {
-            state.update(keep)
-            state.setTimeoutTimestamp(tsMillis(keep.head) + span + 1)
+            state.update((nfTs, nfTie, keep))
+            val wake =
+              if (keep.nonEmpty) tsMillis(keep.head) + span + 1
+              else nfTs + span + 1 // re-fire solely to clean up the fence
+            state.setTimeoutTimestamp(wake)
           }
           out.iterator.map(m => select(k, m))
         })

@@ -10,7 +10,12 @@ import scala.concurrent.duration._
   */
 object CepQueries extends QueryModule {
 
-  /** (user_id, event_id, event_type, ts_us) */
+  /** (user_id, event_id, event_type, ts_us)
+    *
+    * Sequencing convention (matcher and oracles agree): "after" means
+    * later in the TOTAL per-key order (ts, event_id) — a same-ts pair
+    * is ordered by event_id — while within() bounds compare ts only.
+    */
   private type Ev = (Long, Long, String, Long)
 
   private def typedEvents(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -32,7 +37,8 @@ object CepQueries extends QueryModule {
         |                       ORDER BY p.ts, p.event_id) AS rn
         |  FROM events v JOIN events p ON v.user_id = p.user_id
         |   AND v.event_type = 'view' AND p.event_type = 'purchase'
-        |   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        |   AND p.ts <= v.ts + INTERVAL 1 HOUR)
         |SELECT view_id, purchase_id FROM pairs WHERE rn = 1
         |ORDER BY view_id""") { (s, dir) =>
       import s.implicits._
@@ -94,7 +100,8 @@ object CepQueries extends QueryModule {
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id
         |FROM events v JOIN events p ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
-        | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        | AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        | AND p.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, purchase_id""") { (s, dir) =>
       import s.implicits._
       val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")

@@ -11,10 +11,15 @@ import org.apache.spark.sql.types.StructType
   *     PARTITION BY <col>
   *     ORDER BY <col> [, <col>]
   *     MEASURES S.col AS alias [, ...]
+  *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *     PATTERN (A B+ C? ...)        -- symbols with ?, +, {n}
   *     DEFINE A AS <predicate on A.col>, ...
   *   )
   *
+  * AFTER MATCH defaults to SKIP PAST LAST ROW (the SQL-standard and
+  * reference default, flink-table .../match/PatternVisitor); SKIP TO
+  * NEXT ROW maps to the matcher's every-start mode. SKIP TO
+  * FIRST/LAST <symbol> are outside the subset and rejected.
   * Undefined pattern symbols match any row (SQL default). Execution is
   * the scalable sort-based shape: per-symbol predicates become boolean
   * columns (Catalyst expressions), rows hash-partition by the key and
@@ -29,7 +34,8 @@ object MatchRecognize {
       orderBy: Seq[String],
       measures: Seq[(String, String, String)], // (symbol, col, alias)
       pattern: Seq[(String, Int, Int)],        // (symbol, minTimes, maxTimes)
-      define: Map[String, String])
+      define: Map[String, String],
+      skip: CEP.AfterMatchSkip)
 
   private val measureRe = """(?i)(\w+)\.(\w+)\s+AS\s+(\w+)""".r
   private val symRe = """(\w+)(\+|\?|\{(\d+)\})?""".r
@@ -44,8 +50,17 @@ object MatchRecognize {
     val orderBy = section("ORDER BY", "MEASURES").getOrElse(
       throw new IllegalArgumentException("ORDER BY required"))
       .split(",").map(_.trim).toSeq
-    val measures = section("MEASURES", "PATTERN").getOrElse("")
+    val measures = section("MEASURES", """(?:AFTER\s+MATCH|PATTERN)""").getOrElse("")
       .split(",").map(_.trim).collect { case measureRe(s, c, a) => (s, c, a) }.toSeq
+    val skip = """(?is)AFTER\s+MATCH\s+SKIP\s+(.*?)\s*(?=PATTERN)""".r
+      .findFirstMatchIn(clause).map(_.group(1).trim.toUpperCase.replaceAll("\\s+", " "))
+      .map {
+        case "PAST LAST ROW" => CEP.SkipPastLast
+        case "TO NEXT ROW" => CEP.NoSkip
+        case other => throw new IllegalArgumentException(
+          s"unsupported AFTER MATCH SKIP $other (subset: PAST LAST ROW, TO NEXT ROW)")
+      }
+      .getOrElse(CEP.SkipPastLast) // SQL-standard default
     val patternStr = """(?is)PATTERN\s*\(\s*(.*?)\s*\)""".r
       .findFirstMatchIn(clause).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException("PATTERN required"))
@@ -64,7 +79,7 @@ object MatchRecognize {
         throw new IllegalArgumentException(s"bad DEFINE: $d"))
       m.group(1) -> m.group(2).trim
     }.toMap
-    Clause(partitionBy, orderBy, measures, pattern, define)
+    Clause(partitionBy, orderBy, measures, pattern, define, skip)
   }
 
   private def splitTopLevel(s: String): Seq[String] = {
@@ -103,7 +118,7 @@ object MatchRecognize {
         // the first stage carrying the symbol
         CEP.Stage[Row](s"$sym#$i", r => r.getBoolean(symIdx(sym)),
           if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx)
-      }.toVector, None, CEP.NoSkip)
+      }.toVector, None, c.skip)
 
     val outSchema = StructType(
       inSchema(c.partitionBy) +:

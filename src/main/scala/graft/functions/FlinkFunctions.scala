@@ -14,8 +14,11 @@ import org.apache.spark.sql.{Encoder, Encoders}
 object FlinkFunctions {
 
   /** SQL `x SIMILAR TO pattern` (stringExpressions.scala:126 Similar).
-    * SQL-regex → Java-regex: % → .*, _ → ., full-string anchoring;
-    * [...] classes and (|) alternation pass through. */
+    * SQL-regex → Java-regex: % → .*, _ → ., full-string anchoring.
+    * SIMILAR TO's own metacharacters — [...] classes, (|) alternation,
+    * and the * + ? {n[,m]} quantifiers — share Java-regex syntax and
+    * pass through untouched; only . ^ $ (literals in SQL-regex but
+    * meta in Java) need escaping. */
   def similarToRegex(pattern: String): String = {
     val sb = new StringBuilder("^")
     var i = 0
@@ -27,7 +30,7 @@ object FlinkFunctions {
         case '\\' if i + 1 < pattern.length =>
           sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
           i += 1
-        case '.' | '^' | '$' | '?' | '+' | '{' | '}' =>
+        case '.' | '^' | '$' =>
           sb.append('\\').append(c)
         case other => sb.append(other)
       }

@@ -49,4 +49,50 @@ class CepStreamSpec extends SparkSpec {
       assert(rows == Set((1L, 100L, 101L)))
     } finally q.stop()
   }
+
+  test("SKIP_PAST_LAST fence persists across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDF().toDF("user_id", "event_id", "typ", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+
+    val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+      .followedBy("purchase").where(_._3 == "purchase")
+      .within(10.seconds)
+      .afterMatchSkipPastLast
+
+    val matches = CEP.patternStream(events, p,
+      (e: Ev) => e._1, (e: Ev) => e._4.getTime, (e: Ev) => e._2) {
+      (uid, m) => (uid, m.stages("view").head._2, m.stages("purchase").head._2)
+    }
+
+    val q = matches.writeStream.format("memory")
+      .queryName("graft_cep_fence").outputMode("append").start()
+    try {
+      // v1 < v2 < p1 all inside v1's window: skip-past-last must emit
+      // (v1,p1) only; (v2,p1) starts inside the emitted match
+      input.addData(
+        (1L, 100L, "view", ts("10:00:00")),
+        (1L, 102L, "view", ts("10:00:08")),
+        (1L, 103L, "purchase", ts("10:00:09")))
+      q.processAllAvailable()
+      // advance the watermark so v1 seals and emits FIRST (v2 still
+      // unsealed — the fence must then survive into later triggers)
+      input.addData((9L, 900L, "noise", ts("10:00:15")))
+      q.processAllAvailable()
+      input.addData((9L, 901L, "noise", ts("10:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("graft_cep_fence").count() == 1)
+      // now v2 and p1 seal in a later trigger: without the persisted
+      // fence this would wrongly emit (v2,p1)
+      input.addData((9L, 902L, "noise", ts("10:00:45")))
+      q.processAllAvailable()
+      input.addData((9L, 903L, "noise", ts("10:01:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("graft_cep_fence").as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 103L)))
+    } finally q.stop()
+  }
 }

@@ -14,6 +14,15 @@ class FlinkFunctionsSpec extends SparkSpec {
     // regex metachars in the SQL pattern are literal
     assert("a.b".matches(FlinkFunctions.similarToRegex("a.b")))
     assert(!"axb".matches(FlinkFunctions.similarToRegex("a.b")))
+    // SIMILAR TO quantifiers * + ? {n} are META (SQL:2016 ch.9) — they
+    // quantify, not match literally
+    assert("aaab".matches(FlinkFunctions.similarToRegex("a+b")))
+    assert("b".matches(FlinkFunctions.similarToRegex("a*b")))
+    assert("ab".matches(FlinkFunctions.similarToRegex("a?b")))
+    assert("aab".matches(FlinkFunctions.similarToRegex("a{2}b")))
+    assert(!"ab".matches(FlinkFunctions.similarToRegex("a{2}b")))
+    // escaped quantifier is literal
+    assert("a+b".matches(FlinkFunctions.similarToRegex("a\\+b")))
   }
 
   test("truncateNumeric truncates toward zero") {
