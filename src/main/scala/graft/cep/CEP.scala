@@ -18,10 +18,12 @@ import scala.concurrent.duration.Duration
   *  - `within(d)`: max first→last event-time span per match;
   *  - after-match skip: NO_SKIP (a match may start at every event) or
   *    SKIP_PAST_LAST_EVENT;
-  *  - match selection per start event: earliest completion (the
-  *    deterministic subset of the reference's shared-buffer matches).
-  * `followedByAny`/`allowCombinations` (non-deterministic branching)
-  * are out of scope this round (SURVEY §7.3 rank 2).
+  *  - match selection per start event: earliest completion for
+  *    deterministic patterns; `followedByAny` (branch on every
+  *    qualifying continuation) and `allowCombinations` (every
+  *    in-order subsequence fills a quantified block) emit ALL
+  *    matches, reproducing the reference's shared-buffer
+  *    multi-match semantics (NFA.java, Quantifier.java).
   */
 object CEP {
 
@@ -42,7 +44,12 @@ object CEP {
       pred: T => Boolean,
       contiguity: Contiguity,
       minTimes: Int,
-      maxTimes: Int) // maxTimes == Int.MaxValue for oneOrMore
+      maxTimes: Int, // maxTimes == Int.MaxValue for oneOrMore
+      // allowCombinations: the quantified block is ANY in-order
+      // subsequence of qualifying events (non-deterministic internal
+      // contiguity, Quantifier.java combinations()), not the greedy
+      // contiguous run
+      combinations: Boolean = false)
 
   /** Immutable fluent builder — Pattern.begin("a").where(p)
     * .followedBy("b").where(q).within(1.hour) */
@@ -67,6 +74,9 @@ object CEP {
     def times(n: Int): Pattern[T] = updLast(_.copy(minTimes = n, maxTimes = n))
     def oneOrMore: Pattern[T] = updLast(_.copy(minTimes = 1, maxTimes = Int.MaxValue))
     def optional: Pattern[T] = updLast(_.copy(minTimes = 0))
+    /** Quantified block branches over every in-order subsequence of
+      * qualifying events instead of the greedy contiguous run. */
+    def allowCombinations: Pattern[T] = updLast(_.copy(combinations = true))
     def within(d: Duration): Pattern[T] = copy(withinSpan = Some(d.toMillis))
     /** within() in raw time-axis units (e.g. micros when tsOf is micros). */
     def withinUnits(span: Long): Pattern[T] = copy(withinSpan = Some(span))
@@ -113,6 +123,31 @@ object CEP {
               expand(stageIdx + 1, i + 1, fTs,
                 (st.name -> Seq(events(i))) :: acc)
             }
+        case _ if st.combinations && st.maxTimes > 1 =>
+          // entry element per the stage's contiguity, then every
+          // in-order subsequence of qualifying events fills the block
+          var entry = pos
+          if (st.contiguity == Relaxed && stageIdx > 0)
+            while (entry < events.length && !st.pred(events(entry))) entry += 1
+          if (entry >= events.length || !st.pred(events(entry)) ||
+              !inWindow(entry, firstTs0)) Iterator.empty
+          else {
+            val fTs = if (firstTs0 < 0) tsOf(events(entry)) else firstTs0
+            def pick(from: Int, taken: Vector[T]): Iterator[(List[(String, Seq[T])], Int)] = {
+              val stop =
+                if (taken.size >= st.minTimes)
+                  expand(stageIdx + 1, from, fTs, (st.name -> taken) :: acc)
+                else Iterator.empty
+              val grow =
+                if (taken.size < st.maxTimes)
+                  Iterator.range(from, events.length)
+                    .filter(j => st.pred(events(j)) && inWindow(j, fTs))
+                    .flatMap(j => pick(j + 1, taken :+ events(j)))
+                else Iterator.empty
+              stop ++ grow
+            }
+            pick(entry + 1, Vector(events(entry)))
+          }
         case _ =>
           var i = pos
           if (st.contiguity == Relaxed && stageIdx > 0)
@@ -139,7 +174,8 @@ object CEP {
     while (s < events.length) {
       if (s > blockedBelow && pattern.stages.head.pred(events(s))) {
         val completions = expand(0, s, -1L, Nil)
-        val branching = pattern.stages.exists(_.contiguity == RelaxedAny)
+        val branching = pattern.stages.exists(st =>
+          st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
         val selected =
           if (branching) completions.toSeq // all non-deterministic matches
           else completions.take(1).toSeq   // earliest completion

@@ -113,6 +113,29 @@ object CepQueries extends QueryModule {
         .orderBy(col("view_id"), col("purchase_id"))
     },
 
+    // ----- times(2).allowCombinations (Quantifier.java combinations):
+    // the quantified block is ANY in-order subsequence, so every
+    // ordered pair of errors within the window matches — the oracle is
+    // the equivalent self-join -----
+    q("q95_cep_times_combinations",
+      """SELECT a.event_id AS e0, b.event_id AS e1
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'error' AND b.event_type = 'error'
+        | AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY e0, e1""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("errs").where(_._3 == "error")
+        .times(2).allowCombinations
+        .withinUnits(30.minutes.toMicros)
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (_, m) =>
+          val ids = m.stages("errs").map(_._2)
+          (ids(0), ids(1))
+      }.toDF("e0", "e1")
+        .orderBy(col("e0"), col("e1"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

@@ -134,6 +134,46 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
     labels
   }
 
+  /** Community detection (library/CommunityDetection.java — the
+    * Leung et al. hop-attenuation variant, arXiv:0808.2633): each
+    * vertex starts as its own community with score 1.0; per superstep
+    * every vertex sends (label, score) to its neighbors, adopts the
+    * label with the highest SUMMED received score (ties → smallest
+    * label, matching the reference's ascending TreeMap + strict
+    * comparison), re-scores to the max single received score of that
+    * label, and subtracts delta/superstep when the label changed.
+    * Score sums are rounded to 9 dp so the argmax is partition-order
+    * free. One join+agg per superstep, shuffling on vertex id. */
+  def communityDetection(maxIter: Int, delta: Double = 0.5): DataFrame = {
+    val und = undirected.localCheckpoint()
+    var state = vertices.select(col("id"), col("id").as("label"),
+      lit(1.0).as("score"))
+    for (step <- 1 to maxIter) {
+      val msgs = und
+        .join(state.select(col("id").as("mid"), col("label"), col("score")),
+          col("src") === col("mid"))
+        .select(col("dst").as("id"), col("label"), col("score"))
+      val perLabel = msgs.groupBy(col("id"), col("label"))
+        .agg(round(sum(col("score")), 9).as("total"), max(col("score")).as("best"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("total").desc, col("label"))
+      val picked = perLabel.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("label"), col("best"))
+      val next = picked
+        .join(state.select(col("id"), col("label").as("prev"),
+          col("score").as("prev_score")), Seq("id"), "right")
+        .select(col("id"),
+          coalesce(col("label"), col("prev")).as("label"),
+          when(col("label").isNull, col("prev_score"))        // no messages
+            .when(col("label") === col("prev"), col("best"))  // kept label
+            .otherwise(col("best") - lit(delta) / step)       // changed
+            .as("score"))
+      state = if (step % 5 == 0) next.localCheckpoint() else next
+    }
+    state.select(col("id"), col("label"))
+  }
+
   /** Summarization (library/Summarization.java): collapse vertices by
     * a grouping column into a super-graph of (group) vertices and
     * aggregated (srcGroup, dstGroup, edgeCount) edges. */

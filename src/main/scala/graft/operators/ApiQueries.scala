@@ -162,6 +162,32 @@ object ApiQueries extends QueryModule {
         .orderBy(col("src_grp"), col("dst_grp"))
     },
 
+    // ----- community detection (library/CommunityDetection.java) on
+    // the bipartite purchase graph, 2 supersteps. With unique initial
+    // labels the scores stay uniform for the first two rounds, so the
+    // oracle has a closed form: round 1 adopts the smallest neighbor
+    // id; round 2 adopts the most-voted round-1 label (ties → smallest
+    // label) — an independent formulation of the scatter-gather. -----
+    q("q97_graph_community",
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |l1 AS (SELECT src AS id, min(dst) AS label FROM und GROUP BY src),
+        |votes AS (SELECT u.dst AS id, l1.label
+        |          FROM und u JOIN l1 ON l1.id = u.src),
+        |cnt AS (SELECT id, label, count(*) AS n FROM votes GROUP BY id, label),
+        |pick AS (SELECT id, label, row_number() OVER (PARTITION BY id
+        |    ORDER BY n DESC, label) AS rn FROM cnt)
+        |SELECT id, label FROM pick WHERE rn = 1
+        |ORDER BY id""") { (s, dir) =>
+      val edges = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.fromEdges(edges).communityDetection(maxIter = 2)
+        .orderBy(col("id"))
+    },
+
     // ----- Adamic-Adar similarity (library/similarity/AdamicAdar
     // .java) on the bipartite purchase graph: shared-neighbor wedges
     // weighted by 1/ln(centre degree) -----

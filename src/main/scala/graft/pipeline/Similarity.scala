@@ -83,6 +83,41 @@ object Similarity extends QueryModule {
       topk(s, dir, sameLabel = true)
     },
 
+    // ----- embedding-cosine near-duplicate detection (the vector-side
+    // dedup method, complementing MinHash/SimHash text dedup): block by
+    // the coarse bucket (label — swap in a quantizer/LSH assignment at
+    // will), verify exact cosine only within blocks, keep pairs over
+    // the threshold. Block sizes are bounded, so the self-join never
+    // goes quadratic in the corpus. τ=0.25 marks "near-dup" at this
+    // synthetic data's similarity scale (its true max is ~0.45). -----
+    q("q96_embedding_neardup",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(fa.x * fb.x) AS dot
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS score
+        |  FROM pairs JOIN norms na ON na.vec_id = a_id
+        |             JOIN norms nb ON nb.vec_id = b_id)
+        |SELECT a_id, b_id, score FROM scored WHERE score >= 0.25
+        |ORDER BY a_id, b_id""") { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("qv"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("ev"))
+      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .withColumn("score", round(expr(cosExpr), 6))
+        .filter(col("score") >= 0.25)
+        .select(col("a_id"), col("b_id"), col("score"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ----- IVF-shaped two-stage search: stage 1 routes each probe to
     // the nearest coarse representative (deterministic: the min-vec_id
     // member of each label cluster — swap in k-means centroids without

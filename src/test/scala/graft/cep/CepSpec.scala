@@ -74,6 +74,24 @@ class CepSpec extends AnyFunSuite {
       Seq((0L, 1L), (0L, 3L)))
   }
 
+  test("allowCombinations branches over every in-order subsequence") {
+    // oneOrMore+combinations over "a a x a": starts at each a, any
+    // subsequence from that start
+    val p = Pattern.begin[E]("as").where(_._2 == "a")
+      .oneOrMore.allowCombinations
+    val ms = matchSequence(ev("a a x a"), p)(_._3)
+    val sets = ms.map(m => ids(m, "as"))
+    assert(sets.toSet == Set(
+      Seq(0L), Seq(0L, 1L), Seq(0L, 3L), Seq(0L, 1L, 3L),
+      Seq(1L), Seq(1L, 3L), Seq(3L)))
+    // times(2)+combinations: exactly the ordered pairs
+    val p2 = Pattern.begin[E]("as").where(_._2 == "a")
+      .times(2).allowCombinations
+    val ms2 = matchSequence(ev("a a x a"), p2)(_._3)
+    assert(ms2.map(m => ids(m, "as")).toSet ==
+      Set(Seq(0L, 1L), Seq(0L, 3L), Seq(1L, 3L)))
+  }
+
   test("where conjuncts and or disjuncts compose") {
     val p = Pattern.begin[E]("ab").where(e => e._2 == "a").or(_._2 == "b")
     val ms = matchSequence(ev("a b c"), p)(_._3)

@@ -42,6 +42,15 @@ class GraphSpec extends SparkSpec {
     assert(labels(10L) == labels(11L) && labels(11L) == labels(12L))
   }
 
+  test("communityDetection converges per clique with attenuation ties") {
+    // two disjoint triangles: round 1 adopts min neighbor, round 2
+    // settles each clique on its min vertex id (ties → smallest label)
+    val gg = g((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val labels = gg.communityDetection(maxIter = 2).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("summarize collapses groups into a super-graph") {
     val verts = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
