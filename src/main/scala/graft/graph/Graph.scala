@@ -87,6 +87,36 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
     ranks
   }
 
+  /** Fixed-point PageRank: ranks are scaled integers (1.0 ≡ 10^12)
+    * and every step is exact BIGINT arithmetic — contribution =
+    * rank div out, damping = recv * pct div 100 — so results are
+    * bit-identical under any partitioning, executor count, or replay
+    * (the reproducibility guarantee the double-summing variant cannot
+    * give; reference PageRank.java is double-based and inherits
+    * per-run jitter). Dangling vertices contribute no mass, matching
+    * the reference's behavior. */
+  def pageRankFixedPoint(iters: Int, dampingPct: Int = 85): DataFrame = {
+    val SCALE = 1000000000000L
+    val n = vertices.count()
+    val base = (SCALE / 100 * (100 - dampingPct)) / n
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out"))
+    val withDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(col("src"), col("dst"), col("out")).localCheckpoint()
+    var ranks = vertices.select(col("id"), lit(SCALE / n).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("rank div out").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("recv"))
+      val next = vertices.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"coalesce(recv, CAST(0 AS BIGINT)) * $dampingPct div 100"))
+            .as("rank"))
+      ranks = if (i % 5 == 0) next.localCheckpoint() else next
+    }
+    ranks.select(col("id"), col("rank").as("rank_scaled"))
+  }
+
   /** Single-source shortest paths, unit weights (library/
     * SingleSourceShortestPaths.java) — BFS frontier relaxation. */
   def sssp(source: Long, maxIter: Int = 30): DataFrame = {

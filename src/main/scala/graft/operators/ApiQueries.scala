@@ -162,6 +162,46 @@ object ApiQueries extends QueryModule {
         .orderBy(col("src_grp"), col("dst_grp"))
     },
 
+    // ----- fixed-point PageRank, 3 supersteps on the undirected
+    // bipartite purchase graph: exact scaled-integer arithmetic, so
+    // the oracle unrolls the identical recurrence in BIGINT SQL -----
+    q("q99_graph_pagerank",
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |v AS (SELECT DISTINCT src AS id FROM und),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |deg AS (SELECT src AS id, count(*) AS outd FROM und GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r FROM v),
+        |c1 AS (SELECT u.dst AS id, CAST(sum(r0.r // deg.outd) AS BIGINT) AS recv
+        |       FROM und u JOIN r0 ON r0.id = u.src JOIN deg ON deg.id = u.src
+        |       GROUP BY u.dst),
+        |r1 AS (SELECT v.id, (1000000000000 // 100 * 15) // (SELECT n FROM nn)
+        |         + coalesce(recv, 0) * 85 // 100 AS r
+        |       FROM v LEFT JOIN c1 ON c1.id = v.id),
+        |c2 AS (SELECT u.dst AS id, CAST(sum(r1.r // deg.outd) AS BIGINT) AS recv
+        |       FROM und u JOIN r1 ON r1.id = u.src JOIN deg ON deg.id = u.src
+        |       GROUP BY u.dst),
+        |r2 AS (SELECT v.id, (1000000000000 // 100 * 15) // (SELECT n FROM nn)
+        |         + coalesce(recv, 0) * 85 // 100 AS r
+        |       FROM v LEFT JOIN c2 ON c2.id = v.id),
+        |c3 AS (SELECT u.dst AS id, CAST(sum(r2.r // deg.outd) AS BIGINT) AS recv
+        |       FROM und u JOIN r2 ON r2.id = u.src JOIN deg ON deg.id = u.src
+        |       GROUP BY u.dst),
+        |r3 AS (SELECT v.id, (1000000000000 // 100 * 15) // (SELECT n FROM nn)
+        |         + coalesce(recv, 0) * 85 // 100 AS r
+        |       FROM v LEFT JOIN c3 ON c3.id = v.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3
+        |ORDER BY id""") { (s, dir) =>
+      val e = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.fromEdges(und).pageRankFixedPoint(iters = 3)
+        .orderBy(col("id"))
+    },
+
     // ----- community detection (library/CommunityDetection.java) on
     // the bipartite purchase graph, 2 supersteps. With unique initial
     // labels the scores stay uniform for the first two rounds, so the

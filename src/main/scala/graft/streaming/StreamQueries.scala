@@ -396,6 +396,47 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"), col("w_start"))
     },
 
+    // ----- early-firing trigger + count evictor (Triggers.
+    // earlyFiringTumble): the FINAL rows are deterministic and
+    // oracle-checked — per (user, 6h window) only the LAST 20 events
+    // by (ts, value) aggregate (CountEvictor semantics). Values ride
+    // as exact integer cents so the evicted sum is bit-identical in
+    // any engine; early speculative rows are filtered (their cadence
+    // is micro-batch-dependent by design). -----
+    q("q98_trigger_final_windows",
+      """WITH cents AS (
+        |  SELECT user_id, ts, CAST(round(value * 10000) AS BIGINT) AS c,
+        |    (epoch_ms(ts) // 21600000) * 21600000 AS w_start
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, w_start
+        |      ORDER BY ts DESC, c DESC) AS rn
+        |  FROM cents)
+        |SELECT user_id, w_start, count(*) AS n,
+        |  CAST(sum(c) AS DOUBLE) / 10000 AS sum_value
+        |FROM ranked WHERE rn <= 20
+        |GROUP BY user_id, w_start
+        |ORDER BY user_id, w_start""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+      val ev = streamEvents(s, dir)
+        .select(col("user_id"), col("ts"), round(col("value") * 10000).as("c"))
+        .unionByName(sentinel.toDF().toDF("user_id", "ts", "c"))
+        .withWatermark("ts", "1 minute")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val fired = graft.streaming.Triggers.earlyFiringTumble(
+        ev, windowMillis = 6 * 3600 * 1000L, evictKeepLast = Some(20))
+      val df = fired.toDF("user_id", "w_start", "n", "sum_cents", "is_final")
+      viaMemorySink(s, df, "append", "graft_trigger_final")
+        .filter(col("is_final") && col("user_id") =!= -1L)
+        .select(col("user_id"), col("w_start"), col("n"),
+          (col("sum_cents") / 10000).as("sum_value"))
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
     // ----- keyed running minBy/maxBy on a stream (KeyedStream.java:849)
     // — final state of the continuously-updated extreme rows -----
     q("q86b_stream_minby_maxby",

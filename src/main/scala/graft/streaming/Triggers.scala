@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Flink-style window triggers and evictors (reference
+  * flink-streaming-java/.../windowing/triggers/ and evictors/) — the
+  * semantics Structured Streaming's windowed aggregation cannot
+  * express, run as a keyed custom state op (the same escape hatch the
+  * reference uses for custom triggers: a keyed process function).
+  *
+  * - Early firing (ContinuousEventTimeTrigger / Trigger.onElement
+  *   FIRE): every micro-batch in which an open window received data
+  *   emits a speculative row (isFinal = false) with the window's
+  *   current aggregate.
+  * - Final firing: when the watermark passes window end, the window
+  *   emits its final row (isFinal = true) and is purged — state per
+  *   key is bounded by the number of open windows.
+  * - Count evictor (CountEvictor.of(n)): only the LAST n elements (in
+  *   (ts, tie) order) of the window participate in the aggregate —
+  *   the evictor semantics that force keeping raw elements, which is
+  *   exactly why SS aggregation cannot host them.
+  *
+  * Emitted row: (key, winStart, count, sum, isFinal) — winStart in
+  * epoch millis. Early rows are speculative by design (their cadence
+  * follows micro-batch boundaries, like the reference's per-element
+  * FIRE); only isFinal rows are deterministic, and downstream exactly-
+  * once consumers should filter on isFinal.
+  */
+object Triggers {
+
+  /** Tumbling event-time window with early firing and optional count
+    * evictor. The Timestamp column must be the one carrying the
+    * stream's watermark (projecting it away upstream would disable
+    * event-time timeouts). */
+  def earlyFiringTumble[K: Encoder](
+      events: Dataset[(K, java.sql.Timestamp, Double)], // (key, ts, value)
+      windowMillis: Long,
+      evictKeepLast: Option[Int] = None): Dataset[(K, Long, Long, Double, Boolean)] = {
+    require(windowMillis > 0, "windowMillis must be positive")
+    evictKeepLast.foreach(n => require(n > 0, "evictor keep-n must be positive"))
+
+    type Win = (Long, Seq[(Long, Double)]) // winStart -> buffered (ts, value)
+    implicit val stEnc: Encoder[Seq[Win]] = Encoders.kryo[Seq[Win]]
+    implicit val outEnc: Encoder[(K, Long, Long, Double, Boolean)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaBoolean)
+
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: K, it: Iterator[(K, java.sql.Timestamp, Double)], state: GroupState[Seq[Win]]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val windows = scala.collection.mutable.Map.empty[Long, Vector[(Long, Double)]]
+          state.getOption.getOrElse(Seq.empty).foreach { case (ws, evs) =>
+            windows(ws) = evs.toVector
+          }
+          val touched = scala.collection.mutable.Set.empty[Long]
+          it.foreach { case (_, t, v) =>
+            val ts = t.getTime
+            val ws = Math.floorDiv(ts, windowMillis) * windowMillis
+            windows(ws) = windows.getOrElse(ws, Vector.empty) :+ ((ts, v))
+            touched += ws
+          }
+
+          def agg(evs: Vector[(Long, Double)]): (Long, Double) = {
+            // sum in (ts, value) order: deterministic across replays
+            // and partitionings (double addition is order-sensitive)
+            val sorted = evs.sortBy(identity)
+            val kept = evictKeepLast.fold(sorted)(n => sorted.takeRight(n))
+            (kept.size.toLong, kept.foldLeft(0.0)(_ + _._2))
+          }
+
+          val out = Vector.newBuilder[(K, Long, Long, Double, Boolean)]
+          val (closed, open) = windows.partition { case (ws, _) => ws + windowMillis <= wm }
+          closed.toSeq.sortBy(_._1).foreach { case (ws, evs) =>
+            val (n, sum) = agg(evs)
+            out += ((key, ws, n, sum, true)) // final fire + purge
+          }
+          touched.toSeq.sorted.foreach { ws =>
+            if (!closed.contains(ws)) {
+              val (n, sum) = agg(windows(ws))
+              out += ((key, ws, n, sum, false)) // early (speculative) fire
+            }
+          }
+
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.toSeq.map { case (ws, evs) => (ws, evs: Seq[(Long, Double)]) })
+            // wake when the earliest open window can final-fire
+            state.setTimeoutTimestamp(open.keys.min + windowMillis)
+          }
+          out.result().iterator
+        })
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Early-firing windows + count evictor — trigger semantics SS
+  * aggregation can't host, driven deterministically via MemoryStream
+  * micro-batches. */
+class TriggersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+  private val MIN = 60 * 1000L
+
+  test("earlyFiringTumble emits speculative rows then a final row") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+
+    val fired = Triggers.earlyFiringTumble(events, windowMillis = 10 * MIN)
+    val q = fired.toDF("k", "win", "n", "sum", "is_final")
+      .writeStream.format("memory").queryName("graft_trig")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in the 10:00 window → one EARLY row
+      input.addData((1L, ts("10:00:10"), 1.0), (1L, ts("10:02:00"), 2.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("graft_trig")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(afterB1 == Set((1L, ts("10:00:00").getTime, 2L, 3.0, false)))
+
+      // batch 2: one more event, window still open → updated EARLY row
+      input.addData((1L, ts("10:05:00"), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_trig").where("n = 3 AND NOT is_final").count() == 1)
+
+      // advance watermark past window end → FINAL row with full agg
+      input.addData((2L, ts("10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("10:40:00"), 0.0))
+      q.processAllAvailable()
+      val finals = spark.table("graft_trig").where("is_final")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(finals.contains((1L, ts("10:00:00").getTime, 3L, 7.0, true)))
+    } finally q.stop()
+  }
+
+  test("count evictor keeps only the last n elements of the window") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+
+    val fired = Triggers.earlyFiringTumble(events, windowMillis = 10 * MIN,
+      evictKeepLast = Some(2))
+    val q = fired.toDF("k", "win", "n", "sum", "is_final")
+      .writeStream.format("memory").queryName("graft_trig_evict")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("10:00:10"), 1.0), (1L, ts("10:01:00"), 2.0),
+        (1L, ts("10:02:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("10:40:00"), 0.0))
+      q.processAllAvailable()
+      val finals = spark.table("graft_trig_evict").where("is_final AND k = 1")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      // evictor: only the last 2 of the 3 elements aggregate (2+4)
+      assert(finals == Set((1L, ts("10:00:00").getTime, 2L, 6.0, true)))
+    } finally q.stop()
+  }
+}
