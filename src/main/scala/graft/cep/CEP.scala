@@ -49,7 +49,15 @@ object CEP {
       // subsequence of qualifying events (non-deterministic internal
       // contiguity, Quantifier.java combinations()), not the greedy
       // contiguous run
-      combinations: Boolean = false)
+      combinations: Boolean = false,
+      // negation (NotCondition / NFACompiler NOT states): Strict =
+      // notNext (the event directly after must not match), Relaxed =
+      // notFollowedBy (no matching event in the gap before the next
+      // stage's first element). Negated stages consume nothing.
+      negated: Boolean = false,
+      // until (Pattern.java until()): stop consuming the quantified
+      // block at the first event satisfying this (event not consumed)
+      untilPred: Option[T => Boolean] = None)
 
   /** Immutable fluent builder — Pattern.begin("a").where(p)
     * .followedBy("b").where(q).within(1.hour) */
@@ -71,12 +79,34 @@ object CEP {
       copy(stages = stages :+ Stage[T](name, _ => true, Relaxed, 1, 1))
     def followedByAny(name: String): Pattern[T] =
       copy(stages = stages :+ Stage[T](name, _ => true, RelaxedAny, 1, 1))
+    /** The event directly after the previous stage must NOT match
+      * (Pattern.java notNext). Consumes nothing. */
+    def notNext(name: String): Pattern[T] =
+      copy(stages = stages :+ Stage[T](name, _ => true, Strict, 1, 1, negated = true))
+    /** No matching event may occur between the previous stage and the
+      * following stage's first element (Pattern.java notFollowedBy).
+      * May not terminate a pattern. */
+    def notFollowedBy(name: String): Pattern[T] =
+      copy(stages = stages :+ Stage[T](name, _ => true, Relaxed, 1, 1, negated = true))
     def times(n: Int): Pattern[T] = updLast(_.copy(minTimes = n, maxTimes = n))
     def oneOrMore: Pattern[T] = updLast(_.copy(minTimes = 1, maxTimes = Int.MaxValue))
+    /** n or more contiguous occurrences (Pattern.java timesOrMore). */
+    def timesOrMore(n: Int): Pattern[T] =
+      updLast(_.copy(minTimes = n, maxTimes = Int.MaxValue))
     def optional: Pattern[T] = updLast(_.copy(minTimes = 0))
     /** Quantified block branches over every in-order subsequence of
       * qualifying events instead of the greedy contiguous run. */
     def allowCombinations: Pattern[T] = updLast(_.copy(combinations = true))
+    /** Stop consuming the quantified block at the first event matching
+      * p — the block ends just before it (Pattern.java until). */
+    def until(p: T => Boolean): Pattern[T] =
+      updLast(_.copy(untilPred = Some(p)))
+    /** Reference consecutive(): strict internal block contiguity —
+      * already this matcher's default block semantics. */
+    def consecutive: Pattern[T] = this
+    /** Reference greedy(): prefer the longest block — already the
+      * default (deterministic blocks consume greedily). */
+    def greedy: Pattern[T] = this
     def within(d: Duration): Pattern[T] = copy(withinSpan = Some(d.toMillis))
     /** within() in raw time-axis units (e.g. micros when tsOf is micros). */
     def withinUnits(span: Long): Pattern[T] = copy(withinSpan = Some(span))
@@ -98,30 +128,52 @@ object CEP {
     require(pattern.stages.forall(st =>
       st.contiguity != RelaxedAny || (st.minTimes == 1 && st.maxTimes == 1)),
       "followedByAny supports single-element stages only")
+    require(!pattern.stages.last.negated,
+      "a pattern may not end in notNext/notFollowedBy (reference NFACompiler rule)")
     val out = Vector.newBuilder[Match[T]]
     var blockedBelow = -1 // for SkipPastLast: no new match may start at or before this idx
 
     /** All completions from (stageIdx, pos): deterministic stages
       * yield at most one continuation; RelaxedAny branches to every
-      * qualifying element. Returns (per-stage events, last index). */
+      * qualifying element. `ban` is a pending notFollowedBy predicate:
+      * no event in the gap [pos, entry-of-this-stage) may satisfy it.
+      * Returns (per-stage events, last index). */
     def expand(stageIdx: Int, pos: Int, firstTs0: Long,
-        acc: List[(String, Seq[T])]): Iterator[(List[(String, Seq[T])], Int)] = {
+        acc: List[(String, Seq[T])],
+        ban: Option[T => Boolean]): Iterator[(List[(String, Seq[T])], Int)] = {
       if (stageIdx == pattern.stages.length)
         return Iterator((acc, pos - 1))
       val st = pattern.stages(stageIdx)
       def inWindow(i: Int, firstTs: Long): Boolean =
         pattern.withinSpan.isEmpty || firstTs < 0 ||
           tsOf(events(i)) - firstTs <= pattern.withinSpan.get
+      def gapClean(from: Int, until: Int): Boolean =
+        ban.forall(b => (from until until).forall(j => !b(events(j))))
 
-      st.contiguity match {
+      if (st.negated) {
+        if (st.contiguity == Strict) {
+          // notNext: the event directly at pos must not match
+          if (pos < events.length && st.pred(events(pos))) Iterator.empty
+          else expand(stageIdx + 1, pos, firstTs0, acc, ban)
+        } else {
+          // notFollowedBy: defer — the next positive stage checks the
+          // gap (compose if bans stack back-to-back)
+          val b = ban match {
+            case Some(prev) => Some((t: T) => prev(t) || st.pred(t))
+            case None => Some(st.pred)
+          }
+          expand(stageIdx + 1, pos, firstTs0, acc, b)
+        }
+      } else st.contiguity match {
         case RelaxedAny =>
           // branch on every qualifying element at or after pos
           Iterator.range(pos, events.length)
-            .filter(i => st.pred(events(i)) && inWindow(i, firstTs0))
+            .filter(i => st.pred(events(i)) && inWindow(i, firstTs0)
+              && gapClean(pos, i))
             .flatMap { i =>
               val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
               expand(stageIdx + 1, i + 1, fTs,
-                (st.name -> Seq(events(i))) :: acc)
+                (st.name -> Seq(events(i))) :: acc, None)
             }
         case _ if st.combinations && st.maxTimes > 1 =>
           // entry element per the stage's contiguity, then every
@@ -130,17 +182,23 @@ object CEP {
           if (st.contiguity == Relaxed && stageIdx > 0)
             while (entry < events.length && !st.pred(events(entry))) entry += 1
           if (entry >= events.length || !st.pred(events(entry)) ||
-              !inWindow(entry, firstTs0)) Iterator.empty
+              !inWindow(entry, firstTs0) || !gapClean(pos, entry)) Iterator.empty
           else {
             val fTs = if (firstTs0 < 0) tsOf(events(entry)) else firstTs0
+            // until: the block may not reach past the first stop event
+            val stopIdx = st.untilPred match {
+              case Some(u) => Iterator.range(entry, events.length)
+                .find(j => u(events(j))).getOrElse(events.length)
+              case None => events.length
+            }
             def pick(from: Int, taken: Vector[T]): Iterator[(List[(String, Seq[T])], Int)] = {
               val stop =
                 if (taken.size >= st.minTimes)
-                  expand(stageIdx + 1, from, fTs, (st.name -> taken) :: acc)
+                  expand(stageIdx + 1, from, fTs, (st.name -> taken) :: acc, None)
                 else Iterator.empty
               val grow =
                 if (taken.size < st.maxTimes)
-                  Iterator.range(from, events.length)
+                  Iterator.range(from, stopIdx)
                     .filter(j => st.pred(events(j)) && inWindow(j, fTs))
                     .flatMap(j => pick(j + 1, taken :+ events(j)))
                 else Iterator.empty
@@ -152,20 +210,24 @@ object CEP {
           var i = pos
           if (st.contiguity == Relaxed && stageIdx > 0)
             while (i < events.length && !st.pred(events(i))) i += 1
-          var taken = 0
-          var firstTs = firstTs0
-          val buf = Vector.newBuilder[T]
-          while (i < events.length && taken < st.maxTimes && st.pred(events(i))
-              && inWindow(i, firstTs)) {
-            if (firstTs < 0) firstTs = tsOf(events(i))
-            buf += events(i)
-            i += 1
-            taken += 1
-          }
-          if (taken < st.minTimes) Iterator.empty
+          if (!gapClean(pos, math.min(i, events.length))) Iterator.empty
           else {
-            val acc2 = if (taken > 0) (st.name -> buf.result()) :: acc else acc
-            expand(stageIdx + 1, i, firstTs, acc2)
+            var taken = 0
+            var firstTs = firstTs0
+            val buf = Vector.newBuilder[T]
+            while (i < events.length && taken < st.maxTimes && st.pred(events(i))
+                && inWindow(i, firstTs)
+                && !st.untilPred.exists(_(events(i)))) {
+              if (firstTs < 0) firstTs = tsOf(events(i))
+              buf += events(i)
+              i += 1
+              taken += 1
+            }
+            if (taken < st.minTimes) Iterator.empty
+            else {
+              val acc2 = if (taken > 0) (st.name -> buf.result()) :: acc else acc
+              expand(stageIdx + 1, i, firstTs, acc2, None)
+            }
           }
       }
     }
@@ -173,7 +235,7 @@ object CEP {
     var s = 0
     while (s < events.length) {
       if (s > blockedBelow && pattern.stages.head.pred(events(s))) {
-        val completions = expand(0, s, -1L, Nil)
+        val completions = expand(0, s, -1L, Nil, None)
         val branching = pattern.stages.exists(st =>
           st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
         val selected =

@@ -136,6 +136,39 @@ object CepQueries extends QueryModule {
         .orderBy(col("e0"), col("e1"))
     },
 
+    // ----- notFollowedBy (NFACompiler NOT state): view reaching its
+    // first purchase within the hour with NO error in between. Oracle:
+    // earliest qualifying purchase per view + NOT EXISTS on the gap
+    // (strictly between in the total (ts, event_id) order). -----
+    q("q100_cep_not_followed_by",
+      """WITH pairs AS (
+        |  SELECT v.event_id AS view_id, v.user_id, v.ts AS v_ts,
+        |    p.event_id AS purchase_id, p.ts AS p_ts,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |                       ORDER BY p.ts, p.event_id) AS rn
+        |  FROM events v JOIN events p ON v.user_id = p.user_id
+        |   AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        |   AND p.ts <= v.ts + INTERVAL 1 HOUR),
+        |f AS (SELECT * FROM pairs WHERE rn = 1)
+        |SELECT view_id, purchase_id FROM f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = f.user_id AND e.event_type = 'error'
+        |    AND (e.ts > f.v_ts OR (e.ts = f.v_ts AND e.event_id > f.view_id))
+        |    AND (e.ts < f.p_ts OR (e.ts = f.p_ts AND e.event_id < f.purchase_id)))
+        |ORDER BY view_id""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+        .notFollowedBy("err").where(_._3 == "error")
+        .followedBy("purchase").where(_._3 == "purchase")
+        .withinUnits(1.hour.toMicros)
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (_, m) => (m.stages("view").head._2, m.stages("purchase").head._2)
+      }.toDF("view_id", "purchase_id")
+        .orderBy(col("view_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

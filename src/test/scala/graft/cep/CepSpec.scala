@@ -74,6 +74,43 @@ class CepSpec extends AnyFunSuite {
       Seq((0L, 1L), (0L, 3L)))
   }
 
+  test("notNext rejects a directly-following match") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .notNext("bad").where(_._2 == "x")
+      .followedBy("b").where(_._2 == "b")
+    // a@0 is directly followed by x → rejected; a@3 → b@5 survives
+    val ms = matchSequence(ev("a x b a y b"), p)(_._3)
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) == Seq((3L, 5L)))
+  }
+
+  test("notFollowedBy bans the gap before the next stage") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .notFollowedBy("bad").where(_._2 == "x")
+      .followedBy("b").where(_._2 == "b")
+    // a@0: gap to b@3 contains x → rejected; a@4: gap clean → (4,6)
+    val ms = matchSequence(ev("a y x b a y b"), p)(_._3)
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) == Seq((4L, 6L)))
+    // terminating a pattern with a negation is rejected
+    val bad = Pattern.begin[E]("a").where(_._2 == "a").notFollowedBy("x")
+    assertThrows[IllegalArgumentException](matchSequence(ev("a"), bad)(_._3))
+  }
+
+  test("until stops the quantified block before the stop event") {
+    val p = Pattern.begin[E]("e").where(_._2 == "e").oneOrMore
+      .until(_._2 == "s")
+      .followedBy("x").where(_._2 == "x")
+    // block must end before s: e@0,e@1 | s | e@3 ... x@4
+    val ms = matchSequence(ev("e e s e x"), p)(_._3)
+    assert(ms.map(m => (ids(m, "e"), ids(m, "x"))) ==
+      Seq((Seq(0L, 1), Seq(4L)), (Seq(1L), Seq(4L)), (Seq(3L), Seq(4L))))
+  }
+
+  test("timesOrMore takes at least n, greedily") {
+    val p = Pattern.begin[E]("e").where(_._2 == "e").timesOrMore(2)
+    val ms = matchSequence(ev("e e e x e"), p)(_._3)
+    assert(ms.map(m => ids(m, "e")) == Seq(Seq(0L, 1, 2), Seq(1L, 2)))
+  }
+
   test("allowCombinations branches over every in-order subsequence") {
     // oneOrMore+combinations over "a a x a": starts at each a, any
     // subsequence from that start
