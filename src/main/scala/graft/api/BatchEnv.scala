@@ -103,6 +103,42 @@ final class BatchOps[T](val ds: Dataset[T]) {
   def sample(withReplacement: Boolean, fraction: Double, seed: Long): BatchOps[T] =
     new BatchOps(ds.sample(withReplacement, fraction, seed))
 
+  /** Exact-size sample (DataSetUtils.sampleWithSize): deterministic
+    * given the seed — rank by seeded rand, take n. One shuffle; the
+    * sort is top-n (TakeOrderedAndProject), not a total sort. */
+  def sampleWithSize(n: Int, seed: Long): BatchOps[T] =
+    new BatchOps(ds.orderBy(rand(seed)).limit(n))
+
+  /** DataSetUtils.countElementsPerPartition: (partitionId, count)
+    * without moving any data. */
+  def countElementsPerPartition(): Dataset[(Int, Long)] = {
+    implicit val e: Encoder[(Int, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong)
+    ds.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), n))
+    }
+  }
+
+  /** partitionCustom (DataSet.java partitionCustom): route each row by
+    * a user partition function. The Dataset API has no custom
+    * Partitioner hook, so this is the documented RDD drop-down. */
+  def partitionCustom(nParts: Int, f: T => Int): BatchOps[T] = {
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nParts
+      override def getPartition(key: Any): Int =
+        ((key.asInstanceOf[Int] % nParts) + nParts) % nParts
+    }
+    implicit val ctT: scala.reflect.ClassTag[T] =
+      scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]
+    val rdd = new org.apache.spark.rdd.PairRDDFunctions(
+      ds.rdd.map(t => (f(t), t))).partitionBy(part).values
+    new BatchOps(sp.createDataset(rdd))
+  }
+
   /** summarize (DataSetUtils.java ~summarize): per-numeric-column
     * min/max/mean/stddev/count over one distributed pass. */
   def summarize(): DataFrame = ds.toDF().summary("count", "min", "max", "mean", "stddev")

@@ -24,6 +24,23 @@ object SourceQueries extends QueryModule {
         .orderBy(col("n_nationkey"))
     },
 
+    // ----- ORC sink + source round-trip (OrcTableSource /
+    // OrcRowInputFormat, flink-orc): columnar scan with predicate
+    // pushdown comes native from Spark's ORC reader; the pushed
+    // filter is part of what the roundtrip exercises -----
+    q("q101_orc_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 200000
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      val path = "/root/repo/target/roundtrip/orders_orc"
+      val o = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("o_totalprice") > 200000) // pushed into the ORC scan
+        .orderBy(col("o_orderkey"))
+    },
+
     // ----- JSON serde (flink-formats/flink-json De/SerializationSchema
     // → to_json/from_json round-trip through a string column) -----
     q("q72_json_roundtrip",

@@ -76,4 +76,25 @@ class BatchEnvSpec extends SparkSpec {
     val b = env.generateSequence(1, 1000).sample(withReplacement = false, 0.1, seed = 7).count()
     assert(a == b && a > 50 && a < 200)
   }
+
+  test("sampleWithSize returns exactly n, deterministic under a seed") {
+    val a = env.generateSequence(1, 1000).sampleWithSize(25, seed = 7).output().toSet
+    val b = env.generateSequence(1, 1000).sampleWithSize(25, seed = 7).output().toSet
+    assert(a == b && a.size == 25)
+  }
+
+  test("countElementsPerPartition sums to the dataset size") {
+    val counts = env.generateSequence(1, 100).rebalance(8)
+      .countElementsPerPartition().collect()
+    assert(counts.map(_._2).sum == 100L)
+    assert(counts.length == 8)
+  }
+
+  test("partitionCustom routes rows by the user function") {
+    val parted = env.fromCollection((1 to 20).map(_.toLong))
+      .partitionCustom(4, t => (t % 4).toInt)
+    val perPart = parted.countElementsPerPartition().collect().toMap
+    assert(perPart.values.sum == 20L)
+    assert(perPart.values.forall(_ == 5L)) // t % 4 balances exactly
+  }
 }
