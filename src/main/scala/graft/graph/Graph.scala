@@ -117,6 +117,53 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
     ranks.select(col("id"), col("rank").as("rank_scaled"))
   }
 
+  /** HITS hubs & authorities (library/linkanalysis/HITS.java),
+    * fixed-point variant: scores are scaled integers (start 10^6);
+    * each half-iteration sums exactly in BIGINT and renormalizes by
+    * integer division with the max score (the reference normalizes by
+    * L2 norm — same per-iteration ordering, but this variant is
+    * bit-reproducible under any partitioning). Directed: authority
+    * sums over in-edges, hub over out-edges. */
+  def hits(iters: Int): DataFrame = {
+    val SCALE = 1000000L
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var hub = vertices.select(col("id"), lit(SCALE).as("h"))
+    var auth = vertices.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+      val aMax = math.max(1L, aRaw.agg(max(col("raw"))).first().getLong(0))
+      auth = vertices.select(col("id"))
+        .join(aRaw, Seq("id"), "left")
+        .select(col("id"), expr(s"coalesce(raw, CAST(0 AS BIGINT)) * $SCALE div $aMax").as("a"))
+      val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+      val hMax = math.max(1L, hRaw.agg(max(col("raw"))).first().getLong(0))
+      hub = vertices.select(col("id"))
+        .join(hRaw, Seq("id"), "left")
+        .select(col("id"), expr(s"coalesce(raw, CAST(0 AS BIGINT)) * $SCALE div $hMax").as("h"))
+    }
+    hub.join(auth, "id").select(col("id"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+  }
+
+  /** Undirected triadic census (library/clustering/TriadicCensus):
+    * counts of the four triad classes over all vertex triples, derived
+    * exactly from (n, m, wedges, triangles) — no triple enumeration:
+    * t3 = triangles; t2 = wedges − 3·t3; Σ edges over triads gives
+    * t1 = m(n−2) − 2·t2 − 3·t3; t0 = C(n,3) − t1 − t2 − t3. */
+  def triadicCensus(): DataFrame = {
+    val n = vertices.count()
+    val m = undirected.count() / 2
+    val wedges = degrees
+      .agg(sum(expr("degree * (degree - 1) div 2"))).first().getLong(0)
+    val t3 = triangleCount().agg(sum(col("triangles"))).first().getLong(0) / 3
+    val t2 = wedges - 3 * t3
+    val t1 = m * (n - 2) - 2 * t2 - 3 * t3
+    val t0 = n * (n - 1) * (n - 2) / 6 - t1 - t2 - t3
+    spark.createDataFrame(Seq((t0, t1, t2, t3)))
+      .toDF("t0_empty", "t1_one_edge", "t2_wedge", "t3_triangle")
+  }
+
   /** Single-source shortest paths, unit weights (library/
     * SingleSourceShortestPaths.java) — BFS frontier relaxation. */
   def sssp(source: Long, maxIter: Int = 30): DataFrame = {

@@ -162,6 +162,79 @@ object ApiQueries extends QueryModule {
         .orderBy(col("src_grp"), col("dst_grp"))
     },
 
+    // ----- HITS hubs/authorities (library/linkanalysis/HITS.java),
+    // 2 fixed-point iterations on the DIRECTED cust→supp graph:
+    // authority mass lands on suppliers, hub mass on customers; the
+    // oracle unrolls the identical integer recurrence -----
+    q("q102_graph_hits",
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS id, CAST(sum(1000000) AS BIGINT) AS raw
+        |        FROM e GROUP BY dst),
+        |a1 AS (SELECT v.id, coalesce(raw, 0) * 1000000
+        |         // greatest(1, (SELECT max(raw) FROM a1r)) AS a
+        |       FROM v LEFT JOIN a1r ON a1r.id = v.id),
+        |h1r AS (SELECT e.src AS id, CAST(sum(a1.a) AS BIGINT) AS raw
+        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+        |h1 AS (SELECT v.id, coalesce(raw, 0) * 1000000
+        |         // greatest(1, (SELECT max(raw) FROM h1r)) AS h
+        |       FROM v LEFT JOIN h1r ON h1r.id = v.id),
+        |a2r AS (SELECT e.dst AS id, CAST(sum(h1.h) AS BIGINT) AS raw
+        |        FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+        |a2 AS (SELECT v.id, coalesce(raw, 0) * 1000000
+        |         // greatest(1, (SELECT max(raw) FROM a2r)) AS a
+        |       FROM v LEFT JOIN a2r ON a2r.id = v.id),
+        |h2r AS (SELECT e.src AS id, CAST(sum(a2.a) AS BIGINT) AS raw
+        |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+        |h2 AS (SELECT v.id, coalesce(raw, 0) * 1000000
+        |         // greatest(1, (SELECT max(raw) FROM h2r)) AS h
+        |       FROM v LEFT JOIN h2r ON h2r.id = v.id)
+        |SELECT v.id AS id, CAST(h2.h AS BIGINT) AS hub_scaled,
+        |  CAST(a2.a AS BIGINT) AS auth_scaled
+        |FROM v JOIN h2 ON h2.id = v.id JOIN a2 ON a2.id = v.id
+        |ORDER BY v.id""") { (s, dir) =>
+      val edges = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.fromEdges(edges).hits(iters = 2)
+        .orderBy(col("id"))
+    },
+
+    // ----- undirected triadic census (library/clustering/
+    // TriadicCensus) on the nation clique+chord graph — closed-form
+    // from (n, m, wedges, triangles); oracle recomputes the
+    // primitives with its own joins -----
+    q("q103_graph_triad_census",
+      """WITH e AS (
+        |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_nationkey < b.n_nationkey
+        |   AND (a.n_regionkey = b.n_regionkey OR a.n_nationkey + 5 = b.n_nationkey)),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+        |c AS (SELECT
+        |  (SELECT count(DISTINCT src) FROM und) AS n,
+        |  (SELECT count(*) // 2 FROM und) AS m,
+        |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS wedges,
+        |  (SELECT count(*) FROM e ab JOIN e bc ON ab.dst = bc.src
+        |     JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst) AS t3)
+        |SELECT n*(n-1)*(n-2)//6 - (m*(n-2) - 2*(wedges - 3*t3) - 3*t3)
+        |         - (wedges - 3*t3) - t3 AS t0_empty,
+        |  m*(n-2) - 2*(wedges - 3*t3) - 3*t3 AS t1_one_edge,
+        |  wedges - 3*t3 AS t2_wedge,
+        |  t3 AS t3_triangle
+        |FROM c""") { (s, dir) =>
+      val n = Tables.t(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("ak"), col("n_regionkey").as("ar"))
+      val b = n.select(col("n_nationkey").as("bk"), col("n_regionkey").as("br"))
+      val edges = a.join(b, col("ak") < col("bk")
+          && (col("ar") === col("br") || col("ak") + 5 === col("bk")))
+        .select(col("ak").cast("long").as("src"), col("bk").cast("long").as("dst"))
+      Graph.fromEdges(edges).triadicCensus()
+    },
+
     // ----- fixed-point PageRank, 3 supersteps on the undirected
     // bipartite purchase graph: exact scaled-integer arithmetic, so
     // the oracle unrolls the identical recurrence in BIGINT SQL -----

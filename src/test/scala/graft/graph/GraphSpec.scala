@@ -42,6 +42,20 @@ class GraphSpec extends SparkSpec {
     assert(labels(10L) == labels(11L) && labels(11L) == labels(12L))
   }
 
+  test("hits separates hubs from authorities at the fixpoint") {
+    // 1→2←3: vertex 2 is the sole authority, 1 and 3 are hubs
+    val h = g((1L, 2L), (3L, 2L)).hits(iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(2L) == (0L, 1000000L))
+    assert(h(1L) == (1000000L, 0L) && h(3L) == (1000000L, 0L))
+  }
+
+  test("triadicCensus on K4 is all triangles") {
+    val c = g((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .triadicCensus().as[(Long, Long, Long, Long)].collect().head
+    assert(c == ((0L, 0L, 0L, 4L)))
+  }
+
   test("communityDetection converges per clique with attenuation ties") {
     // two disjoint triangles: round 1 adopts min neighbor, round 2
     // settles each clique on its min vertex id (ties → smallest label)
