@@ -130,14 +130,18 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
     var hub = vertices.select(col("id"), lit(SCALE).as("h"))
     var auth = vertices.select(col("id"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
+      // raw sums are consumed twice (max action + rescale join):
+      // checkpoint so the max() action doesn't re-run the lineage
       val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+        .localCheckpoint()
       val aMax = math.max(1L, aRaw.agg(max(col("raw"))).first().getLong(0))
       auth = vertices.select(col("id"))
         .join(aRaw, Seq("id"), "left")
         .select(col("id"), expr(s"coalesce(raw, CAST(0 AS BIGINT)) * $SCALE div $aMax").as("a"))
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+        .localCheckpoint()
       val hMax = math.max(1L, hRaw.agg(max(col("raw"))).first().getLong(0))
       hub = vertices.select(col("id"))
         .join(hRaw, Seq("id"), "left")
@@ -230,13 +234,14 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
         .join(state.select(col("id").as("mid"), col("label"), col("score")),
           col("src") === col("mid"))
         .select(col("dst").as("id"), col("label"), col("score"))
-      val perLabel = msgs.groupBy(col("id"), col("label"))
+      // argmax(total, tie → smallest label) as one map-side-combinable
+      // max_by — no per-superstep window sort
+      val picked = msgs.groupBy(col("id"), col("label"))
         .agg(round(sum(col("score")), 9).as("total"), max(col("score")).as("best"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("total").desc, col("label"))
-      val picked = perLabel.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("label"), col("best"))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("label"), col("best")),
+          struct(col("total"), -col("label"))).as("pick"))
+        .select(col("id"), col("pick.label").as("label"), col("pick.best").as("best"))
       val next = picked
         .join(state.select(col("id"), col("label").as("prev"),
           col("score").as("prev_score")), Seq("id"), "right")
@@ -246,7 +251,10 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
             .when(col("label") === col("prev"), col("best"))  // kept label
             .otherwise(col("best") - lit(delta) / step)       // changed
             .as("score"))
-      state = if (step % 5 == 0) next.localCheckpoint() else next
+      // state is read twice next superstep (messages + prev-label
+      // join): checkpoint every step or the lineage re-executes the
+      // whole prefix 2^steps times
+      state = next.localCheckpoint()
     }
     state.select(col("id"), col("label"))
   }

@@ -51,4 +51,66 @@ object MLEnv {
   def rmse(predictions: DataFrame, labelCol: String): Double =
     new RegressionEvaluator().setLabelCol(labelCol).setMetricName("rmse")
       .evaluate(predictions)
+
+  /** StochasticOutlierSelection (reference outlier/
+    * StochasticOutlierSelection.scala — Janssens et al.): per point,
+    * fit a Gaussian affinity over its distance row by binary-searching
+    * beta to the target perplexity, normalize to binding probabilities
+    * b_ij, and score f(j) = Π_i (1 − b_ij). Inherently all-pairs (the
+    * reference crosses the DataSet too); the distance rows build
+    * distributed via crossJoin + groupByKey, one row in memory per key
+    * at a time. `featuresCol` is Array[Double|Float].
+    * Returns (id, outlier_probability). */
+  def sos(df: DataFrame, idCol: String, featuresCol: String,
+      perplexity: Double = 4.5, maxIterations: Int = 100,
+      tolerance: Double = 1e-5): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val a = df.select(col(idCol).cast("long").as("i"), col(featuresCol).as("fa"))
+    val b = df.select(col(idCol).cast("long").as("j"), col(featuresCol).as("fb"))
+    val dist = expr(
+      """sqrt(aggregate(
+        |  zip_with(fa, fb, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin)
+    val pairs = a.crossJoin(b).filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"), dist.as("d"))
+      .as[(Long, Long, Double)]
+    val logPerp = math.log(perplexity)
+    val binding = pairs.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val row = it.toArray.sortBy(_._2)
+      val ds = row.map(_._3)
+      // reference binarySearch, iterative form
+      var beta = 1.0
+      var bMin = Double.NegativeInfinity
+      var bMax = Double.PositiveInfinity
+      var iter = 0
+      var done = false
+      while (iter < maxIterations && !done) {
+        val aff = ds.map(d => math.exp(-d * beta))
+        val sumA = aff.sum
+        val h = math.log(sumA) +
+          beta * ds.zip(aff).map { case (d, ad) => d * ad }.sum / sumA
+        val hDiff = h - logPerp
+        if (math.abs(hDiff) <= tolerance) done = true
+        else if (hDiff.isNaN) beta /= 10.0
+        else if (hDiff > 0) {
+          bMin = beta
+          beta = if (bMax.isInfinite) beta * 2.0 else (beta + bMax) / 2.0
+        } else {
+          bMax = beta
+          beta = if (bMin.isInfinite) beta / 2.0 else (beta + bMin) / 2.0
+        }
+        iter += 1
+      }
+      val aff = ds.map(d => math.exp(-d * beta))
+      val sumA = aff.sum
+      row.zip(aff).iterator.map { case ((_, j, _), af) => (j, af / sumA) }
+    }
+    binding.toDF("id", "b")
+      .groupBy(col("id").as(idCol))
+      // Π (1 − b) as exp(Σ log1p(−b)) — distributed product
+      .agg(exp(sum(expr("log1p(-b)"))).as("outlier_probability"))
+  }
 }

@@ -107,12 +107,22 @@ object Similarity extends QueryModule {
         |             JOIN norms nb ON nb.vec_id = b_id)
         |SELECT a_id, b_id, score FROM scored WHERE score >= 0.25
         |ORDER BY a_id, b_id""") { (s, dir) =>
-      val e = Tables.t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("qv"))
+      // norms are computed ONCE per row before the join — inside the
+      // join condition they would re-run per candidate pair (|block|×)
+      val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        col("embedding"),
+        expr("""sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+               |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin)
+          .as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("qv"), col("nrm").as("a_nrm"))
       val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-        col("embedding").as("ev"))
+        col("embedding").as("ev"), col("nrm").as("b_nrm"))
+      val dot = expr(
+        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
       a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-        .withColumn("score", round(expr(cosExpr), 6))
+        .withColumn("score", round(dot / (col("a_nrm") * col("b_nrm")), 6))
         .filter(col("score") >= 0.25)
         .select(col("a_id"), col("b_id"), col("score"))
         .orderBy(col("a_id"), col("b_id"))

@@ -31,4 +31,16 @@ class MLEnvSpec extends SparkSpec {
     val model = MLEnv.als(ratings, "u", "i", "r", rank = 4, maxIter = 2)
     assert(model.userFactors.count() > 0)
   }
+
+  test("SOS ranks the planted outlier highest") {
+    // reference ITSuite shape: a tight cluster plus one far point
+    val pts = Seq(
+      (0L, Array(1.0, 1.0)), (1L, Array(1.1, 1.0)), (2L, Array(0.9, 1.1)),
+      (3L, Array(1.0, 0.9)), (4L, Array(1.1, 1.1)), (5L, Array(8.0, 8.0)))
+      .toDF("id", "features")
+    val probs = MLEnv.sos(pts, "id", "features", perplexity = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probs(5L) > 0.9)                       // the outlier
+    assert(probs.filter(_._1 != 5L).values.forall(_ < probs(5L)))
+  }
 }
