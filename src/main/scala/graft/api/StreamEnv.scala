@@ -76,6 +76,40 @@ final class StreamOpsRow(val df: DataFrame) {
   def sideOutputs(tags: (String, Column)*): Map[String, DataFrame] =
     tags.toMap.map { case (name, pred) => name -> df.filter(pred) }
 
+  /** sideOutputLateData analog (WindowedStream.java sideOutputLateData
+    * + allowedLateness): tag each event against the CURRENT watermark
+    * — `is_late` is true when the event time is more than
+    * `allowanceMillis` behind it. Runs as a keyed state op because the
+    * watermark is only observable there; flatMapGroupsWithState input
+    * is not watermark-filtered, so late rows still arrive to be
+    * tagged. Downstream: route is_late to the late sink, the rest to
+    * the main pipeline. */
+  def tagLateData(tsCol: String, keyCol: String,
+      allowanceMillis: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+
+      StructField("is_late", BooleanType, nullable = false))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaLong
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val allowance = allowanceMillis // plain locals: the lambdas must
+    // not capture `this` (a DataFrame-holding wrapper is not
+    // serializable)
+    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Row], state: GroupState[Long]) => {
+          val wm = state.getCurrentWatermarkMs()
+          it.map { r =>
+            val ts = r.getTimestamp(tsIdx).getTime
+            Row.fromSeq(r.toSeq :+ (wm > 0 && ts < wm - allowance))
+          }
+        })
+  }
+
   def printSink(): StreamingQuery =
     df.writeStream.format("console").outputMode("append").start()
 

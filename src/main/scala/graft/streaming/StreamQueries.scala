@@ -428,7 +428,8 @@ object StreamQueries extends QueryModule {
         .withWatermark("ts", "1 minute")
         .as[(Long, java.sql.Timestamp, Double)]
       val fired = graft.streaming.Triggers.earlyFiringTumble(
-        ev, windowMillis = 6 * 3600 * 1000L, evictKeepLast = Some(20))
+        ev, windowMillis = 6 * 3600 * 1000L,
+        evictor = graft.streaming.Triggers.CountEvictor(20))
       val df = fired.toDF("user_id", "w_start", "n", "sum_cents", "is_final")
       viaMemorySink(s, df, "append", "graft_trigger_final")
         .filter(col("is_final") && col("user_id") =!= -1L)

@@ -29,16 +29,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Triggers {
 
-  /** Tumbling event-time window with early firing and optional count
+  /** Window evictors (reference evictors/{Count,Time,Delta}Evictor
+    * .java): which buffered elements participate in the aggregate.
+    * All operate on the window's (ts, value) elements in (ts, value)
+    * order, evicting before the aggregate function runs — the
+    * reference's evictBefore path. */
+  sealed trait Evictor
+  case object NoEvictor extends Evictor
+  /** Keep only the LAST n elements. */
+  final case class CountEvictor(keepLast: Int) extends Evictor
+  /** Keep only elements within keepMillis of the window's newest. */
+  final case class TimeEvictor(keepMillis: Long) extends Evictor
+  /** Keep elements whose |value − newestValue| < threshold (the
+    * reference's DeltaEvictor with an absolute-difference delta). */
+  final case class DeltaEvictor(threshold: Double) extends Evictor
+
+  /** Tumbling event-time window with early firing and an optional
     * evictor. The Timestamp column must be the one carrying the
     * stream's watermark (projecting it away upstream would disable
     * event-time timeouts). */
   def earlyFiringTumble[K: Encoder](
       events: Dataset[(K, java.sql.Timestamp, Double)], // (key, ts, value)
       windowMillis: Long,
-      evictKeepLast: Option[Int] = None): Dataset[(K, Long, Long, Double, Boolean)] = {
+      evictor: Evictor = NoEvictor): Dataset[(K, Long, Long, Double, Boolean)] = {
     require(windowMillis > 0, "windowMillis must be positive")
-    evictKeepLast.foreach(n => require(n > 0, "evictor keep-n must be positive"))
+    evictor match {
+      case CountEvictor(n) => require(n > 0, "evictor keep-n must be positive")
+      case TimeEvictor(ms) => require(ms > 0, "evictor keep-millis must be positive")
+      case DeltaEvictor(t) => require(t > 0, "evictor threshold must be positive")
+      case NoEvictor => ()
+    }
 
     type Win = (Long, Seq[(Long, Double)]) // winStart -> buffered (ts, value)
     implicit val stEnc: Encoder[Seq[Win]] = Encoders.kryo[Seq[Win]]
@@ -66,7 +86,16 @@ object Triggers {
             // sum in (ts, value) order: deterministic across replays
             // and partitionings (double addition is order-sensitive)
             val sorted = evs.sortBy(identity)
-            val kept = evictKeepLast.fold(sorted)(n => sorted.takeRight(n))
+            val kept = evictor match {
+              case NoEvictor => sorted
+              case CountEvictor(n) => sorted.takeRight(n)
+              case TimeEvictor(ms) =>
+                val newest = sorted.last._1
+                sorted.filter(_._1 >= newest - ms)
+              case DeltaEvictor(t) =>
+                val ref = sorted.last._2
+                sorted.filter(e => math.abs(e._2 - ref) < t)
+            }
             (kept.size.toLong, kept.foldLeft(0.0)(_ + _._2))
           }
 

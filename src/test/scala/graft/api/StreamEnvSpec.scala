@@ -60,6 +60,26 @@ class StreamEnvSpec extends SparkSpec {
     assert(outs("good").count() == 2 && outs("bad").count() == 1)
   }
 
+  test("tagLateData marks events behind the watermark as late") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val tagged = new StreamOpsRow(
+      input.toDF().toDF("ts", "k", "v").withWatermark("ts", "0 seconds"))
+      .tagLateData(tsCol = "ts", keyCol = "k")
+    val query = tagged.writeStream.format("memory")
+      .queryName("graft_test_late").outputMode("append").start()
+    try {
+      input.addData((ts(30), "a", 1.0)) // advances the watermark to 10:30
+      query.processAllAvailable()
+      // next batch sees wm=10:30: the 10:05 event is LATE, 10:40 is not
+      input.addData((ts(5), "a", 2.0), (ts(40), "a", 3.0))
+      query.processAllAvailable()
+      val byV = spark.table("graft_test_late")
+        .select(col("v"), col("is_late")).as[(Double, Boolean)].collect().toMap
+      assert(byV(1.0) == false && byV(2.0) == true && byV(3.0) == false)
+    } finally query.stop()
+  }
+
   test("connect merges two typed streams via a tagged union") {
     val a = new StreamOps(Seq(1, 2).toDS())
     val b = new StreamOps(Seq("x").toDS())

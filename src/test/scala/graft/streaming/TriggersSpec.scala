@@ -57,7 +57,7 @@ class TriggersSpec extends SparkSpec {
       .as[(Long, Timestamp, Double)]
 
     val fired = Triggers.earlyFiringTumble(events, windowMillis = 10 * MIN,
-      evictKeepLast = Some(2))
+      evictor = Triggers.CountEvictor(2))
     val q = fired.toDF("k", "win", "n", "sum", "is_final")
       .writeStream.format("memory").queryName("graft_trig_evict")
       .outputMode("append").start()
@@ -73,6 +73,41 @@ class TriggersSpec extends SparkSpec {
         .as[(Long, Long, Long, Double, Boolean)].collect().toSet
       // evictor: only the last 2 of the 3 elements aggregate (2+4)
       assert(finals == Set((1L, ts("10:00:00").getTime, 2L, 6.0, true)))
+    } finally q.stop()
+  }
+
+  test("time and delta evictors bound the aggregated elements") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+
+    // key 1 → time evictor (keep last 3 min of the window),
+    // key 2 → delta evictor (keep |v − newest| < 2)
+    val timeEv = Triggers.earlyFiringTumble(events.filter(_._1 == 1L),
+      windowMillis = 10 * MIN, evictor = Triggers.TimeEvictor(3 * MIN))
+    val deltaEv = Triggers.earlyFiringTumble(events.filter(_._1 == 2L),
+      windowMillis = 10 * MIN, evictor = Triggers.DeltaEvictor(2.0))
+    val fired = timeEv.union(deltaEv)
+    val q = fired.toDF("k", "win", "n", "sum", "is_final")
+      .writeStream.format("memory").queryName("graft_trig_te")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("10:00:00"), 1.0), (1L, ts("10:05:00"), 2.0), (1L, ts("10:07:00"), 4.0),
+        (2L, ts("10:00:00"), 1.0), (2L, ts("10:01:00"), 8.0), (2L, ts("10:02:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((9L, ts("10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((9L, ts("10:40:00"), 0.0))
+      q.processAllAvailable()
+      val finals = spark.table("graft_trig_te").where("is_final")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      // time: newest 10:07 → keep >= 10:04 → (2.0, 4.0)
+      assert(finals.contains((1L, ts("10:00:00").getTime, 2L, 6.0, true)))
+      // delta: newest v = 9.0 → keep |v-9| < 2 → (8.0, 9.0)
+      assert(finals.contains((2L, ts("10:00:00").getTime, 2L, 17.0, true)))
     } finally q.stop()
   }
 }
