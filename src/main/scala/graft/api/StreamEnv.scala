@@ -174,6 +174,44 @@ final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDatase
   def mapWithState[S: Encoder, R: Encoder](
       f: (K, Iterator[T], GroupState[S]) => R): Dataset[R] =
     kv.mapGroupsWithState(GroupStateTimeout.NoTimeout)(f)
+
+  /** ProcessWindowFunction analog (WindowedStream.java process /
+    * apply): the user function receives the window's COMPLETE,
+    * time-ordered element list, firing exactly once per window when
+    * the watermark passes its end. `tsMillis` must be epoch millis of
+    * the column carrying the stream's watermark; per-key state holds
+    * only the open windows, each purged at its final fire — the same
+    * assign→state→fire→purge cycle as the reference WindowOperator.
+    * (Incremental reduce/agg + process = pre-aggregate in the stream
+    * before keyBy, then apply here.) */
+  def windowApply[R: Encoder](windowMillis: Long, tsMillis: T => Long)(
+      f: (K, Long, Seq[T]) => IterableOnce[R]): Dataset[R] = {
+    require(windowMillis > 0, "windowMillis must be positive")
+    implicit val stEnc: Encoder[Seq[(Long, T)]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[(Long, T)]]
+    kv.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (key: K, it: Iterator[T], state: GroupState[Seq[(Long, T)]]) => {
+        val wm = state.getCurrentWatermarkMs()
+        val buf = state.getOption.getOrElse(Seq.empty) ++
+          it.map(t => (tsMillis(t), t))
+        val (closed, open) = buf.partition { case (ts, _) =>
+          Math.floorDiv(ts, windowMillis) * windowMillis + windowMillis <= wm
+        }
+        val fired = closed
+          .groupBy { case (ts, _) => Math.floorDiv(ts, windowMillis) * windowMillis }
+          .toSeq.sortBy(_._1)
+          .iterator.flatMap { case (ws, elems) =>
+            f(key, ws, elems.sortBy(_._1).map(_._2))
+          }
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(open)
+          state.setTimeoutTimestamp(
+            Math.floorDiv(open.map(_._1).min, windowMillis) * windowMillis + windowMillis)
+        }
+        fired
+      })
+  }
 }
 
 object StreamEnv {

@@ -80,6 +80,35 @@ class StreamEnvSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowApply fires once per sealed window with the full element list") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val applied = new StreamOps(
+      input.toDF().toDF("k", "ts", "v")
+        .withWatermark("ts", "0 seconds")
+        .as[(String, Timestamp, Double)])
+      .keyBy(_._1)
+      .windowApply[(String, Long, String)](
+        windowMillis = 10 * 60 * 1000L, tsMillis = _._2.getTime) {
+        (k, ws, elems) => Iterator((k, ws, elems.map(_._3).mkString(",")))
+      }
+    val query = applied.toDF("k", "win", "vals").writeStream.format("memory")
+      .queryName("graft_test_winapply").outputMode("append").start()
+    try {
+      // out-of-order inside the window: apply must see them time-sorted
+      input.addData(("a", ts(7), 3.0), ("a", ts(2), 1.0), ("a", ts(5), 2.0))
+      query.processAllAvailable()
+      assert(spark.table("graft_test_winapply").count() == 0) // not sealed yet
+      input.addData(("z", ts(30), 0.0))
+      query.processAllAvailable()
+      input.addData(("z", ts(45), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("graft_test_winapply").where("k = 'a'")
+        .as[(String, Long, String)].collect().toSet
+      assert(rows == Set(("a", ts(0).getTime, "1.0,2.0,3.0")))
+    } finally query.stop()
+  }
+
   test("connect merges two typed streams via a tagged union") {
     val a = new StreamOps(Seq(1, 2).toDS())
     val b = new StreamOps(Seq("x").toDS())
