@@ -365,6 +365,46 @@ object StreamQueries extends QueryModule {
         .orderBy(col("purchase_id"), col("error_id").asc_nulls_first)
     },
 
+    // ----- windowed stream-stream join (WindowJoin, flink-examples
+    // WindowJoin.java; JoinedStreams window(...).apply): both sides
+    // bucket into the same tumbling window and join on (key, window)
+    // equality — state on each side is watermark-bounded to the live
+    // window, the documented SS window-join shape -----
+    q("q104_windowed_stream_join",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND (epoch_ms(v.ts) // 3600000) = (epoch_ms(p.ts) // 3600000)
+        |ORDER BY view_id, purchase_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      def sentinel() = {
+        val m = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long)]
+        m.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+        m.toDF().toDF("event_id", "ts", "user_id")
+      }
+      val v = streamEvents(s, dir).filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .unionByName(sentinel())
+        .withWatermark("ts", "1 minute")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          window(col("ts"), "1 hour").as("vw"))
+      val p = streamEvents(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .unionByName(sentinel())
+        .withWatermark("ts", "1 minute")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          window(col("ts"), "1 hour").as("pw"))
+      val joined = v.join(p,
+          col("v_user") === col("p_user") && col("vw") === col("pw"))
+        .select(col("view_id"), col("purchase_id"))
+      viaMemorySink(s, joined, "append", "graft_window_join")
+        .filter(col("view_id") =!= -1L)
+        .orderBy(col("view_id"), col("purchase_id"))
+    },
+
     // ----- STREAMING session windows (q42 is the batch run of the
     // same assigner); sentinel flush seals every session under the
     // watermark so append mode emits the complete final state -----

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import java.sql.Timestamp
 
+/** Tagged element for the stream-coGroup composition test. */
+case class CoEv(k: String, ts: Timestamp, v: Double, side: String)
+
 class StreamEnvSpec extends SparkSpec {
   import spark.implicits._
 
@@ -106,6 +109,44 @@ class StreamEnvSpec extends SparkSpec {
       val rows = spark.table("graft_test_winapply").where("k = 'a'")
         .as[(String, Long, String)].collect().toSet
       assert(rows == Set(("a", ts(0).getTime, "1.0,2.0,3.0")))
+    } finally query.stop()
+  }
+
+  test("stream coGroup = tagged union + keyBy + windowApply") {
+    implicit val sc = spark.sqlContext
+    val left = MemoryStream[(String, Timestamp, Double)]
+    val right = MemoryStream[(String, Timestamp, Double)]
+    def ops(m: MemoryStream[(String, Timestamp, Double)], side: String) =
+      new StreamOps(m.toDF().toDF("k", "ts", "v")
+        .as[(String, Timestamp, Double)])
+        .map(t => CoEv(t._1, t._2, t._3, side))
+    // watermark re-assigned on the UNION's top-level ts (struct-
+    // wrapping in connect() drops event-time metadata — same reason
+    // Flink requires timestamps assigned before windowing)
+    val union = new StreamOps(
+      ops(left, "L").union(ops(right, "R")).ds.withWatermark("ts", "0 seconds"))
+    val cogrouped = union
+      .keyBy(_.k)
+      .windowApply[(String, Long, String, String)](
+        windowMillis = 10 * 60 * 1000L, tsMillis = _.ts.getTime) { (k, ws, elems) =>
+        val (ls, rs) = elems.partition(_.side == "L")
+        Iterator((k, ws, ls.map(_.v).mkString(","), rs.map(_.v).mkString(",")))
+      }
+    val query = cogrouped.toDF("k", "win", "lefts", "rights")
+      .writeStream.format("memory").queryName("graft_test_cogroup")
+      .outputMode("append").start()
+    try {
+      left.addData(("a", ts(2), 1.0), ("a", ts(5), 2.0))
+      right.addData(("a", ts(3), 9.0))
+      query.processAllAvailable()
+      // push both side's watermarks past the window
+      left.addData(("z", ts(30), 0.0)); right.addData(("z", ts(30), 0.0))
+      query.processAllAvailable()
+      left.addData(("z", ts(45), 0.0)); right.addData(("z", ts(45), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("graft_test_cogroup").where("k = 'a'")
+        .as[(String, Long, String, String)].collect().toSet
+      assert(rows == Set(("a", ts(0).getTime, "1.0,2.0", "9.0")))
     } finally query.stop()
   }
 
