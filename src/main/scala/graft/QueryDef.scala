@@ -50,7 +50,8 @@ object Registry {
     graft.cep.CepQueries,
     graft.table.TableQueries,
     graft.sources.SourceQueries,
-    graft.operators.ScaleQueries
+    graft.operators.ScaleQueries,
+    graft.operators.TpchQueries
   )
 
   lazy val all: Seq[QueryDef] = {

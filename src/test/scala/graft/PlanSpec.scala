@@ -38,4 +38,36 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "bucketed co-located join regressed to shuffling its inputs")
   }
+
+  test("q105 pushes every predicate to the scan and reads only 3 columns") {
+    val p = plan("q105_revenue_forecast")
+    // PushedFilters renders truncated in toString — assert the full
+    // predicate set on the Filter node and the pushed-list prefix
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"))
+    assert(p.contains(">= 0.05)") && p.contains("< 24.0)"))
+    assert(!p.contains("l_orderkey"), "unused column not pruned")
+  }
+
+  test("q106 EXISTS compiles to a semi join, not distinct+inner") {
+    val p = plan("q106_order_priority")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q117 EXISTS/NOT EXISTS become semi + anti joins") {
+    val p = plan("q117_waiting_orders")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q110 global threshold joins as a broadcast, never a collect") {
+    val p = plan("q110_important_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row threshold should broadcast")
+  }
+
+  test("q119 per-part argmax is one window pass over the grouped view") {
+    val p = plan("q119_best_supplier_per_part")
+    assert(p.contains("Window"))
+  }
 }
