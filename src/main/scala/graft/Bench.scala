@@ -33,7 +33,13 @@ object Bench {
     "q56_ann_bruteforce",
     "q58_text_stats",
     "q73_temporal_asof_join",
-    "q77_salted_join")
+    "q77_salted_join",
+    "q105_revenue_forecast",
+    "q110_important_parts",
+    "q112_customer_distribution",
+    "q117_waiting_orders",
+    "q119_best_supplier_per_part",
+    "q120_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

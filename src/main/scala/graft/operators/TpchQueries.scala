@@ -213,7 +213,12 @@ object TpchQueries extends QueryModule {
         |ORDER BY part_rev DESC, l_partkey""") { (s, dir) =>
       val li = Tables.t(s, dir, "lineitem")
       val pr = li.groupBy(col("l_partkey")).agg(sum(vol).as("rev"))
-      val tot = li.agg(sum(vol).as("total"), countDistinct(col("l_partkey")).as("nparts"))
+      // derive the global total from the per-part aggregate: the two
+      // branches share an identical agg subtree, so ReuseExchange
+      // evaluates the lineitem scan+shuffle once (vs. a second full
+      // scan for a direct global sum — the difference is 2× the
+      // dominant cost at 100 TB)
+      val tot = pr.agg(sum(col("rev")).as("total"), count(lit(1)).as("nparts"))
       pr.join(broadcast(tot))
         .filter(col("rev") * col("nparts") * 20 > col("total") * 21)
         .select(col("l_partkey"), moneyOut(col("rev")).as("part_rev"))

@@ -17,9 +17,17 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_RUN=true: execute first and dump the FINAL adaptive
+    // plan (shows AQE join demotions and ReusedExchange stage dedup,
+    // which the static plan hides)
+    val run = sys.env.get("SPARK_GRAFT_RUN").contains("true")
     for (n <- args; d <- Registry.all.find(_.name == n)) {
       println(s"========== $n ==========")
-      d.fn(spark, sfDir).explain("formatted")
+      val df = d.fn(spark, sfDir)
+      if (run) {
+        df.collect() // drive THIS queryExecution so AQE finalizes it
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

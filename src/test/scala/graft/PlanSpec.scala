@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
       "1-row threshold should broadcast")
   }
 
+  test("q110 computes the lineitem aggregation once (AQE stage reuse)") {
+    val df = Registry.all.find(_.name == "q110_important_parts").get.fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "threshold branch should reuse the per-part agg shuffle, not rescan lineitem")
+  }
+
   test("q119 per-part argmax is one window pass over the grouped view") {
     val p = plan("q119_best_supplier_per_part")
     assert(p.contains("Window"))
