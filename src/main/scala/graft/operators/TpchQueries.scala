@@ -466,18 +466,22 @@ object TpchQueries extends QueryModule {
         .join(broadcast(Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"))
+      // the correlated max is per part, so the p_size filter commutes
+      // with it — pushing the (broadcast) part filter BELOW the heavy
+      // (part,supplier) aggregation shrinks the agg input by the part
+      // selectivity while computing identical per-part maxima
+      val sizedParts = broadcast(Tables.t(s, dir, "part")
+        .filter(col("p_size") === 10).select(col("p_partkey"), col("p_name")))
       val ps = Tables.t(s, dir, "lineitem")
+        .join(sizedParts, col("p_partkey") === col("l_partkey"))
         .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .groupBy(col("l_partkey"), col("p_name"), col("l_suppkey"), col("s_name"))
         .agg(moneyOut(sum(vol)).as("rev"))
-      val best = ps.withColumn("max_rev",
+      ps.withColumn("max_rev",
           max(col("rev")).over(Window.partitionBy(col("l_partkey"))))
         .filter(col("rev") === col("max_rev"))
-      best
-        .join(broadcast(Tables.t(s, dir, "part").filter(col("p_size") === 10)),
-          col("p_partkey") === col("l_partkey"))
-        .join(Tables.t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
-        .select(col("p_partkey"), col("p_name"), col("s_name"), col("rev"))
+        .select(col("l_partkey").as("p_partkey"), col("p_name"), col("s_name"),
+          col("rev"))
         .orderBy(col("p_partkey"), col("s_name"))
     },
 

@@ -365,6 +365,80 @@ object StreamQueries extends QueryModule {
         .orderBy(col("purchase_id"), col("error_id").asc_nulls_first)
     },
 
+    // ----- STREAMING event-time temporal (versioned) table join
+    // (TemporalRowtimeJoin.scala:1; q73 is the batch as-of of the same
+    // semantics): each purchase joins the signup-rate version valid AT
+    // its event time; keyed state holds sorted versions + buffered
+    // probes, emission on watermark, superseded versions evicted -----
+    q("q122_stream_temporal_join",
+      """WITH j AS (SELECT p.event_id AS event_id,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |     AND s.ts <= p.ts
+        |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS rate
+        |  FROM events p WHERE p.event_type = 'purchase')
+        |SELECT event_id, rate FROM j WHERE rate IS NOT NULL
+        |ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, "signup", 0.0))
+      val ev = streamEvents(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .unionByName(sentinel.toDF()
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("seq"), col("event_id").as("probeId"))
+      val build = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("seq"), col("value"))
+      val joined = TemporalJoin.rowTime(probe, build, "0 seconds")
+      viaMemorySink(s, joined, "append", "graft_temporal_join")
+        .filter(col("probeId") >= 0)
+        .select(col("probeId").as("event_id"), col("value").as("rate"))
+        .orderBy(col("event_id"))
+    },
+
+    // ----- STREAMING row-time bounded-RANGE OVER (RowTimeBounded
+    // RangeOver.scala; q76 is the per-batch proc-time form): per-row
+    // 1-hour trailing sum per user, emitted on watermark, frame-
+    // ineligible rows evicted — SQL `RANGE BETWEEN INTERVAL 1 HOUR
+    // PRECEDING AND CURRENT ROW` semantics including equal-ts peers -----
+    q("q123_stream_over_rowtime",
+      """SELECT event_id,
+        |  CAST(round(sum(CAST(value AS decimal(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        |    4) AS DOUBLE) AS run_sum
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, 0.0))
+      val ev = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .unionByName(sentinel.toDF().toDF("event_id", "ts", "user_id", "value"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id").as("key"), col("ts"),
+          unix_micros(col("ts")).as("tsUs"), col("event_id").as("seq"),
+          col("value"), col("event_id").as("rowId"))
+        .as[RowTimeOver.OvEvent]
+      val summed = RowTimeOver.boundedRangeSum(ev, 3600L * 1000000L)
+        .toDF("event_id", "sum_raw")
+      viaMemorySink(s, summed, "append", "graft_over_rowtime")
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"),
+          moneyOut(col("sum_raw").cast(DecimalType(38, 4))).as("run_sum"))
+        .orderBy(col("event_id"))
+    },
+
     // ----- windowed stream-stream join (WindowJoin, flink-examples
     // WindowJoin.java; JoinedStreams window(...).apply): both sides
     // bucket into the same tumbling window and join on (key, window)
