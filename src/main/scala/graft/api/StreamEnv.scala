@@ -146,6 +146,35 @@ final class StreamOps[T](val ds: Dataset[T]) {
       e: Encoder[Tagged[T, U]]): StreamOps[Tagged[T, U]] =
     new StreamOps(ds.map(l => Tagged[T, U](Some(l), None))
       .union(other.ds.map(r => Tagged[T, U](None, Some(r)))))
+
+  /** countWindowAll (DataStream.java:757): NON-keyed tumbling count
+    * windows. Like the reference's AllWindowedStream this is
+    * inherently parallelism-1 (all elements route to one key); each
+    * full window of `size` elements fires `f(windowIndex, elements)`
+    * once, elements in arrival order. Keyed count windows with real
+    * parallelism are `keyBy(...).process` (q46 shape). */
+  def countWindowAll[R: Encoder](size: Int)(
+      f: (Long, Seq[T]) => IterableOnce[R]): Dataset[R] = {
+    require(size > 0, "size must be positive")
+    implicit val stEnc: Encoder[(Long, Seq[T])] =
+      org.apache.spark.sql.Encoders.kryo[(Long, Seq[T])]
+    implicit val unitEnc: Encoder[Int] = org.apache.spark.sql.Encoders.scalaInt
+    ds.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[T], state: GroupState[(Long, Seq[T])]) => {
+          var (nextId, buf) = state.getOption.getOrElse((0L, Seq.empty[T]))
+          buf = buf ++ it
+          val out = scala.collection.mutable.ArrayBuffer.empty[R]
+          while (buf.size >= size) {
+            out ++= f(nextId, buf.take(size))
+            buf = buf.drop(size)
+            nextId += 1
+          }
+          if (buf.isEmpty && nextId == 0) state.remove()
+          else state.update((nextId, buf))
+          out.iterator
+        })
+  }
 }
 
 /** Encodable Either: exactly one side is defined. */

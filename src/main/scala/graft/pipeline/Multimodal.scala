@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** One row per document after binary featurization. */
 final case class BinFeature(doc_id: Long, n_bytes: Int, hist: String)
 
+/** One row per SAMPLED frame of a framed binary payload. */
+final case class FrameFeature(doc_id: Long, frame_idx: Int, frame_len: Int,
+    checksum: Int)
+
 /** Multimodal-column plumbing: media payloads are opaque `binary`
   * columns with typed metadata; decode / feature-extract runs as a
   * partition-batched function over the binary bytes (the Scala analog
@@ -54,6 +58,43 @@ object Multimodal extends QueryModule {
         }
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // ----- frame sampling: the video/audio shape — a framed binary
+    // payload expands 1→N typed frame rows, sampling every 4th frame;
+    // per-frame feature is a deterministic fake checksum (the decode
+    // stub), the partition-batched expansion and typed output schema
+    // are the real pipeline plumbing -----
+    q("q124_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, (i.i - 1) // 64 AS frame_idx,
+        |    ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i))
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(count(*) AS INTEGER) AS frame_len,
+        |  CAST(sum(b) % 997 AS INTEGER) AS checksum
+        |FROM f WHERE frame_idx % 4 = 0
+        |GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""") { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, payload) =>
+            val nFrames = (payload.length + 63) / 64
+            Iterator.range(0, nFrames, step = 4).map { fi =>
+              val from = fi * 64
+              val until = math.min(from + 64, payload.length)
+              var sum = 0L
+              var k = from
+              while (k < until) { sum += (payload(k) & 0xff); k += 1 }
+              FrameFeature(id, fi, until - from, (sum % 997).toInt)
+            }
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }

@@ -150,6 +150,27 @@ class StreamEnvSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("countWindowAll fires once per full window of n elements") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Int]
+    val windows = new StreamOps(in.toDS())
+      .countWindowAll[(Long, String)](3)((id, elems) =>
+        Iterator((id, elems.mkString("+"))))
+    val query = windows.toDF("win", "elems")
+      .writeStream.format("memory").queryName("graft_test_cwa")
+      .outputMode("append").start()
+    try {
+      in.addData(1, 2, 3, 4)
+      query.processAllAvailable()
+      in.addData(5, 6, 7)
+      query.processAllAvailable()
+      val rows = spark.table("graft_test_cwa")
+        .as[(Long, String)].collect().sortBy(_._1).toList
+      // 7 elements → two full windows fire, the 7th stays buffered
+      assert(rows == List((0L, "1+2+3"), (1L, "4+5+6")))
+    } finally query.stop()
+  }
+
   test("connect merges two typed streams via a tagged union") {
     val a = new StreamOps(Seq(1, 2).toDS())
     val b = new StreamOps(Seq("x").toDS())
