@@ -44,10 +44,25 @@ object RowTimeOver {
             .sortBy(r => (r._1, r._2))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // emit every not-yet-emitted row strictly below the watermark:
-          // its whole frame [ts−range, ts] is complete
-          val out = buf.filter(r => !r._5 && r._1 < wmUs).map { case (ts, _, _, id, _) =>
-            val frame = buf.filter(r => r._1 >= ts - rangeUs && r._1 <= ts)
-            (id, frame.map(_._3).sum)
+          // its whole frame [ts−range, ts] is complete. Frames of
+          // successive rows are nested ranges of the sorted buffer, so
+          // one two-pointer pass with a running sum emits ALL sealed
+          // rows in O(|buffer|) — a per-row frame scan would be
+          // quadratic per key per batch and collapses at scale.
+          val arr = buf.toIndexedSeq
+          var start = 0
+          var end = 0
+          var running = BigDecimal(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, BigDecimal)]
+          for (i <- arr.indices if !arr(i)._5 && arr(i)._1 < wmUs) {
+            val ts = arr(i)._1
+            while (end < arr.length && arr(end)._1 <= ts) {
+              running += arr(end)._3; end += 1
+            }
+            while (arr(start)._1 < ts - rangeUs) {
+              running -= arr(start)._3; start += 1
+            }
+            out += ((arr(i)._4, running))
           }
           val marked = buf.map(r => if (r._1 < wmUs) r.copy(_5 = true) else r)
           // evict rows that can't be frame members of any future row

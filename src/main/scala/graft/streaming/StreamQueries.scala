@@ -29,9 +29,14 @@ object StreamQueries extends QueryModule {
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    val st = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet")  // file source wants a dir
-      .parquet(dir)
+    // driver testdata ships events.parquet as a single FILE (file
+    // source needs the parent dir + a glob); rewritten copies
+    // (tools.Scale) are parquet DIRECTORIES readable directly
+    val st =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/events.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
       st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else st

@@ -22,7 +22,21 @@ final class TableEnv(val spark: SparkSession) {
   def registerTable(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
-  def sqlQuery(sql: String): DataFrame = spark.sql(rewrite(sql))
+  def sqlQuery(sql: String): DataFrame = sql match {
+    // MATCH_RECOGNIZE routes to the CEP compiler (the reference plans
+    // it as DataStreamMatch over the NFA runtime, DataStreamMatch
+    // .scala:65 — Spark's parser has no such clause, so the supported
+    // form is `SELECT * FROM <table> MATCH_RECOGNIZE (...)` with an
+    // optional trailing ORDER BY)
+    case TableEnv.MatchRecognizeSql(table, clause, order) =>
+      val matched = graft.cep.MatchRecognize(spark.table(table), clause)
+      if (order == null) matched
+      else {
+        matched.createOrReplaceTempView("__graft_mr")
+        spark.sql(s"SELECT * FROM __graft_mr $order")
+      }
+    case _ => spark.sql(rewrite(sql))
+  }
 
   /** INSERT INTO (TableEnvironment.sqlUpdate — 1.8 has DML only). */
   def sqlUpdate(sql: String): Unit = spark.sql(rewrite(sql))
@@ -50,4 +64,9 @@ final class TableEnv(val spark: SparkSession) {
 
 object TableEnv {
   def apply(spark: SparkSession): TableEnv = new TableEnv(spark)
+
+  /** `SELECT * FROM t MATCH_RECOGNIZE ( ... ) [ORDER BY ...]` — the
+    * clause body is everything between the outermost parentheses. */
+  private[table] val MatchRecognizeSql =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY\s+[\w\s,.]+)?\s*""".r
 }
