@@ -54,4 +54,51 @@ object SortedIntersectSize {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(SortedIntersectSize(Bridge.expression(a), Bridge.expression(b)))
   }
+
+  def computeLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { common += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  def sorted_intersect_size_long(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SortedIntersectSizeLong(Bridge.expression(a), Bridge.expression(b)))
+  }
+}
+
+/** |A ∩ B| for SORTED, DISTINCT long arrays — same merge as
+  * SortedIntersectSize but on primitive longs (no string deref), for
+  * callers that pre-hash set elements (q54: 64-bit gram hashes make
+  * the per-pair merge a primitive compare; a collision would need
+  * ~2^32 grams in one document, so Jaccard values are unchanged).
+  */
+case class SortedIntersectSizeLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.computeLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectSize.computeLong($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_size_long"
 }

@@ -180,13 +180,20 @@ object Dedup extends QueryModule {
       // surviving candidate set.
       val g = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          // native codegen'd gram builder; sorted ONCE per doc so the
-          // per-pair intersection is a linear merge
-          array_sort(array_distinct(char_ngrams(col("text"), 3))).as("grams"))
+          // native codegen'd gram builder; grams ride as 64-bit hashes
+          // (collision-free at any realistic gram count) sorted ONCE
+          // per doc, so the per-pair intersection is a primitive-long
+          // linear merge — no string deref in the quadratic inner loop
+          array_sort(array_distinct(
+            transform(char_ngrams(col("text"), 3), xxhash64(_)))).as("grams"))
+        // materialize the gram table once: both sides of the self-join
+        // read the cached copy instead of re-running ngram+hash+sort
+        // per side (at cluster scale: checkpoint to parquet instead)
+        .persist()
       val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("grams").as("g_a"))
       val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("grams").as("g_b"))
       val common = graft.functions.SortedIntersectSize
-        .sorted_intersect_size(col("g_a"), col("g_b"))
+        .sorted_intersect_size_long(col("g_a"), col("g_b"))
       // |A∪B| = |A|+|B|-|A∩B| — no per-pair array materialization
       val jacc = common.cast("double") /
         (size(col("g_a")) + size(col("g_b")) - common)

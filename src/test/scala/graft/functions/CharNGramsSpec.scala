@@ -27,4 +27,16 @@ class CharNGramsSpec extends SparkSpec {
     assert(r(0).getSeq[String](0) == Seq("ab", "bc", "cd"))
     assert(r(1).isNullAt(0))
   }
+
+  test("sorted_intersect_size_long merges primitive arrays correctly") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),  // {3,5}
+      (Seq.empty[Long], Seq(1L, 2L)),                // empty side
+      (Seq(7L), Seq(7L))                             // identical singletons
+    ).toDF("a", "b")
+    val r = df.select(SortedIntersectSize
+        .sorted_intersect_size_long(col("a"), col("b")).as("n"))
+      .as[Int].collect().toSeq
+    assert(r == Seq(2, 0, 1))
+  }
 }
