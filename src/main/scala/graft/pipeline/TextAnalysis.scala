@@ -60,6 +60,33 @@ object TextAnalysis extends QueryModule {
             .when(stops("le", "et", "la", "les") > 0, "fr")
             .otherwise("unknown").as("lang_guess"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- deterministic content-hash split assignment: every doc
+    // lands in train/val/test by a hash of its CONTENT (80/10/10), so
+    // the split is reproducible across runs, engines and cluster
+    // sizes, and a re-ingested duplicate always lands in the same
+    // split (no train/test leakage from dedup misses). Pure map —
+    // no shuffle, no RNG state. -----
+    q("q125_hash_split",
+      """SELECT doc_id, CAST(h % 100 AS INTEGER) AS bucket,
+        |  CASE WHEN h % 100 < 80 THEN 'train'
+        |       WHEN h % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1,9),
+        |    hx -> (strpos('0123456789abcdef', substr(md5(text), hx, 1))-1)
+        |          * (2**(4*(8-hx))))) AS BIGINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), (h % 100).cast("int").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
     }
   )
 }
