@@ -57,7 +57,12 @@ object CEP {
       negated: Boolean = false,
       // until (Pattern.java until()): stop consuming the quantified
       // block at the first event satisfying this (event not consumed)
-      untilPred: Option[T => Boolean] = None)
+      untilPred: Option[T => Boolean] = None,
+      // IterativeCondition (flink-cep conditions/IterativeCondition
+      // .java): the predicate also sees the events matched by EARLIER
+      // stages (ctx.getEventsForPattern) — e.g. B.price > A.price.
+      // The context excludes the current stage's own partial block.
+      ctxPred: Option[(T, Map[String, Seq[T]]) => Boolean] = None)
 
   /** Immutable fluent builder — Pattern.begin("a").where(p)
     * .followedBy("b").where(q).within(1.hour) */
@@ -73,6 +78,17 @@ object CEP {
       updLast(s => s.copy(pred = t => s.pred(t) && p(t)))
     def or(p: T => Boolean): Pattern[T] =
       updLast(s => s.copy(pred = t => s.pred(t) || p(t)))
+    /** IterativeCondition: the predicate also receives the events of
+      * all EARLIER completed stages by name (B.where((b, ctx) =>
+      * b.price > ctx("A").head.price)). ANDs with any plain where. */
+    def whereCtx(p: (T, Map[String, Seq[T]]) => Boolean): Pattern[T] =
+      updLast { s =>
+        require(!s.negated, "whereCtx is not supported on negated stages")
+        s.copy(ctxPred = s.ctxPred match {
+          case Some(prev) => Some((t, c) => prev(t, c) && p(t, c))
+          case None => Some(p)
+        })
+      }
     def next(name: String): Pattern[T] =
       copy(stages = stages :+ Stage[T](name, _ => true, Strict, 1, 1))
     def followedBy(name: String): Pattern[T] =
@@ -144,6 +160,9 @@ object CEP {
       if (stageIdx == pattern.stages.length)
         return Iterator((acc, pos - 1))
       val st = pattern.stages(stageIdx)
+      // IterativeCondition context: earlier completed stages by name
+      lazy val ctx: Map[String, Seq[T]] = acc.toMap
+      def ok(e: T): Boolean = st.pred(e) && st.ctxPred.forall(_(e, ctx))
       def inWindow(i: Int, firstTs: Long): Boolean =
         pattern.withinSpan.isEmpty || firstTs < 0 ||
           tsOf(events(i)) - firstTs <= pattern.withinSpan.get
@@ -168,7 +187,7 @@ object CEP {
         case RelaxedAny =>
           // branch on every qualifying element at or after pos
           Iterator.range(pos, events.length)
-            .filter(i => st.pred(events(i)) && inWindow(i, firstTs0)
+            .filter(i => ok(events(i)) && inWindow(i, firstTs0)
               && gapClean(pos, i))
             .flatMap { i =>
               val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
@@ -180,8 +199,8 @@ object CEP {
           // in-order subsequence of qualifying events fills the block
           var entry = pos
           if (st.contiguity == Relaxed && stageIdx > 0)
-            while (entry < events.length && !st.pred(events(entry))) entry += 1
-          if (entry >= events.length || !st.pred(events(entry)) ||
+            while (entry < events.length && !ok(events(entry))) entry += 1
+          if (entry >= events.length || !ok(events(entry)) ||
               !inWindow(entry, firstTs0) || !gapClean(pos, entry)) Iterator.empty
           else {
             val fTs = if (firstTs0 < 0) tsOf(events(entry)) else firstTs0
@@ -199,7 +218,7 @@ object CEP {
               val grow =
                 if (taken.size < st.maxTimes)
                   Iterator.range(from, stopIdx)
-                    .filter(j => st.pred(events(j)) && inWindow(j, fTs))
+                    .filter(j => ok(events(j)) && inWindow(j, fTs))
                     .flatMap(j => pick(j + 1, taken :+ events(j)))
                 else Iterator.empty
               stop ++ grow
@@ -209,13 +228,13 @@ object CEP {
         case _ =>
           var i = pos
           if (st.contiguity == Relaxed && stageIdx > 0)
-            while (i < events.length && !st.pred(events(i))) i += 1
+            while (i < events.length && !ok(events(i))) i += 1
           if (!gapClean(pos, math.min(i, events.length))) Iterator.empty
           else {
             var taken = 0
             var firstTs = firstTs0
             val buf = Vector.newBuilder[T]
-            while (i < events.length && taken < st.maxTimes && st.pred(events(i))
+            while (i < events.length && taken < st.maxTimes && ok(events(i))
                 && inWindow(i, firstTs)
                 && !st.untilPred.exists(_(events(i)))) {
               if (firstTs < 0) firstTs = tsOf(events(i))
@@ -234,7 +253,8 @@ object CEP {
 
     var s = 0
     while (s < events.length) {
-      if (s > blockedBelow && pattern.stages.head.pred(events(s))) {
+      if (s > blockedBelow && pattern.stages.head.pred(events(s))
+          && pattern.stages.head.ctxPred.forall(_(events(s), Map.empty))) {
         val completions = expand(0, s, -1L, Nil, None)
         val branching = pattern.stages.exists(st =>
           st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
@@ -287,6 +307,49 @@ object CEP {
   def patternStream[T, K: Encoder, R: Encoder](events: Dataset[T], p: Pattern[T],
       keyFn: T => K, tsMillis: T => Long, tieBreak: T => Long)(
       select: (K, Match[T]) => R)(
+      implicit bufEnc: Encoder[Seq[T]]): Dataset[R] =
+    patternStreamImpl(events, p, keyFn, tsMillis, tieBreak, select, None)
+
+  /** The longest partial match of a PROPER prefix of `p`'s stages,
+    * anchored at `tail.head` (trailing negated stages are dropped from
+    * each candidate prefix — a pattern may not end negated). Falls
+    * back to the bare start event when even the first stage's
+    * quantifier cannot complete. Used for timed-out partial matches
+    * (reference: TimedOutPartialMatchHandler, flink-cep
+    * PatternProcessFunction). */
+  def longestPartial[T](tail: IndexedSeq[T], p: Pattern[T])(
+      tsOf: T => Long): Match[T] = {
+    val head = tail.head
+    Iterator.range(p.stages.length - 1, 0, -1)
+      .flatMap { k =>
+        val trimmed = p.stages.take(k).reverse.dropWhile(_.negated).reverse
+        if (trimmed.isEmpty) None
+        else matchSequence(tail, p.copy(stages = trimmed, skip = NoSkip))(tsOf)
+          .find(_.stages(trimmed.head.name).headOption.contains(head))
+      }
+      .nextOption()
+      .getOrElse(Match(Map(p.stages.head.name -> Seq(head))))
+  }
+
+  /** patternStream with the reference's timed-out side output
+    * (PatternStream.flatSelect timeout variant, PatternStream.java:
+    * 243): when a start event's window seals WITHOUT a completed
+    * match, `timeoutSelect` receives the longest partial match
+    * anchored at it. Under SKIP_PAST_LAST, starts consumed by an
+    * emitted match are skipped, not timed out. */
+  def patternStreamWithTimeouts[T, K: Encoder, R: Encoder](
+      events: Dataset[T], p: Pattern[T],
+      keyFn: T => K, tsMillis: T => Long, tieBreak: T => Long)(
+      select: (K, Match[T]) => R)(timeoutSelect: (K, Match[T]) => R)(
+      implicit bufEnc: Encoder[Seq[T]]): Dataset[R] =
+    patternStreamImpl(events, p, keyFn, tsMillis, tieBreak, select,
+      Some(timeoutSelect))
+
+  private def patternStreamImpl[T, K: Encoder, R: Encoder](
+      events: Dataset[T], p: Pattern[T],
+      keyFn: T => K, tsMillis: T => Long, tieBreak: T => Long,
+      select: (K, Match[T]) => R,
+      timeoutSelect: Option[(K, Match[T]) => R])(
       implicit bufEnc: Encoder[Seq[T]]): Dataset[R] = {
     require(p.withinSpan.isDefined,
       "patternStream requires within() — unbounded patterns cannot seal")
@@ -343,7 +406,31 @@ object CEP {
               else nfTs + span + 1 // re-fire solely to clean up the fence
             state.setTimeoutTimestamp(wake)
           }
-          out.iterator.map(m => select(k, m))
+          // timed-out partials: starts sealing NOW, past the (new)
+          // fence, that no completed match began at
+          val timedOut = timeoutSelect match {
+            case Some(tf) =>
+              val matchedStarts = out.map { m =>
+                val first = m.stages.values.flatten
+                  .minBy(e => (tsMillis(e), tieBreak(e)))
+                (tsMillis(first), tieBreak(first))
+              }.toSet
+              val arr = buf.toIndexedSeq
+              arr.indices.iterator
+                .filter { i =>
+                  val e = arr(i)
+                  isSealed(e) && p.stages.head.pred(e) &&
+                    !matchedStarts((tsMillis(e), tieBreak(e))) &&
+                    (p.skip != SkipPastLast || {
+                      val t = tsMillis(e)
+                      t > nfTs || (t == nfTs && tieBreak(e) > nfTie)
+                    })
+                }
+                .map(i => tf(k, longestPartial(arr.drop(i), p)(tsMillis)))
+                .toSeq
+            case None => Seq.empty
+          }
+          out.iterator.map(m => select(k, m)) ++ timedOut.iterator
         })
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -368,6 +368,51 @@ object StreamQueries extends QueryModule {
       viaMemorySink(s, joined, "append", "graft_stream_oj")
         .filter(col("purchase_id") =!= -1L)
         .orderBy(col("purchase_id"), col("error_id").asc_nulls_first)
+    },
+
+    // ----- STREAMING CEP with the timed-out side output
+    // (PatternStream.flatSelect timeout variant): views with NO
+    // purchase inside the 1h window = abandoned funnels, emitted from
+    // the timeout side when each view's window seals -----
+    q("q126_cep_stream_timeouts",
+      """SELECT v.user_id, v.event_id AS view_id
+        |FROM events v
+        |WHERE v.event_type = 'view'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        |      AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |ORDER BY view_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.cep.CEP
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, "noise"))
+      type Ev = (Long, java.sql.Timestamp, Long, String)
+      val ev: Dataset[Ev] = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .unionByName(sentinel.toDF()
+          .toDF("event_id", "ts", "user_id", "event_type"))
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp, Long, String)]
+      val p = CEP.Pattern.begin[Ev]("view").where(_._4 == "view")
+        .followedBy("purchase").where(_._4 == "purchase")
+        .within(scala.concurrent.duration.Duration(1, "hour"))
+      implicit val bufEnc: org.apache.spark.sql.Encoder[Seq[Ev]] =
+        org.apache.spark.sql.Encoders.kryo[Seq[Ev]]
+      val tagged = CEP.patternStreamWithTimeouts(ev, p,
+        (e: Ev) => e._3, (e: Ev) => e._2.getTime, (e: Ev) => e._1) {
+        (uid, m) => (uid, m.stages("view").head._1, false)
+      } { (uid, partial) =>
+        (uid, partial.stages("view").head._1, true)
+      }
+      viaMemorySink(s, tagged.toDF("user_id", "view_id", "timed_out"),
+          "append", "graft_cep_timeouts")
+        .filter(col("timed_out") && col("user_id") >= 0)
+        .select(col("user_id"), col("view_id"))
+        .orderBy(col("view_id"))
     },
 
     // ----- STREAMING event-time temporal (versioned) table join

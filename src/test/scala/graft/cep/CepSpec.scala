@@ -134,4 +134,31 @@ class CepSpec extends AnyFunSuite {
     val ms = matchSequence(ev("a b c"), p)(_._3)
     assert(ms.size == 2)
   }
+
+  test("whereCtx sees earlier stages (IterativeCondition)") {
+    // b must have a LATER id than twice a's id: with a=(0,2) only
+    // b-events with id > 2*a qualify. Events: a0 b1 a2 b3 b5-ish
+    val events = IndexedSeq[E](
+      (0L, "a", 0), (1L, "b", 10), (2L, "a", 20), (3L, "b", 30), (5L, "b", 40))
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b")
+      .whereCtx((b, ctx) => b._1 > 2 * ctx("a").head._1)
+    val ms = matchSequence(events, p)(_._3)
+    // a=0: first b with id>0 is b1; a=2: needs id>4 → b5
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head))
+      == Seq((0L, 1L), (2L, 5L)))
+  }
+
+  test("whereCtx gates quantified blocks against the anchor stage") {
+    // block elements must exceed the anchor's id
+    val events = IndexedSeq[E](
+      (2L, "a", 0), (1L, "e", 10), (3L, "e", 20), (4L, "e", 30))
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("es").where(_._2 == "e")
+      .whereCtx((e, ctx) => e._1 > ctx("a").head._1)
+      .oneOrMore
+    val ms = matchSequence(events, p)(_._3)
+    // relaxed entry skips e1 (fails ctx), block = contiguous e3 e4
+    assert(ids(ms.head, "es") == Seq(3L, 4L))
+  }
 }

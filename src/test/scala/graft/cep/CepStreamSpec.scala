@@ -95,4 +95,48 @@ class CepStreamSpec extends SparkSpec {
       assert(rows == Set((1L, 100L, 103L)))
     } finally q.stop()
   }
+
+  test("timed-out partial matches emit to the timeout side") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDF().toDF("user_id", "event_id", "typ", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+
+    val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+      .followedBy("cart").where(_._3 == "cart")
+      .followedBy("purchase").where(_._3 == "purchase")
+      .within(10.seconds)
+
+    // matches tagged "M", timeouts "T" with the deepest stage reached
+    val out = CEP.patternStreamWithTimeouts(events, p,
+      (e: Ev) => e._1, (e: Ev) => e._4.getTime, (e: Ev) => e._2) {
+      (uid, m) => (uid, "M", m.stages("view").head._2)
+    } { (uid, partial) =>
+      (uid, "T:" + partial.stages.keys.toSeq.sorted.mkString(","),
+        partial.stages("view").head._2)
+    }
+
+    val q = out.writeStream.format("memory")
+      .queryName("graft_cep_timeout").outputMode("append").start()
+    try {
+      input.addData(
+        // user 1 completes the pattern
+        (1L, 100L, "view", ts("10:00:00")), (1L, 101L, "cart", ts("10:00:02")),
+        (1L, 102L, "purchase", ts("10:00:04")),
+        // user 2 abandons after cart — view+cart partial must time out
+        (2L, 200L, "view", ts("10:00:00")), (2L, 201L, "cart", ts("10:00:03")))
+      q.processAllAvailable()
+      input.addData((9L, 900L, "noise", ts("10:00:30")))
+      q.processAllAvailable()
+      input.addData((9L, 901L, "noise", ts("10:01:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("graft_cep_timeout")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, "M", 100L),
+        (2L, "T:cart,view", 200L)))
+    } finally q.stop()
+  }
 }
