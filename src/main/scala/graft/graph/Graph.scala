@@ -38,6 +38,64 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
   def mapVertices(f: Column, name: String): Graph =
     new Graph(vertices.withColumn(name, f), edges)
 
+  /** mapEdges (Graph.java mapEdges): derive/replace an edge attr. */
+  def mapEdges(f: Column, name: String): Graph =
+    new Graph(vertices, edges.withColumn(name, f))
+
+  /** subgraph with BOTH predicates (Graph.java subgraph(vFilter,
+    * eFilter)); edges must also keep both endpoints. */
+  def subgraph(vPred: Column, ePred: Column): Graph = {
+    val g = subgraph(vPred)
+    new Graph(g.vertices, g.edges.filter(ePred))
+  }
+
+  /** filterOnEdges (vertices untouched). */
+  def filterOnEdges(ePred: Column): Graph =
+    new Graph(vertices, edges.filter(ePred))
+
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDegree"))
+
+  def outDegrees: DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))
+
+  /** joinWithVertices (Graph.java joinWithVertices): left join an
+    * (id, ...) input onto the vertex set. */
+  def joinWithVertices(other: DataFrame): Graph =
+    new Graph(vertices.join(other, Seq("id"), "left_outer"), edges)
+
+  /** Graph union (Graph.java union): vertex ids deduplicate, edge
+    * BAG union (the reference keeps duplicate edges). */
+  def union(other: Graph): Graph =
+    new Graph(
+      vertices.select(col("id")).unionByName(other.vertices.select(col("id")))
+        .distinct(),
+      edges.select(col("src"), col("dst"))
+        .unionByName(other.edges.select(col("src"), col("dst"))))
+
+  /** Graph difference (Graph.java difference): remove the other
+    * graph's vertices and every edge touching them. */
+  def difference(other: Graph): Graph = {
+    val keep = vertices.select(col("id"))
+      .except(other.vertices.select(col("id")))
+    val e2 = edges
+      .join(keep.withColumnRenamed("id", "src"), "src")
+      .join(keep.withColumnRenamed("id", "dst"), "dst")
+      .select(col("src"), col("dst"))
+    new Graph(keep, e2)
+  }
+
+  /** Edge intersection (Graph.java intersect distinct mode): edges
+    * present in both; vertices are the edges' endpoints. */
+  def intersect(other: Graph): Graph = {
+    val e2 = edges.select(col("src"), col("dst")).distinct()
+      .intersect(other.edges.select(col("src"), col("dst")).distinct())
+    new Graph(
+      e2.select(col("src").as("id"))
+        .union(e2.select(col("dst").as("id"))).distinct(),
+      e2)
+  }
+
   def reverse: Graph =
     new Graph(vertices, edges.select(col("dst").as("src"), col("src").as("dst")))
 

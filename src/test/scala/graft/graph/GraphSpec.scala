@@ -81,4 +81,33 @@ class GraphSpec extends SparkSpec {
     val sub = gg.subgraph(col("id") < 3)
     assert(sub.undirected.count() == 2) // only 1<->2 remains
   }
+
+  test("directed degrees, set ops and vertex joins") {
+    val g1 = g((1L, 2L), (2L, 3L))
+    assert(g1.inDegrees.as[(Long, Long)].collect().toMap == Map(2L -> 1L, 3L -> 1L))
+    assert(g1.outDegrees.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+
+    val g2 = g((2L, 3L), (3L, 4L))
+    val u = g1.union(g2)
+    assert(u.vertices.count() == 4)
+    assert(u.edges.count() == 4) // bag union keeps the duplicate 2->3
+
+    val d = g1.difference(g2) // remove vertices {2,3,4} and their edges
+    assert(d.vertices.as[Long].collect().toSet == Set(1L))
+    assert(d.edges.count() == 0)
+
+    val i = g1.intersect(g2)
+    assert(i.edges.as[(Long, Long)].collect().toSet == Set((2L, 3L)))
+    assert(i.vertices.as[Long].collect().toSet == Set(2L, 3L))
+
+    val joined = g1.joinWithVertices(Seq((1L, "x")).toDF("id", "tag"))
+    assert(joined.vertices.where("tag = 'x'").count() == 1)
+    assert(joined.vertices.count() == 3)
+
+    val fe = g1.filterOnEdges(col("src") === 1L)
+    assert(fe.edges.count() == 1 && fe.vertices.count() == 3)
+
+    val me = g1.mapEdges(col("src") + col("dst"), "w")
+    assert(me.edges.where("w = 3").count() == 1)
+  }
 }
