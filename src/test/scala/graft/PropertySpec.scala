@@ -62,4 +62,45 @@ class PropertySpec extends AnyFunSuite {
       assert(ms.size == expected)
     }
   }
+
+  test("CEP whereCtx: earliest completion equals the brute-force reference") {
+    type E = (Long, String, Long)
+    val r = new Random(29)
+    for (_ <- 1 to 300) {
+      val evs = List.fill(r.nextInt(20))(
+        (r.nextInt(50).toLong, if (r.nextBoolean()) "a" else "b"))
+        .zipWithIndex.map { case ((v, t), i) => (v, t, i.toLong * 10) }
+        .toIndexedSeq
+      val p = CEP.Pattern.begin[E]("a").where(_._2 == "a")
+        .followedBy("b").where(_._2 == "b")
+        .whereCtx((b, ctx) => b._1 > ctx("a").head._1)
+      val got = CEP.matchSequence(evs, p)(_._3)
+        .map(m => (m.stages("a").head._3, m.stages("b").head._3))
+      val want = evs.zipWithIndex.flatMap { case (a, i) =>
+        if (a._2 != "a") None
+        else evs.drop(i + 1).find(b => b._2 == "b" && b._1 > a._1)
+          .map(b => (a._3, b._3))
+      }
+      assert(got == want)
+    }
+  }
+
+  test("sorted_intersect_size_long equals set-intersect cardinality") {
+    import graft.functions.SortedIntersectSize
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new Random(47)
+    val rows = List.fill(200) {
+      def arr() = List.fill(r.nextInt(30))(r.nextInt(40).toLong)
+        .distinct.sorted
+      (arr(), arr())
+    }
+    val got = rows.toDF("a", "b")
+      .select(SortedIntersectSize
+        .sorted_intersect_size_long(col("a"), col("b")).as("n"))
+      .as[Int].collect().toSeq
+    val want = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got == want)
+  }
 }
