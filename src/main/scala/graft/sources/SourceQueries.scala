@@ -3,6 +3,7 @@ package graft.sources
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Source/sink formats (§2.1/§2.2) and the temporal (as-of) join
   * (§2.4 hard part #1 — TemporalRowtimeJoin.scala analog).
@@ -39,6 +40,30 @@ object SourceQueries extends QueryModule {
       s.read.orc(path)
         .filter(col("o_totalprice") > 200000) // pushed into the ORC scan
         .orderBy(col("o_orderkey"))
+    },
+
+    // ----- hive-style partitioned layout + partition pruning: the
+    // dominant 100 TB table layout — facts written partitionBy(year),
+    // a year-filtered read touches ONLY that partition's files
+    // (PartitionFilters in the scan, guarded by PlanSpec). The
+    // reference gets the same effect from its bucketed file sinks +
+    // filterable table sources. -----
+    q("q127_partition_pruning",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS decimal(18,4))), 4) AS DOUBLE) AS rev
+        |FROM lineitem WHERE year(l_shipdate) = 1998
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      val path = "/root/repo/target/roundtrip/lineitem_by_year"
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_shipdate"),
+          year(col("l_shipdate")).as("l_year"))
+        .write.mode("overwrite").partitionBy("l_year").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_year") === 1998) // prunes to one directory
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(col("l_extendedprice").cast(DecimalType(18, 4)))).as("rev"))
+        .orderBy(col("l_returnflag"))
     },
 
     // ----- JSON serde (flink-formats/flink-json De/SerializationSchema

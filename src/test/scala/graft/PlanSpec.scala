@@ -78,4 +78,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q119_best_supplier_per_part")
     assert(p.contains("Window"))
   }
+
+  test("q127 year filter becomes a partition filter, not a data filter") {
+    val p = plan("q127_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(l_year"),
+      "partitioned read should prune directories via PartitionFilters")
+  }
 }
