@@ -171,6 +171,38 @@ class StreamEnvSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by the watermark") {
+    // the idle-state-retention analog (StreamQueryConfig
+    // .withIdleStateRetentionTime): dedup keys are forgotten once the
+    // watermark passes their TTL, so state never grows unboundedly —
+    // and a key recurring AFTER expiry is emitted again
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val deduped = in.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val query = deduped.writeStream.format("memory")
+      .queryName("graft_test_dedup_ttl").outputMode("append").start()
+    def emitted() = spark.table("graft_test_dedup_ttl")
+      .selectExpr("k", "cast(ts as string)").as[(String, String)]
+      .collect().toSeq
+    try {
+      in.addData(("a", ts(0)), ("a", ts(1)))
+      query.processAllAvailable()
+      // duplicate inside the watermark window: one survivor
+      assert(emitted().count(_._1 == "a") == 1)
+      // advance the watermark far past a's TTL, then replay the key
+      // AHEAD of the watermark (a behind-watermark row would just be
+      // dropped as late)
+      in.addData(("z", ts(30)))
+      query.processAllAvailable()
+      in.addData(("a", ts(40)))
+      query.processAllAvailable()
+      // expired state ⇒ the late recurrence is a fresh emission
+      assert(emitted().count(_._1 == "a") == 2)
+    } finally query.stop()
+  }
+
   test("connect merges two typed streams via a tagged union") {
     val a = new StreamOps(Seq(1, 2).toDS())
     val b = new StreamOps(Seq("x").toDS())
