@@ -5,10 +5,13 @@
 #        tools/runtests.sh graft.cep.CepSpec [more suites...]
 set -e
 cd /root/repo
-CC=/root/.cache/coursier/v1/https/REDACTED-INTERNAL-HOST/artifactory/maven-all
-TESTJARS=$(find "$CC/org/scalatest" "$CC/org/scalactic" "$CC/org/scalacheck" \
-  "$CC/org/scala-lang/modules/scala-xml_2.13" -name "*_2.13-*.jar" -o -name "scalatest-compatible*.jar" \
-  2>/dev/null | grep -vE "sources|javadoc" | tr '\n' ':')
+# Resolve test jars from the local coursier cache without assuming which
+# repository host they were mirrored from.
+TESTJARS=$(find /root/.cache/coursier -type f \
+  \( -path "*/org/scalatest/*" -o -path "*/org/scalactic/*" -o -path "*/org/scalacheck/*" \
+     -o -path "*/org/scala-lang/modules/scala-xml_2.13/*" \) \
+  \( -name "*_2.13-*.jar" -o -name "scalatest-compatible*.jar" \) \
+  2>/dev/null | grep -vE "sources|javadoc" | sort -u | tr '\n' ':')
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic; do OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
