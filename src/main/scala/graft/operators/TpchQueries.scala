@@ -376,9 +376,15 @@ object TpchQueries extends QueryModule {
     },
 
     // ----- TPC-H Q21 analog: the sole R-flag supplier in multi-
-    // supplier finished orders. EXISTS → semi join, NOT EXISTS → anti
-    // join, both on the order key with an inequality residual — the
-    // self-join pair shares one shuffle of lineitem by l_orderkey. -----
+    // supplier finished orders. The EXISTS/NOT EXISTS pair collapses
+    // into ONE aggregation pass keyed by order: a qualifying order has
+    // >1 distinct suppliers overall and exactly one distinct supplier
+    // among its R-flagged rows, and every R row of such an order counts
+    // toward that supplier's numwait. The aggregate carries the unique
+    // R supplier and its row count forward, so lineitem is read once
+    // and shuffled once (the self-join form re-reads the fact table
+    // three times and broadcasts two projections of it — a scale-killer
+    // at 100 TB). -----
     q("q117_waiting_orders",
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1
@@ -393,21 +399,29 @@ object TpchQueries extends QueryModule {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name""") { (s, dir) =>
-      val li = Tables.t(s, dir, "lineitem")
-      val l1 = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val l2 = li.select(col("l_orderkey").as("l2_okey"), col("l_suppkey").as("l2_skey"))
-      val l3 = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey"))
-      l1.join(l2, col("l_orderkey") === col("l2_okey")
-            && col("l_suppkey") =!= col("l2_skey"), "left_semi")
-        .join(l3, col("l_orderkey") === col("l3_okey")
-            && col("l_suppkey") =!= col("l3_skey"), "left_anti")
-        .join(Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
-          col("o_orderkey") === col("l_orderkey"))
-        .join(Tables.t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      // Single shuffle on l_orderkey: distinct-supplier sets ride as
+      // collect_set partial-agg state (orders have ≤7 lineitems, so the
+      // sets are tiny) — no Expand, no second aggregate exchange.
+      val isR = col("l_returnflag") === "R"
+      val perOrder = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), isR.as("is_r"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          collect_set(col("l_suppkey")).as("supps"),
+          collect_set(when(col("is_r"), col("l_suppkey"))).as("rsupps"),
+          count(when(col("is_r"), 1)).as("nr_rows"))
+        .filter(size(col("supps")) > 1 && size(col("rsupps")) === 1)
+        .select(col("l_orderkey"), element_at(col("rsupps"), 1).as("r_suppkey"),
+          col("nr_rows"))
+      perOrder
+        .join(Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(broadcast(Tables.t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("r_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("nr_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
     },
 
