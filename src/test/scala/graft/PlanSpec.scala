@@ -54,10 +54,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"))
   }
 
-  test("q117 EXISTS/NOT EXISTS become semi + anti joins") {
+  test("q117 reads lineitem once and shuffles it once on its natural key") {
     val p = plan("q117_waiting_orders")
-    assert(p.contains("LeftSemi"))
-    assert(p.contains("LeftAnti"))
+    // The single-pass aggregation form: no anti join, one fact-table
+    // scan, one hash exchange on l_orderkey, supplier broadcast.
+    assert(!p.contains("LeftAnti"), "regressed to the NOT EXISTS anti self-join")
+    assert("Scan parquet[^\n]*lineitem".r.findAllIn(p).size == 1,
+      "lineitem must be scanned exactly once")
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1,
+      "lineitem must shuffle exactly once, on l_orderkey")
+    assert(p.contains("BroadcastExchange"), "supplier side should broadcast")
+  }
+
+  test("q02 top-k is a TakeOrderedAndProject, not a full sort") {
+    val p = plan("q02_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q15 per-group top-n pushes the rank limit below the shuffle") {
+    val p = plan("q15_first_n")
+    assert("WindowGroupLimit [^\\n]*Partial".r.findAllIn(p).nonEmpty,
+      "rn <= 3 should become a PARTIAL per-group limit below the window shuffle")
+  }
+
+  test("q18 ORDER BY + OFFSET/FETCH is a TakeOrderedAndProject, not a full sort") {
+    val p = plan("q18_orderby_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"))
   }
 
   test("q110 global threshold joins as a broadcast, never a collect") {
