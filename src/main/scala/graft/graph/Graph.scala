@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * plans stay bounded at scale. Messages shuffle on vertex id — the
   * same key every superstep, so AQE reuses the partitioning.
   */
-final class Graph(val vertices: DataFrame, val edges: DataFrame) {
+final class Graph(val vertices: DataFrame, val edges: DataFrame)
+    extends PregelSupport {
 
   private def spark: SparkSession = vertices.sparkSession
 
@@ -100,28 +101,18 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
     new Graph(vertices, edges.select(col("dst").as("src"), col("src").as("dst")))
 
   /** Connected components by min-label propagation (reference
-    * library/ConnectedComponents.java): label(v) starts at v, each
-    * superstep takes the min over neighbors, until fixpoint. */
-  def connectedComponents(maxIter: Int = 30): DataFrame = {
-    val und = undirected.localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("comp"))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val msgs = und.join(labels, und("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-        .groupBy(col("id")).agg(min(col("comp")).as("n_comp"))
-      val next = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      i += 1
-    }
-    labels
-  }
+    * library/ConnectedComponents.java, which runs it as a
+    * scatter-gather iteration): label(v) starts at v, each superstep
+    * takes the min over neighbors, until fixpoint — expressed on the
+    * generic [[pregel]] iteration. */
+  def connectedComponents(maxIter: Int = 30): DataFrame =
+    new Graph(vertices.select(col("id")), undirected).pregel(
+      stateCols = Seq("comp" -> col("id")),
+      sendMsg = Seq(Pregel.toDst(Pregel.src("comp"))),
+      mergeMsg = min(Pregel.msg),
+      vprog = Seq("comp" -> least(col("comp"), coalesce(Pregel.msg, col("comp")))),
+      maxIter = maxIter,
+      haltOnNoChange = true)
 
   /** PageRank, fixed iterations, damping 0.85 (library/linkanalysis/
     * PageRank.java). Out-degree-normalized contributions; dangling
@@ -157,22 +148,18 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
     val SCALE = 1000000000000L
     val n = vertices.count()
     val base = (SCALE / 100 * (100 - dampingPct)) / n
+    // out-degree rides as a vertex attribute; contribution and damping
+    // are exact BIGINT div/mul inside the pregel superstep
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out"))
-    val withDeg = edges.join(outDeg, edges("src") === outDeg("id"))
-      .select(col("src"), col("dst"), col("out")).localCheckpoint()
-    var ranks = vertices.select(col("id"), lit(SCALE / n).as("rank"))
-    for (i <- 1 to iters) {
-      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst").as("id"), expr("rank div out").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("recv"))
-      val next = vertices.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"coalesce(recv, CAST(0 AS BIGINT)) * $dampingPct div 100"))
-            .as("rank"))
-      ranks = if (i % 5 == 0) next.localCheckpoint() else next
-    }
-    ranks.select(col("id"), col("rank").as("rank_scaled"))
+    new Graph(vertices.select(col("id")).join(outDeg, Seq("id"), "left"), edges)
+      .pregel(
+        stateCols = Seq("rank" -> lit(SCALE / n)),
+        sendMsg = Seq(Pregel.toDst(expr("src.rank div src.out"))),
+        mergeMsg = sum(Pregel.msg),
+        vprog = Seq("rank" -> (lit(base) +
+          expr(s"coalesce(_pregel_msg, CAST(0 AS BIGINT)) * $dampingPct div 100"))),
+        maxIter = iters)
+      .select(col("id"), col("rank").as("rank_scaled"))
   }
 
   /** HITS hubs & authorities (library/linkanalysis/HITS.java),
@@ -229,27 +216,20 @@ final class Graph(val vertices: DataFrame, val edges: DataFrame) {
   /** Single-source shortest paths, unit weights (library/
     * SingleSourceShortestPaths.java) — BFS frontier relaxation. */
   def sssp(source: Long, maxIter: Int = 30): DataFrame = {
-    val und = undirected.localCheckpoint()
-    var dist = vertices.select(col("id"),
-      when(col("id") === source, 0L).otherwise(Long.MaxValue).as("dist"))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val msgs = und.join(dist.filter(col("dist") =!= Long.MaxValue),
-          und("src") === col("id"))
-        .select(col("dst").as("id"), (col("dist") + 1).as("cand"))
-        .groupBy("id").agg(min(col("cand")).as("cand"))
-      val next = dist.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"))
-        .localCheckpoint()
-      changed = next.join(dist.withColumnRenamed("dist", "old"), "id")
-        .filter(col("dist") =!= col("old")).count()
-      dist = next
-      i += 1
-    }
-    dist.select(col("id"),
-      when(col("dist") === Long.MaxValue, lit(null)).otherwise(col("dist")).as("dist"))
+    val INF = Long.MaxValue
+    // unreached vertices (dist = INF) send a null message, which
+    // pregel drops — the BFS frontier relaxation
+    new Graph(vertices.select(col("id")), undirected).pregel(
+      stateCols = Seq("dist" ->
+        when(col("id") === source, 0L).otherwise(INF)),
+      sendMsg = Seq(Pregel.toDst(
+        when(Pregel.src("dist") =!= INF, Pregel.src("dist") + lit(1L)))),
+      mergeMsg = min(Pregel.msg),
+      vprog = Seq("dist" -> least(col("dist"), coalesce(Pregel.msg, col("dist")))),
+      maxIter = maxIter,
+      haltOnNoChange = true)
+      .select(col("id"),
+        when(col("dist") === INF, lit(null)).otherwise(col("dist")).as("dist"))
   }
 
   /** Synchronous label propagation (library/LabelPropagation.java):

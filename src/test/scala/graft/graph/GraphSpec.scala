@@ -21,6 +21,34 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> -1L, 11L -> -1L))
   }
 
+  test("pregel runs a custom weighted-SSSP with edge attributes") {
+    // 1 -2-> 2 -3-> 3, plus a direct 1 -10-> 3: shortest 1→3 is 5
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 10L))
+      .toDF("src", "dst", "w")
+    val INF = Long.MaxValue
+    val dist = Graph.fromEdges(edges).pregel(
+      stateCols = Seq("dist" -> when(col("id") === 1L, 0L).otherwise(INF)),
+      sendMsg = Seq(Pregel.toDst(
+        when(Pregel.src("dist") =!= INF, Pregel.src("dist") + Pregel.edge("w")))),
+      mergeMsg = min(Pregel.msg),
+      vprog = Seq("dist" -> least(col("dist"), coalesce(Pregel.msg, col("dist")))),
+      maxIter = 10, haltOnNoChange = true)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("pregel sends against edge direction reading dst state") {
+    // max id reachable by following edges forward: messages flow toSrc
+    val reach = g((1L, 2L), (2L, 3L), (4L, 2L)).pregel(
+      stateCols = Seq("reach" -> col("id")),
+      sendMsg = Seq(Pregel.toSrc(Pregel.dst("reach"))),
+      mergeMsg = max(Pregel.msg),
+      vprog = Seq("reach" -> greatest(col("reach"), coalesce(Pregel.msg, col("reach")))),
+      maxIter = 10, haltOnNoChange = true)
+      .as[(Long, Long)].collect().toMap
+    assert(reach == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("triangleCount on K4 gives 3 per vertex") {
     val k4 = g((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val t = k4.triangleCount().as[(Long, Long)].collect().toMap
