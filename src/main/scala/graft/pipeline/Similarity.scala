@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -62,12 +63,16 @@ object Similarity extends QueryModule {
       if (sameLabel) corpus.join(broadcast(queries),
         col("q_label") === col("label") && col("query_id") =!= col("vec_id"))
       else corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    // per-partition bounded top-k merged per query — a window
+    // row_number() here would range-shuffle every scored corpus×probe
+    // row; the aggregate ships ≤ queries×k rows per task instead
     joined
       .withColumn("score", round(expr(cosExpr), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("vec_id"), col("score"), col("rn"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
 

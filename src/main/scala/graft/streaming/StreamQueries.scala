@@ -489,6 +489,40 @@ object StreamQueries extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // ----- STREAMING row-time bounded-ROWS OVER (RowTimeBoundedRows
+    // Over.scala; count-based sibling of q123): per-row sum of the
+    // last 3 rows per user in (ts, event_id) order, emitted on
+    // watermark, retract-oldest state bound of nRows−1 history rows -----
+    q("q128_stream_over_rows",
+      """SELECT event_id,
+        |  CAST(round(sum(CAST(value AS decimal(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |    4) AS DOUBLE) AS run_sum
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, 0.0))
+      val ev = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .unionByName(sentinel.toDF().toDF("event_id", "ts", "user_id", "value"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id").as("key"), col("ts"),
+          unix_micros(col("ts")).as("tsUs"), col("event_id").as("seq"),
+          col("value"), col("event_id").as("rowId"))
+        .as[RowTimeOver.OvEvent]
+      val summed = RowTimeOver.boundedRowsSum(ev, 3)
+        .toDF("event_id", "sum_raw")
+      viaMemorySink(s, summed, "append", "graft_over_rows")
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"),
+          moneyOut(col("sum_raw").cast(DecimalType(38, 4))).as("run_sum"))
+        .orderBy(col("event_id"))
+    },
+
     // ----- windowed stream-stream join (WindowJoin, flink-examples
     // WindowJoin.java; JoinedStreams window(...).apply): both sides
     // bucket into the same tumbling window and join on (key, window)

@@ -82,6 +82,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q56 ANN top-k is a bounded partial aggregate, not a window rank") {
+    val p = plan("q56_ann_bruteforce")
+    assert(!p.contains("Window"),
+      "row_number() regression: scored corpus would range-shuffle")
+    assert(p.contains("ObjectHashAggregate"), "bounded top-k aggregate missing")
+    assert("partial_topkagg|partial_".r.findAllIn(p.toLowerCase).nonEmpty,
+      "top-k must pre-combine map-side")
+  }
+
   test("q110 global threshold joins as a broadcast, never a collect") {
     val p = plan("q110_important_parts")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
