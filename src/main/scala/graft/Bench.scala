@@ -53,7 +53,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val defs = Registry.all.filter(d => headline.contains(d.name))
+    // optional args restrict the run (isolation probes: one query,
+    // first-in-JVM, no cross-query state-store pollution)
+    val names = if (args.nonEmpty) args.toSeq else headline
+    val defs = Registry.all.filter(d => names.contains(d.name))
     // JVM/codegen warm-up on the smallest sf (not timed).
     defs.foreach(d =>
       try d.fn(spark, "/root/testdata/sf0.001").count()

@@ -146,6 +146,11 @@ object CEP {
       "followedByAny supports single-element stages only")
     require(!pattern.stages.last.negated,
       "a pattern may not end in notNext/notFollowedBy (reference NFACompiler rule)")
+    require(pattern.skip != SkipPastLast || !pattern.stages.exists(st =>
+      st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1)),
+      "SKIP_PAST_LAST with a branching pattern (followedByAny/allowCombinations) " +
+        "is unsupported: emitting every overlapping completion from one start " +
+        "diverges from the reference's skip-strategy prune")
     val out = Vector.newBuilder[Match[T]]
     var blockedBelow = -1 // for SkipPastLast: no new match may start at or before this idx
 
@@ -263,7 +268,10 @@ object CEP {
           else completions.take(1).toSeq   // earliest completion
         selected.foreach { case (accList, lastIdx) =>
           out += Match(accList.reverse.toMap)
-          if (pattern.skip == SkipPastLast) blockedBelow = lastIdx
+          // max, not assignment: even though completions from one
+          // start arrive in order, the fence must never move backward
+          if (pattern.skip == SkipPastLast)
+            blockedBelow = math.max(blockedBelow, lastIdx)
         }
       }
       s += 1
@@ -325,7 +333,9 @@ object CEP {
         val trimmed = p.stages.take(k).reverse.dropWhile(_.negated).reverse
         if (trimmed.isEmpty) None
         else matchSequence(tail, p.copy(stages = trimmed, skip = NoSkip))(tsOf)
-          .find(_.stages(trimmed.head.name).headOption.contains(head))
+          // .get: a completion may omit a stage key entirely when an
+          // optional stage matched zero events
+          .find(_.stages.get(trimmed.head.name).exists(_.headOption.contains(head)))
       }
       .nextOption()
       .getOrElse(Match(Map(p.stages.head.name -> Seq(head))))
@@ -353,6 +363,9 @@ object CEP {
       implicit bufEnc: Encoder[Seq[T]]): Dataset[R] = {
     require(p.withinSpan.isDefined,
       "patternStream requires within() — unbounded patterns cannot seal")
+    require(p.stages.head.minTimes >= 1,
+      "patternStream requires a non-optional first stage: a zero-event " +
+        "start has no timestamp to seal or fence on")
     val span = p.withinSpan.get
     implicit val te: Encoder[T] = events.encoder
     // state = (fenceTs, fenceTie, buffer); Long.MinValue = no fence yet

@@ -42,6 +42,33 @@ object SourceQueries extends QueryModule {
         .orderBy(col("o_orderkey"))
     },
 
+    // ----- Avro record serde roundtrip (AvroRowSerializationSchema /
+    // AvroRowDeserializationSchema, flink-formats/flink-avro): rows
+    // encode to Avro binary against a writer schema and decode back —
+    // identity result proves the wire format. Rides the core avro jar
+    // (spark-avro's datasource is absent here); see
+    // functions/AvroSerde.scala for the expression pair. -----
+    q("q129_avro_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      import graft.functions.AvroSerde
+      val schema =
+        """{"type":"record","name":"Nation","fields":[
+          |  {"name":"n_nationkey","type":["null","long"],"default":null},
+          |  {"name":"n_name","type":["null","string"],"default":null},
+          |  {"name":"n_regionkey","type":["null","long"],"default":null}]}"""
+          .stripMargin
+      Tables.t(s, dir, "nation")
+        .select(AvroSerde.to_avro_record(
+          struct(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          schema).as("avro"))
+        .select(AvroSerde.from_avro_record(col("avro"), schema).as("rec"))
+        .select(col("rec.n_nationkey").cast("int").as("n_nationkey"),
+          col("rec.n_name").as("n_name"),
+          col("rec.n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // ----- hive-style partitioned layout + partition pruning: the
     // dominant 100 TB table layout — facts written partitionBy(year),
     // a year-filtered read touches ONLY that partition's files

@@ -66,6 +66,25 @@ class CepSpec extends AnyFunSuite {
     assert(ms.map(m => ids(m, "e")) == Seq(Seq(0L, 1), Seq(2L, 3)))
   }
 
+  test("afterMatchSkipPastLast rejects branching patterns (divergent prune)") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedByAny("b").where(_._2 == "b").afterMatchSkipPastLast
+    val e = intercept[IllegalArgumentException] { matchSequence(ev("a b b"), p)(_._3) }
+    assert(e.getMessage.contains("SKIP_PAST_LAST"))
+  }
+
+  test("longestPartial tolerates optional stages that matched zero events") {
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .next("opt").where(_._2 == "o").optional
+      .followedBy("b").where(_._2 == "b")
+      .followedBy("c").where(_._2 == "c").withinUnits(100)
+    // prefix (a, opt, b) completes with opt empty — the stage key is
+    // absent from the match and must not crash the anchored lookup
+    val m = longestPartial(ev("a b x"), p)(_._3)
+    assert(ids(m, "a") == Seq(0L) && ids(m, "b") == Seq(1L))
+    assert(!m.stages.contains("opt"))
+  }
+
   test("followedByAny branches to every qualifying continuation") {
     val p = Pattern.begin[E]("a").where(_._2 == "a")
       .followedByAny("b").where(_._2 == "b")

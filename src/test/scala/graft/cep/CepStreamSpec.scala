@@ -14,6 +14,23 @@ class CepStreamSpec extends SparkSpec {
   private type Ev = (Long, Long, String, Timestamp)
   private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
 
+  test("patternStream rejects an optional first stage up front") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDF().toDF("user_id", "event_id", "typ", "ts")
+      .withWatermark("ts", "0 seconds").as[Ev]
+    val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view").optional
+      .followedBy("purchase").where(_._3 == "purchase")
+      .within(10.seconds)
+    val e = intercept[IllegalArgumentException] {
+      CEP.patternStream(events, p,
+        (e: Ev) => e._1, (e: Ev) => e._4.getTime, (e: Ev) => e._2) {
+        (uid, m) => (uid, m.stages("purchase").head._2)
+      }
+    }
+    assert(e.getMessage.contains("non-optional first stage"))
+  }
+
   test("patternStream emits watermark-sealed matches incrementally") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]

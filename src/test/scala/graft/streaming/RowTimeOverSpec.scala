@@ -36,28 +36,32 @@ class RowTimeOverSpec extends SparkSpec {
       .as[(Long, java.math.BigDecimal)].collect()
       .map { case (id, s) => id -> BigDecimal(s) }.toMap
     try {
-      // batch 1: rows 1..3 (values 1,2,3); wm still 0 → nothing sealed
+      // batch 1: rows 1..3 (values 1,2,3). processAllAvailable also
+      // runs the watermark-advanced no-data batch (wm → 00:03), which
+      // fires the event-time timeout and seals rows 1,2.
       in.addData((1L, ts(1), 1L, 1.0), (1L, ts(2), 2L, 2.0), (1L, ts(3), 3L, 3.0))
       query.processAllAvailable()
-      assert(emitted().isEmpty)
-      // batch 2: wm → 00:03 seals rows 1,2; rows 4,5 join the buffer.
-      // After this batch the op keeps only 2 sealed history rows.
-      in.addData((1L, ts(4), 4L, 4.0), (1L, ts(5), 5L, 5.0))
-      query.processAllAvailable()
       assert(emitted() == Map(1L -> BigDecimal(1), 2L -> BigDecimal(3)))
-      // batch 3: row 6 arrives; wm → 00:05 seals 3,4. Row 4's frame
-      // (2,3,4) reaches across the eviction boundary into history.
-      in.addData((1L, ts(6), 6L, 6.0))
+      // batch 2: rows 4,5 join the buffer; wm → 00:05 seals 3,4. Row
+      // 4's frame (2,3,4) reaches across the eviction boundary into
+      // the 2 sealed history rows the op retained.
+      in.addData((1L, ts(4), 4L, 4.0), (1L, ts(5), 5L, 5.0))
       query.processAllAvailable()
       assert(emitted() == Map(1L -> BigDecimal(1), 2L -> BigDecimal(3),
         3L -> BigDecimal(6), 4L -> BigDecimal(9)))
-      // flush: rows 5 (3+4+5) and 6 (4+5+6) seal
+      // batch 3: row 6 arrives; wm → 00:06 seals row 5 (3+4+5)
+      in.addData((1L, ts(6), 6L, 6.0))
+      query.processAllAvailable()
+      assert(emitted() == Map(1L -> BigDecimal(1), 2L -> BigDecimal(3),
+        3L -> BigDecimal(6), 4L -> BigDecimal(9), 5L -> BigDecimal(12)))
+      // flush: row 6 (4+5+6) seals, then the key-2 flush row itself
       in.addData((2L, ts(50), 99L, 0.0))
       query.processAllAvailable()
       in.addData((2L, ts(55), 100L, 0.0))
       query.processAllAvailable()
       val fin = emitted()
       assert(fin(5L) == BigDecimal(12) && fin(6L) == BigDecimal(15))
+      assert(fin(99L) == BigDecimal(0))
     } finally query.stop()
   }
 
@@ -81,7 +85,7 @@ class RowTimeOverSpec extends SparkSpec {
         .as[(Long, java.math.BigDecimal)].collect()
         .map { case (id, s) => id -> BigDecimal(s) }.toMap
       assert(out == Map(1L -> BigDecimal(10), 2L -> BigDecimal(30),
-        3L -> BigDecimal(50)))
+        3L -> BigDecimal(50), 99L -> BigDecimal(0))) // 99 = sealed flush row
     } finally query.stop()
   }
 

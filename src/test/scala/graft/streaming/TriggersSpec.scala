@@ -49,6 +49,50 @@ class TriggersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuousEventTimeTumble fires early only when the watermark crosses a boundary") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+
+    // 10-min window, 3-min fire cadence (boundaries :03, :06, :09)
+    val fired = Triggers.continuousEventTimeTumble(events,
+      windowMillis = 10 * MIN, fireIntervalMillis = 3 * MIN)
+    val q = fired.toDF("k", "win", "n", "sum", "is_final")
+      .writeStream.format("memory").queryName("graft_trig_cont")
+      .outputMode("append").start()
+    try {
+      // two events, watermark still at epoch → NO early row (contrast
+      // with earlyFiringTumble, which fires on every touched batch)
+      input.addData((1L, ts("10:00:10"), 1.0), (1L, ts("10:02:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_trig_cont").isEmpty)
+
+      // wm advances to 10:04 past the 10:03 boundary → exactly one
+      // early row carrying the full buffered aggregate
+      input.addData((1L, ts("10:04:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((7L, ts("10:04:30"), 0.0)) // run a batch under the advanced wm
+      q.processAllAvailable()
+      val early = spark.table("graft_trig_cont").where("k = 1 AND NOT is_final")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(early == Set((1L, ts("10:00:00").getTime, 3L, 7.0, false)))
+
+      // wm jumps straight past window end: the :06/:09 boundaries and
+      // the end collapse into ONE final row, no extra early rows
+      input.addData((9L, ts("10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((9L, ts("10:40:00"), 0.0))
+      q.processAllAvailable()
+      val k1 = spark.table("graft_trig_cont").where("k = 1")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+      assert(k1.count(!_._5) == 1, s"expected exactly one early row, got $k1")
+      assert(k1.filter(_._5).toSet ==
+        Set((1L, ts("10:00:00").getTime, 3L, 7.0, true)))
+    } finally q.stop()
+  }
+
   test("count evictor keeps only the last n elements of the window") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

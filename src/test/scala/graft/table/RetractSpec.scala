@@ -45,4 +45,34 @@ class RetractSpec extends SparkSpec {
       assert(replay == Map("a" -> 2L, "b" -> 1L))
     } finally query.stop()
   }
+
+  test("changelog propagates snapshot read failures instead of treating them as first batch") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_retract_err").toString + "/state"
+    val b = Seq(("a", 1L)).toDF("k", "n")
+    Retract.changelog(b, stateDir, Seq("k")).collect()
+    // corrupt: pointer names a generation that does not exist — a
+    // first-batch fallback here would silently drop every retract AND
+    // overwrite the snapshot; it must throw instead
+    val pw = new java.io.PrintWriter(stateDir + "/CURRENT")
+    try pw.print("999") finally pw.close()
+    intercept[Exception] { Retract.changelog(b, stateDir, Seq("k")).collect() }
+  }
+
+  test("a crash before the pointer flip leaves the snapshot consistent") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_retract_crash").toString + "/state"
+    val b1 = Seq(("a", 1L)).toDF("k", "n")
+    Retract.changelog(b1, stateDir, Seq("k")).collect()
+    // simulate a batch that crashed after writing its generation but
+    // before flipping CURRENT: an orphan gen dir the next batch must
+    // ignore (and GC), deriving its changelog from the pointed-at gen
+    Seq(("junk", 99L)).toDF("k", "n").write.parquet(stateDir + "/gen-7")
+    val cl = Retract.changelog(Seq(("a", 2L)).toDF("k", "n"), stateDir, Seq("k"))
+      .select(col("accumulate"), col("k"), col("n")).as[(Boolean, String, Long)]
+      .collect().sortBy(r => (r._2, r._1)).toList
+    assert(cl == List((false, "a", 1L), (true, "a", 2L)))
+    val cur = scala.io.Source.fromFile(stateDir + "/CURRENT").mkString.trim
+    assert(cur == "1")
+    assert(!new java.io.File(stateDir + "/gen-7").exists(), "orphan generation not GCed")
+    assert(!new java.io.File(stateDir + "/gen-0").exists(), "superseded generation not GCed")
+  }
 }
