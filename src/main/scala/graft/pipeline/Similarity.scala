@@ -185,15 +185,19 @@ object Similarity extends QueryModule {
         .withColumn("rk", row_number().over(wRoute))
         .filter(col("rk") === 1)
         .select(col("query_id"), col("qv"), col("rep_label"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("vec_id"))
+      // stage-2 rank via the bounded partial top-k aggregate (same
+      // ordering: score DESC, id ASC) — a window row_number() here
+      // would range-shuffle every scored cluster row; the aggregate
+      // ships ≤ probes×k rows per task
       e.select(col("vec_id"), col("label"), col("embedding").as("ev"))
         .join(broadcast(routed), col("label") === col("rep_label")
           && col("vec_id") =!= col("query_id"))
         .withColumn("score", round(expr(cosExpr), 6))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("vec_id"), col("score"), col("rn"))
+        .groupBy(col("query_id"))
+        .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("vec_id"),
+          col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
         .orderBy(col("query_id"), col("rn"))
     }
   )

@@ -44,6 +44,18 @@ object Triggers {
     * reference's DeltaEvictor with an absolute-difference delta). */
   final case class DeltaEvictor(threshold: Double) extends Evictor
 
+  /** Early-firing policy (when a still-open window emits speculative
+    * rows). Final firing at window end is common to all. */
+  sealed trait EarlyTrigger
+  /** Fire on every micro-batch that delivered data to the window —
+    * the per-element FIRE cadence (Trigger.onElement). */
+  case object OnBatch extends EarlyTrigger
+  /** Reference DeltaTrigger.java: fire when an arriving element's
+    * value differs from the value at the LAST fire (initially the
+    * window's first element) by more than `threshold` — an
+    * absolute-difference delta function. */
+  final case class OnDelta(threshold: Double) extends EarlyTrigger
+
   /** Tumbling event-time window with early firing and an optional
     * evictor. The Timestamp column must be the one carrying the
     * stream's watermark (projecting it away upstream would disable
@@ -51,7 +63,9 @@ object Triggers {
   def earlyFiringTumble[K: Encoder](
       events: Dataset[(K, java.sql.Timestamp, Double)], // (key, ts, value)
       windowMillis: Long,
-      evictor: Evictor = NoEvictor): Dataset[(K, Long, Long, Double, Boolean)] = {
+      evictor: Evictor = NoEvictor,
+      trigger: EarlyTrigger = OnBatch,
+      purging: Boolean = false): Dataset[(K, Long, Long, Double, Boolean)] = {
     require(windowMillis > 0, "windowMillis must be positive")
     evictor match {
       case CountEvictor(n) => require(n > 0, "evictor keep-n must be positive")
@@ -59,8 +73,16 @@ object Triggers {
       case DeltaEvictor(t) => require(t > 0, "evictor threshold must be positive")
       case NoEvictor => ()
     }
+    trigger match {
+      case OnDelta(t) => require(t > 0, "delta-trigger threshold must be positive")
+      case OnBatch => ()
+    }
 
-    type Win = (Long, Seq[(Long, Double)]) // winStart -> buffered (ts, value)
+    // winStart -> (buffered (ts, value), delta-trigger reference value).
+    // The reference value lives OUTSIDE the buffer — a purge clears the
+    // pane but not the trigger's memory, matching PurgingTrigger
+    // wrapping DeltaTrigger in the reference.
+    type Win = (Long, Seq[(Long, Double)], Option[Double])
     implicit val stEnc: Encoder[Seq[Win]] = Encoders.kryo[Seq[Win]]
     implicit val outEnc: Encoder[(K, Long, Long, Double, Boolean)] =
       Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong,
@@ -70,16 +92,27 @@ object Triggers {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: K, it: Iterator[(K, java.sql.Timestamp, Double)], state: GroupState[Seq[Win]]) => {
           val wm = state.getCurrentWatermarkMs()
-          val windows = scala.collection.mutable.Map.empty[Long, Vector[(Long, Double)]]
-          state.getOption.getOrElse(Seq.empty).foreach { case (ws, evs) =>
-            windows(ws) = evs.toVector
+          val windows =
+            scala.collection.mutable.Map.empty[Long, (Vector[(Long, Double)], Option[Double])]
+          state.getOption.getOrElse(Seq.empty).foreach { case (ws, evs, ref) =>
+            windows(ws) = (evs.toVector, ref)
           }
-          val touched = scala.collection.mutable.Set.empty[Long]
+          val fired = scala.collection.mutable.Set.empty[Long]
           it.foreach { case (_, t, v) =>
             val ts = t.getTime
             val ws = Math.floorDiv(ts, windowMillis) * windowMillis
-            windows(ws) = windows.getOrElse(ws, Vector.empty) :+ ((ts, v))
-            touched += ws
+            var (evs, ref) = windows.getOrElse(ws, (Vector.empty[(Long, Double)], None))
+            evs :+= ((ts, v))
+            trigger match {
+              case OnBatch => fired += ws
+              case OnDelta(th) => ref match {
+                // first element arms the trigger without firing
+                case None => ref = Some(v)
+                case Some(r) if math.abs(v - r) > th => ref = Some(v); fired += ws
+                case _ => ()
+              }
+            }
+            windows(ws) = (evs, ref)
           }
 
           def agg(evs: Vector[(Long, Double)]): (Long, Double) = {
@@ -101,20 +134,28 @@ object Triggers {
 
           val out = Vector.newBuilder[(K, Long, Long, Double, Boolean)]
           val (closed, open) = windows.partition { case (ws, _) => ws + windowMillis <= wm }
-          closed.toSeq.sortBy(_._1).foreach { case (ws, evs) =>
-            val (n, sum) = agg(evs)
-            out += ((key, ws, n, sum, true)) // final fire + purge
+          closed.toSeq.sortBy(_._1).foreach { case (ws, (evs, _)) =>
+            // a purge may have emptied the pane; an empty pane is not
+            // evaluated (reference: no FIRE on empty window contents)
+            if (evs.nonEmpty) {
+              val (n, sum) = agg(evs)
+              out += ((key, ws, n, sum, true)) // final fire + purge
+            }
           }
-          touched.toSeq.sorted.foreach { ws =>
+          fired.toSeq.sorted.foreach { ws =>
             if (!closed.contains(ws)) {
-              val (n, sum) = agg(windows(ws))
+              val (evs, ref) = open(ws)
+              val (n, sum) = agg(evs)
               out += ((key, ws, n, sum, false)) // early (speculative) fire
+              if (purging) open(ws) = (Vector.empty, ref) // FIRE_AND_PURGE
             }
           }
 
           if (open.isEmpty) state.remove()
           else {
-            state.update(open.toSeq.map { case (ws, evs) => (ws, evs: Seq[(Long, Double)]) })
+            state.update(open.toSeq.map { case (ws, (evs, ref)) =>
+              (ws, evs: Seq[(Long, Double)], ref)
+            })
             // wake when the earliest open window can final-fire
             state.setTimeoutTimestamp(open.keys.min + windowMillis)
           }

@@ -91,6 +91,16 @@ class PlanSpec extends SparkSpec {
       "top-k must pre-combine map-side")
   }
 
+  test("q58b IVF stage-2 ranks via the bounded aggregate, not a second window") {
+    val p = plan("q58b_ann_ivf")
+    // exactly ONE Window operator remains: stage-1 probe routing over
+    // probes×clusters (tiny). A second one means the stage-2 rank over
+    // the scored cluster rows regressed to a range-shuffling window.
+    assert("Window \\[".r.findAllIn(p).size <= 1,
+      "stage-2 rank regressed to a window over the scored corpus rows")
+    assert(p.contains("ObjectHashAggregate"), "bounded top-k aggregate missing")
+  }
+
   test("q110 global threshold joins as a broadcast, never a collect") {
     val p = plan("q110_important_parts")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

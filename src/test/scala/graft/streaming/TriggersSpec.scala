@@ -120,6 +120,72 @@ class TriggersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta trigger fires only when a value moves past the threshold") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+
+    val fired = Triggers.earlyFiringTumble(events, windowMillis = 10 * MIN,
+      trigger = Triggers.OnDelta(0.5))
+    val q = fired.toDF("k", "win", "n", "sum", "is_final")
+      .writeStream.format("memory").queryName("graft_trig_delta")
+      .outputMode("append").start()
+    try {
+      // ref arms at 1.0; |1.25 − 1.0| = 0.25 < 0.5 → no early row
+      input.addData((1L, ts("10:00:10"), 1.0), (1L, ts("10:01:00"), 1.25))
+      q.processAllAvailable()
+      assert(spark.table("graft_trig_delta").isEmpty)
+      // |2.0 − 1.0| = 1.0 > 0.5 → fire with the full buffered aggregate
+      input.addData((1L, ts("10:02:00"), 2.0))
+      q.processAllAvailable()
+      val early = spark.table("graft_trig_delta").where("NOT is_final")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(early == Set((1L, ts("10:00:00").getTime, 3L, 4.25, false)))
+      // flush → final row unchanged by the trigger policy
+      input.addData((9L, ts("10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((9L, ts("10:40:00"), 0.0))
+      q.processAllAvailable()
+      val finals = spark.table("graft_trig_delta").where("is_final AND k = 1")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(finals == Set((1L, ts("10:00:00").getTime, 3L, 4.25, true)))
+    } finally q.stop()
+  }
+
+  test("purging turns each early fire into FIRE_AND_PURGE (panes restart)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+
+    val fired = Triggers.earlyFiringTumble(events, windowMillis = 10 * MIN,
+      purging = true)
+    val q = fired.toDF("k", "win", "n", "sum", "is_final")
+      .writeStream.format("memory").queryName("graft_trig_purge")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("10:00:10"), 1.0), (1L, ts("10:02:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("10:05:00"), 4.0))
+      q.processAllAvailable()
+      // each fire covered only the pane since the last purge
+      val early = spark.table("graft_trig_purge").where("k = 1 AND NOT is_final")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(early == Set(
+        (1L, ts("10:00:00").getTime, 2L, 3.0, false),
+        (1L, ts("10:00:00").getTime, 1L, 4.0, false)))
+      // the final pane is empty after the last purge → no final row
+      input.addData((9L, ts("10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((9L, ts("10:40:00"), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_trig_purge").where("k = 1 AND is_final").isEmpty)
+    } finally q.stop()
+  }
+
   test("time and delta evictors bound the aggregated elements") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
