@@ -53,21 +53,34 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rn <= 3
        |ORDER BY query_id, rn""".stripMargin
 
+  /** sqrt(Σx²) — computed ONCE per vector before the probe×corpus
+    * join; inside the score expression it would re-run per candidate
+    * pair (probes× for corpus rows, |corpus|× for probe rows). */
+  private def normExpr(c: String) =
+    expr(s"""sqrt(aggregate($c, CAST(0 AS DOUBLE),
+            |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin)
+
   private def topk(s: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("embedding").as("qv"))
-    val corpus = e.select(col("vec_id"), col("label"), col("embedding").as("ev"))
+        col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
+    val corpus = e.select(col("vec_id"), col("label"), col("embedding").as("ev"),
+      normExpr("embedding").as("e_nrm"))
     val joined =
       if (sameLabel) corpus.join(broadcast(queries),
         col("q_label") === col("label") && col("query_id") =!= col("vec_id"))
       else corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
     // per-partition bounded top-k merged per query — a window
     // row_number() here would range-shuffle every scored corpus×probe
-    // row; the aggregate ships ≤ queries×k rows per task instead
+    // row; the aggregate ships ≤ queries×k rows per task instead.
+    // Same double math as the one-expression cosine (dot / (√·√)), so
+    // the rounded scores are bit-identical to the oracle's.
     joined
-      .withColumn("score", round(expr(cosExpr), 6))
+      .withColumn("score", round(expr(
+        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        / (col("q_nrm") * col("e_nrm")), 6))
       .groupBy(col("query_id"))
       .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -177,22 +190,29 @@ object Similarity extends QueryModule {
         .agg(min(col("vec_id")).as("rep_id"))
         .join(e.select(col("vec_id").as("rep_id"), col("embedding").as("ev")), "rep_id")
       val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          normExpr("embedding").as("q_nrm"))
       val wRoute = Window.partitionBy(col("query_id"))
         .orderBy(col("rep_score").desc, col("rep_label"))
       val routed = queries.crossJoin(broadcast(reps))
         .withColumn("rep_score", round(expr(cosExpr), 6))
         .withColumn("rk", row_number().over(wRoute))
         .filter(col("rk") === 1)
-        .select(col("query_id"), col("qv"), col("rep_label"))
+        .select(col("query_id"), col("qv"), col("q_nrm"), col("rep_label"))
       // stage-2 rank via the bounded partial top-k aggregate (same
       // ordering: score DESC, id ASC) — a window row_number() here
       // would range-shuffle every scored cluster row; the aggregate
-      // ships ≤ probes×k rows per task
-      e.select(col("vec_id"), col("label"), col("embedding").as("ev"))
+      // ships ≤ probes×k rows per task. Norms ride precomputed: the
+      // probe's from the routing stage, the corpus row's from its scan
+      // projection (inside the score they would re-run per pair).
+      e.select(col("vec_id"), col("label"), col("embedding").as("ev"),
+          normExpr("embedding").as("e_nrm"))
         .join(broadcast(routed), col("label") === col("rep_label")
           && col("vec_id") =!= col("query_id"))
-        .withColumn("score", round(expr(cosExpr), 6))
+        .withColumn("score", round(expr(
+          """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          / (col("q_nrm") * col("e_nrm")), 6))
         .groupBy(col("query_id"))
         .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
         .select(col("query_id"), posexplode(col("top")))
