@@ -243,6 +243,35 @@ object ScalarQueries extends QueryModule {
         array_contains(array(lit(0), lit(2), lit(4)), col("n_regionkey")).as("in_arr"),
         array_contains(parts, "N").as("has_n"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // ----- retractable UDAGG consuming a changelog (the reference's
+    // AggregateFunction.retract path, GroupAggProcessFunction): every
+    // lineitem row accumulates and every R-returnflag row ALSO
+    // retracts, so the net aggregate equals the non-R subset — which
+    // is what the oracle computes directly. max must survive its
+    // current extremum retracting (value->count multiset state, the
+    // reference's retractable-min/max MapState), so a plain running
+    // max would fail this oracle. One shuffle; partial aggregation
+    // stays available because (flag, value) reduction is commutative. -----
+    q("q130_retractable_agg",
+      """SELECT l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_linestatus"), col("l_returnflag"), col("l_quantity"))
+      val changelog = li.withColumn("accumulate", lit(true))
+        .unionByName(li.filter(col("l_returnflag") === "R")
+          .withColumn("accumulate", lit(false)))
+      changelog.groupBy(col("l_linestatus"))
+        .agg(
+          RetractableAgg.retractableSum(col("accumulate"), col("l_quantity")).as("sum_qty"),
+          RetractableAgg.retractableCount(col("accumulate"), col("l_quantity")).as("n"),
+          RetractableAgg.retractableMax(col("accumulate"), col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_linestatus"))
     }
   )
 }
