@@ -213,6 +213,37 @@ final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDatase
     * assign→state→fire→purge cycle as the reference WindowOperator.
     * (Incremental reduce/agg + process = pre-aggregate in the stream
     * before keyBy, then apply here.) */
+  /** AssignerWithPunctuatedWatermarks analog (DataStream.java:926;
+    * flink-streaming-java AssignerWithPunctuatedWatermarks.java):
+    * event-time progress driven by MARKER EVENTS in the data instead
+    * of a fixed delay — buffered elements seal the moment a
+    * punctuation arrives whose timestamp passes them, no matter how
+    * far the delay-based engine watermark lags. Emits each sealed
+    * element exactly once, in (ts, tie) order per batch; state per key
+    * is the unsealed tail plus the marker high-water mark.
+    *
+    * Scope difference, documented: the reference's punctuated
+    * watermark is per source partition; keyed state gives this one a
+    * per-KEY punctuation clock, and keys no marker ever reaches never
+    * seal here — pair with a delay watermark downstream as the
+    * fallback clock for marker-sparse streams. */
+  def punctuatedSeal(tsMillis: T => Long, tie: T => Long)(isMarker: T => Boolean)(
+      implicit te: Encoder[T], stEnc: Encoder[(Long, Seq[T])]): Dataset[T] =
+    kv.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (_: K, it: Iterator[T], state: GroupState[(Long, Seq[T])]) => {
+        var (hwm, kept) = state.getOption.getOrElse((Long.MinValue, Seq.empty[T]))
+        val fresh = scala.collection.mutable.ArrayBuffer.empty[T]
+        it.foreach { t =>
+          if (isMarker(t)) hwm = math.max(hwm, tsMillis(t))
+          else fresh += t
+        }
+        val (sealed_, open) = (kept ++ fresh).partition(t => tsMillis(t) <= hwm)
+        // the high-water mark must survive even with an empty buffer:
+        // it is the key's clock
+        state.update((hwm, open))
+        sealed_.sortBy(t => (tsMillis(t), tie(t))).iterator
+      })
+
   def windowApply[R: Encoder](windowMillis: Long, tsMillis: T => Long)(
       f: (K, Long, Seq[T]) => IterableOnce[R]): Dataset[R] = {
     require(windowMillis > 0, "windowMillis must be positive")

@@ -523,6 +523,32 @@ object StreamQueries extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // ----- punctuated watermarks (AssignerWithPunctuatedWatermarks,
+    // DataStream.java:926): 'click' events carry each user's event-
+    // time clock; every other event seals the moment a click at-or-
+    // after it has been seen on its key, however far the delay-based
+    // watermark lags. The final sealed set is batching-independent —
+    // exactly the events at-or-before the key's LAST click — which is
+    // what the oracle computes relationally. -----
+    q("q131_punctuated_watermark",
+      """SELECT e.event_id FROM events e
+        |JOIN (SELECT user_id, max(ts) AS mt FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id) m
+        |  ON e.user_id = m.user_id
+        |WHERE e.event_type <> 'click' AND e.ts <= m.mt
+        |ORDER BY e.event_id""") { (s, dir) =>
+      import s.implicits._
+      val ev = streamEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, Long, String)]
+      val sealedEv = new graft.api.StreamOps(ev)
+        .keyBy(_._1)
+        .punctuatedSeal(_._2.getTime, _._3)(_._4 == "click")
+        .map(_._3)
+      viaMemorySink(s, sealedEv.toDF("event_id"), "append", "graft_punct_seal")
+        .orderBy(col("event_id"))
+    },
+
     // ----- windowed stream-stream join (WindowJoin, flink-examples
     // WindowJoin.java; JoinedStreams window(...).apply): both sides
     // bucket into the same tumbling window and join on (key, window)

@@ -36,6 +36,40 @@ class StreamEnvSpec extends SparkSpec {
     assert(rows == Set(("a", 1), ("b", 2), ("a", 4)))
   }
 
+  test("punctuated markers seal buffered rows ahead of the delay watermark") {
+    implicit val sc = spark.sqlContext
+    // (key, ts, typ, id); a 1-HOUR delay watermark would hold
+    // everything back — only the in-band markers advance sealing
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
+    val sealed_ = new StreamOps(
+      input.toDF().toDF("k", "ts", "typ", "id")
+        .withWatermark("ts", "1 hour")
+        .as[(Long, Timestamp, String, Long)])
+      .keyBy(_._1)
+      .punctuatedSeal(_._2.getTime, _._4)(_._3 == "wm")
+      .map(e => (e._1, e._4))
+    val q = sealed_.writeStream.format("memory")
+      .queryName("graft_test_punct").outputMode("append").start()
+    def ids() = spark.table("graft_test_punct")
+      .as[(Long, Long)].collect().toSet
+    try {
+      // data but no marker → nothing seals (engine wm is useless here)
+      input.addData((1L, ts(0), "ev", 1L), (1L, ts(1), "ev", 2L), (2L, ts(0), "ev", 9L))
+      q.processAllAvailable()
+      assert(ids().isEmpty)
+      // marker at 10:01 on key 1 seals its rows ≤ 10:01; key 2 (no
+      // marker) stays buffered
+      input.addData((1L, ts(1), "wm", 100L))
+      q.processAllAvailable()
+      assert(ids() == Set((1L, 1L), (1L, 2L)))
+      // a late-arriving element at-or-under the key's marker clock
+      // seals immediately on arrival
+      input.addData((1L, ts(1), "ev", 3L))
+      q.processAllAvailable()
+      assert(ids() == Set((1L, 1L), (1L, 2L), (1L, 3L)))
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a memory stream") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
