@@ -213,6 +213,56 @@ final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDatase
     * assign→state→fire→purge cycle as the reference WindowOperator.
     * (Incremental reduce/agg + process = pre-aggregate in the stream
     * before keyBy, then apply here.) */
+  /** Streaming iteration analog (DataStream.iterate,
+    * DataStream.java:548; IterativeStream.java): a feedback edge in
+    * the dataflow — elements loop through the step function until
+    * they route to the output side. Spark's dataflow is acyclic, so
+    * the feedback edge lives in keyed state instead of a back-edge
+    * channel: each activation drains (carried-over ++ new) elements
+    * through `step` up to `maxStepsPerBatch` rounds; Right results
+    * emit, Left results re-enter — immediately while rounds remain,
+    * otherwise at the key's next activation (the analog of the
+    * reference's loop latency; its iterations also give no progress
+    * guarantee and likewise starve without a timeout). State per key
+    * is the in-flight feedback frontier only.
+    *
+    * Re-activation rides the event-time watermark: a key holding
+    * feedback re-fires whenever the watermark advances (the stream
+    * must carry one — `withWatermark` upstream). A processing-time
+    * timer would be closer to the reference's wall-clock loop but
+    * forces Structured Streaming into a permanent no-data-batch spin
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    * unconditionally true under ProcessingTimeTimeout), so progress
+    * here is tied to stream progress instead.
+    */
+  def iterate[R: Encoder](maxStepsPerBatch: Int = 100)(
+      step: T => IterableOnce[Either[T, R]])(
+      implicit stEnc: Encoder[Seq[T]]): Dataset[R] = {
+    require(maxStepsPerBatch >= 1, "need at least one step per batch")
+    kv.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (_: K, it: Iterator[T], state: GroupState[Seq[T]]) => {
+        var frontier = state.getOption.getOrElse(Seq.empty) ++ it
+        val out = scala.collection.mutable.ArrayBuffer.empty[R]
+        var rounds = 0
+        while (frontier.nonEmpty && rounds < maxStepsPerBatch) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[T]
+          frontier.foreach(t => step(t).iterator.foreach {
+            case Left(fb) => next += fb
+            case Right(r) => out += r
+          })
+          frontier = next.toSeq
+          rounds += 1
+        }
+        if (frontier.isEmpty) state.remove()
+        else {
+          state.update(frontier)
+          // wake on the next watermark advance to keep the loop turning
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        }
+        out.iterator
+      })
+  }
+
   /** AssignerWithPunctuatedWatermarks analog (DataStream.java:926;
     * flink-streaming-java AssignerWithPunctuatedWatermarks.java):
     * event-time progress driven by MARKER EVENTS in the data instead

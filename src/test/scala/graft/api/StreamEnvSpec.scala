@@ -36,6 +36,38 @@ class StreamEnvSpec extends SparkSpec {
     assert(rows == Set(("a", 1), ("b", 2), ("a", 4)))
   }
 
+  test("stream iterate drains the feedback edge within and across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Int)]
+    // countdown loop: n > 0 feeds (k, ts, n-1) back; n == 0 exits
+    val out = new StreamOps(
+      input.toDF().toDF("k", "ts", "n")
+        .withWatermark("ts", "0 seconds")
+        .as[(String, Timestamp, Int)])
+      .keyBy(_._1)
+      .iterate[(String, Int)](maxStepsPerBatch = 3) { case (k, t, n) =>
+        if (n <= 0) Iterator(Right((k, n)))
+        else Iterator(Left((k, t, n - 1)))
+      }
+    val q = out.writeStream.format("memory")
+      .queryName("graft_test_iter").outputMode("append").start()
+    def emitted() = spark.table("graft_test_iter").as[(String, Int)].collect().toSet
+    try {
+      // a:2 exits within one activation (3 rounds); b:9 stays in flight
+      input.addData(("a", ts(0), 2), ("b", ts(0), 9))
+      q.processAllAvailable()
+      assert(emitted()(("a", 0)) && !emitted()(("b", 0)))
+      // each watermark advance re-fires the pending key until it drains
+      var i = 1
+      while (!emitted()(("b", 0)) && i < 10) {
+        input.addData(("z", ts(i), 0))
+        q.processAllAvailable()
+        i += 1
+      }
+      assert(emitted()(("b", 0)), "feedback frontier never drained")
+    } finally q.stop()
+  }
+
   test("punctuated markers seal buffered rows ahead of the delay watermark") {
     implicit val sc = spark.sqlContext
     // (key, ts, typ, id); a 1-HOUR delay watermark would hold
