@@ -9,12 +9,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   * streaming Datasets.
   *
   * Time semantics: event time is a real TimestampType column +
-  * `assignWatermark` (periodic bounded-out-of-orderness model only —
-  * Flink's punctuated watermarks have no Spark analog, documented
-  * SURVEY §2.10); processing time ≈ current_timestamp() per
-  * micro-batch. Keyed state/timers lower to flatMapGroupsWithState
-  * (GroupState + GroupStateTimeout), windows to window()/
-  * session_window aggregations.
+  * `assignWatermark` (the periodic bounded-out-of-orderness model);
+  * punctuated watermarks = `KeyedStream.punctuatedSeal` (in-band
+  * marker events drive per-key sealing); processing time ≈
+  * current_timestamp() per micro-batch. Keyed state/timers lower to
+  * flatMapGroupsWithState (GroupState + GroupStateTimeout), windows
+  * to window()/session_window aggregations.
   */
 final class StreamEnv(val spark: SparkSession) {
 
@@ -28,6 +28,20 @@ final class StreamEnv(val spark: SparkSession) {
   def rateStream(rowsPerSecond: Long): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Kafka source (reference FlinkKafkaConsumer, flink-connectors/
+    * flink-connector-kafka-base/.../FlinkKafkaConsumerBase.java):
+    * standard key/value/topic/partition/offset/timestamp columns,
+    * offsets managed by the engine's checkpoint like the reference's
+    * state-backed offsets. Compile-level in this environment — the
+    * spark-sql-kafka connector jar and a broker are absent. */
+  def kafkaSource(bootstrapServers: String, topics: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
 
   /** Monitored-directory file source (StreamExecutionEnvironment
     * .java:940 readFile + PROCESS_CONTINUOUSLY). */
@@ -124,6 +138,18 @@ final class StreamOpsRow(val df: DataFrame) {
 
   def foreachBatchSink(f: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch(f)
+
+  /** Kafka sink (reference FlinkKafkaProducer): expects key/value
+    * columns; delivery is at-least-once against the checkpoint (the
+    * reference's EXACTLY_ONCE transactional mode has no Spark-sink
+    * analog — documented gap). Compile-level in this environment. */
+  def kafkaSink(bootstrapServers: String, topic: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }
 
 /** Typed stream ops — map/flatMap/keyBy surface of DataStream<T>. */
