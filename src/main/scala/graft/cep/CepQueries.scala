@@ -169,6 +169,37 @@ object CepQueries extends QueryModule {
         .orderBy(col("view_id"))
     },
 
+    // ----- MATCH_RECOGNIZE aggregate measures over a quantified
+    // symbol (DataStreamMatch.scala MEASURES with FINAL aggregates):
+    // maximal runs of high-value events per user — the matcher's
+    // greedy UP+ with SKIP PAST LAST ROW is exactly the relational
+    // gaps-and-islands the oracle computes. Sums ride as exact cents
+    // (BIGINT) so no float-order boundary can flip a value. -----
+    q("q132_match_recognize_agg",
+      """WITH seq AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN value > 250 THEN 1 ELSE 0 END AS ok
+        |  FROM events),
+        |isl AS (SELECT user_id, event_id, value, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM seq WHERE ok = 1)
+        |SELECT user_id, count(*) AS len,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  arg_min(event_id, rn) AS first_id, arg_max(event_id, rn) AS last_id
+        |FROM isl GROUP BY user_id, grp
+        |ORDER BY user_id, first_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("value_cents", round(col("value") * lit(100)).cast("long"))
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES COUNT(UP.*) AS len, SUM(UP.value_cents) AS total_cents,
+          |         FIRST(UP.event_id) AS first_id, LAST(UP.event_id) AS last_id
+          |PATTERN (UP+)
+          |DEFINE UP AS UP.value > 250""".stripMargin)
+        .orderBy(col("user_id"), col("first_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

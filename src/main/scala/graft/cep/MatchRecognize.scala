@@ -2,7 +2,7 @@ package graft.cep
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Restricted SQL MATCH_RECOGNIZE (reference DataStreamMatch.scala:65,
   * runtime/match/) — the subset:
@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.StructType
   *   MATCH_RECOGNIZE (
   *     PARTITION BY <col>
   *     ORDER BY <col> [, <col>]
-  *     MEASURES S.col AS alias [, ...]
+  *     MEASURES S.col AS alias
+  *              | FIRST(S.col) | LAST(S.col) | COUNT(S.*) | COUNT(S.col)
+  *              | SUM(S.col) | AVG(S.col) | MIN(S.col) | MAX(S.col) [AS alias, ...]
   *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *     PATTERN (A B+ C? ...)        -- symbols with ?, +, {n}
+  *     PATTERN (A B+ C? D* E{n} F{n,m} ...)
   *     DEFINE A AS <predicate on A.col>, ...
   *   )
   *
@@ -29,16 +31,26 @@ import org.apache.spark.sql.types.StructType
   */
 object MatchRecognize {
 
+  /** A MEASURES item. Aggregates run over ALL rows the symbol matched
+    * (FINAL semantics — one row per match); a bare `S.col` keeps its
+    * first-row semantics. */
+  sealed trait Measure { def sym: String; def colName: String; def alias: String }
+  final case class ColMeasure(sym: String, colName: String, alias: String) extends Measure
+  final case class AggMeasure(fn: String, sym: String, colName: String, alias: String)
+      extends Measure
+
   final case class Clause(
       partitionBy: String,
       orderBy: Seq[String],
-      measures: Seq[(String, String, String)], // (symbol, col, alias)
+      measures: Seq[Measure],
       pattern: Seq[(String, Int, Int)],        // (symbol, minTimes, maxTimes)
       define: Map[String, String],
       skip: CEP.AfterMatchSkip)
 
+  private val aggMeasureRe =
+    """(?i)(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
   private val measureRe = """(?i)(\w+)\.(\w+)\s+AS\s+(\w+)""".r
-  private val symRe = """(\w+)(\+|\?|\{(\d+)\})?""".r
+  private val symRe = """(\w+)(\*|\+|\?|\{(\d+)(?:,(\d+))?\})?""".r
 
   def parse(clause: String): Clause = {
     def section(name: String, endAt: String): Option[String] = {
@@ -50,8 +62,13 @@ object MatchRecognize {
     val orderBy = section("ORDER BY", "MEASURES").getOrElse(
       throw new IllegalArgumentException("ORDER BY required"))
       .split(",").map(_.trim).toSeq
-    val measures = section("MEASURES", """(?:AFTER\s+MATCH|PATTERN)""").getOrElse("")
-      .split(",").map(_.trim).collect { case measureRe(s, c, a) => (s, c, a) }.toSeq
+    val measures = splitTopLevel(
+      section("MEASURES", """(?:AFTER\s+MATCH|PATTERN)""").getOrElse(""))
+      .map(_.trim).filter(_.nonEmpty).map {
+        case aggMeasureRe(fn, sy, c, a) => AggMeasure(fn.toUpperCase, sy, c, a)
+        case measureRe(sy, c, a) => ColMeasure(sy, c, a)
+        case other => throw new IllegalArgumentException(s"bad MEASURE: $other")
+      }.toSeq
     val skip = """(?is)AFTER\s+MATCH\s+SKIP\s+(.*?)\s*(?=PATTERN)""".r
       .findFirstMatchIn(clause).map(_.group(1).trim.toUpperCase.replaceAll("\\s+", " "))
       .map {
@@ -65,10 +82,14 @@ object MatchRecognize {
       .findFirstMatchIn(clause).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException("PATTERN required"))
     val pattern = patternStr.split("\\s+").toSeq.map {
-      case symRe(s, null, _) => (s, 1, 1)
-      case symRe(s, "?", _) => (s, 0, 1)
-      case symRe(s, "+", _) => (s, 1, Int.MaxValue)
-      case symRe(s, _, n) if n != null => (s, n.toInt, n.toInt)
+      case symRe(s, null, _, _) => (s, 1, 1)
+      case symRe(s, "?", _, _) => (s, 0, 1)
+      case symRe(s, "+", _, _) => (s, 1, Int.MaxValue)
+      case symRe(s, "*", _, _) => (s, 0, Int.MaxValue)
+      case symRe(s, _, n, null) if n != null => (s, n.toInt, n.toInt)
+      case symRe(s, _, n, m2) if n != null && m2 != null =>
+        require(n.toInt <= m2.toInt, s"bad quantifier {$n,$m2}")
+        (s, n.toInt, m2.toInt)
       case other => throw new IllegalArgumentException(s"bad pattern element: $other")
     }
     val defineStr = """(?is)DEFINE\s+(.*)\z""".r
@@ -120,18 +141,65 @@ object MatchRecognize {
           if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx)
       }.toVector, None, c.skip)
 
+    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+    def isFractional(dt: org.apache.spark.sql.types.DataType) =
+      dt == DoubleType || dt == FloatType
     val outSchema = StructType(
       inSchema(c.partitionBy) +:
-        c.measures.map { case (_, colName, alias) =>
-          inSchema(colName).copy(name = alias)
+        c.measures.map {
+          case ColMeasure(_, colName, alias) => inSchema(colName).copy(name = alias)
+          case AggMeasure("COUNT", _, _, alias) => StructField(alias, LongType, nullable = false)
+          case AggMeasure("AVG", _, colName, alias) => StructField(alias, DoubleType, nullable = true)
+          case AggMeasure("SUM", _, colName, alias) =>
+            StructField(alias,
+              if (isFractional(inSchema(colName).dataType)) DoubleType else LongType,
+              nullable = true)
+          case AggMeasure(_, _, colName, alias) => // MIN/MAX/FIRST/LAST keep the type
+            inSchema(colName).copy(name = alias)
         })
-    val stageOfSym: Map[String, String] = c.pattern.map(_._1).distinct.map { sym =>
-      sym -> c.pattern.zipWithIndex.collectFirst {
+    // all stages carrying a symbol, in pattern order — SQL classifiers
+    // repeated in the pattern are ONE symbol, so measures span them all
+    val stagesOfSym: Map[String, Seq[String]] = c.pattern.map(_._1).distinct.map { sym =>
+      sym -> c.pattern.zipWithIndex.collect {
         case ((s2, _, _), i) if s2 == sym => s"$sym#$i"
-      }.get
+      }
     }.toMap
-    val measureIdx = c.measures.map { case (sym, colName, _) =>
-      (stageOfSym(sym), inSchema.fieldIndex(colName))
+    val measurePlan: Seq[(Measure, Int, Boolean)] = c.measures.map { m =>
+      val idx = if (m.colName == "*") -1 else inSchema.fieldIndex(m.colName)
+      val frac = m.colName != "*" && isFractional(inSchema(m.colName).dataType)
+      (m, idx, frac)
+    }
+
+    def evalMeasure(mm: CEP.Match[Row], plan: (Measure, Int, Boolean)): Any = {
+      val (meas, idx, frac) = plan
+      val rows = stagesOfSym(meas.sym).flatMap(st => mm.stages.getOrElse(st, Nil))
+      def vals = rows.iterator.map(_.get(idx)).filter(_ != null).toSeq
+      meas match {
+        case ColMeasure(_, _, _) => rows.headOption.map(_.get(idx)).orNull
+        case AggMeasure("COUNT", _, "*", _) => rows.size.toLong
+        case AggMeasure("COUNT", _, _, _) => vals.size.toLong
+        case AggMeasure("FIRST", _, _, _) => rows.headOption.map(_.get(idx)).orNull
+        case AggMeasure("LAST", _, _, _) => rows.lastOption.map(_.get(idx)).orNull
+        case AggMeasure("SUM", _, _, _) =>
+          val vs = vals
+          if (vs.isEmpty) null
+          else if (frac) vs.map(_.asInstanceOf[Number].doubleValue).sum
+          else vs.map(_.asInstanceOf[Number].longValue).sum
+        case AggMeasure("AVG", _, _, _) =>
+          val vs = vals
+          if (vs.isEmpty) null
+          else vs.map(_.asInstanceOf[Number].doubleValue).sum / vs.size
+        case AggMeasure(fn @ ("MIN" | "MAX"), _, _, _) =>
+          val vs = vals
+          if (vs.isEmpty) null
+          else {
+            val cmp = (a: Any, b: Any) =>
+              a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
+            vs.reduce((a, b) => if (cmp(a, b) == (fn == "MIN")) a else b)
+          }
+        case AggMeasure(fn, _, _, _) =>
+          throw new IllegalArgumentException(s"unsupported measure function $fn")
+      }
     }
 
     val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -159,9 +227,7 @@ object MatchRecognize {
       }
       groups.flatMap { case (key, rows) =>
         CEP.matchSequence(rows, pattern)(_ => 0L).map { m =>
-          Row.fromSeq(key +: measureIdx.map { case (stage, idx) =>
-            m.stages.get(stage).map(_.head.get(idx)).orNull
-          })
+          Row.fromSeq(key +: measurePlan.map(evalMeasure(m, _)))
         }
       }
     }(rowEnc)
