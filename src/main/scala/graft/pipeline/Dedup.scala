@@ -63,51 +63,36 @@ object Dedup extends QueryModule {
     // ----- LSH banding (b=4 bands of r=1 — high recall) → candidate
     // pairs → verify with word-shingle Jaccard -----
     q("q52_minhash_lsh_pairs",
-      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         |shl AS (SELECT doc_id, $duckShingles AS shingles FROM words WHERE len(w) >= 3),
-         |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
-         |sig AS (SELECT doc_id,
-         |    min(${duckHash("'0:'||s")}) AS m0, min(${duckHash("'1:'||s")}) AS m1,
-         |    min(${duckHash("'2:'||s")}) AS m2, min(${duckHash("'3:'||s")}) AS m3
-         |  FROM sh GROUP BY doc_id),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |   AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3))
-         |SELECT doc_a, doc_b,
-         |  len(list_intersect(x.shingles, y.shingles))::DOUBLE
-         |    / len(list_distinct(x.shingles || y.shingles)) AS jacc
-         |FROM cand JOIN shl x ON cand.doc_a = x.doc_id
-         |          JOIN shl y ON cand.doc_b = y.doc_id
-         |WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
-         |    / len(list_distinct(x.shingles || y.shingles)) >= 0.1
-         |ORDER BY doc_a, doc_b""") { (s, dir) =>
-      val shl = Tables.t(s, dir, "documents")
-        .withColumn("w", split(lower(col("text")), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), expr(sparkShingles).as("shingles"))
-      // The scalable LSH shape: explode signatures into (band, value)
-      // bucket rows and equi-join on the bucket key — a hash-partition
-      // join linear in bucket sizes. An OR-of-bands join condition
-      // would compile to a nested-loop O(n²) plan instead.
-      val sig = minhashSignatures(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
-          .as(Seq("band", "bval")))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-      val cand = a.join(b, Seq("band", "bval"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
-        size(array_distinct(concat(col("x_sh"), col("y_sh"))))
-      cand
-        .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")), "doc_a")
-        .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")), "doc_b")
-        .withColumn("jacc", jacc)
-        .filter(col("jacc") >= 0.1)
-        .select(col("doc_a"), col("doc_b"), col("jacc"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      duckPairsCtes(recursive = false) +
+        "\nSELECT doc_a, doc_b, jacc FROM good ORDER BY doc_a, doc_b") { (s, dir) =>
+      lshVerifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- duplicate CLUSTERS: the step after pair generation in a
+    // real dedup pipeline — candidate pairs (q52) become edges of a
+    // similarity graph, connected components (the generic Pregel
+    // min-label iteration from graph/) name each cluster by its
+    // smallest doc_id, and `keep` marks the canonical representative.
+    // One LSH bucket join + the CC supersteps; nothing quadratic in
+    // the corpus, so the composition scales exactly as its parts do. -----
+    q("q133_dedup_clusters",
+      duckPairsCtes(recursive = true) +
+        """,
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+          |          UNION SELECT doc_b, doc_a FROM good),
+          |walk(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION SELECT a, a FROM edges
+          |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
+          |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS keep
+          |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = lshVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      graft.graph.Graph.fromEdges(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents()
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          (col("id") === col("comp")).as("keep"))
+        .orderBy(col("doc_id"))
     },
 
     // ----- SimHash: 32-bit signature from frequency-weighted word
@@ -262,6 +247,62 @@ object Dedup extends QueryModule {
   }
 
   /** Shared MinHash signature computation (4 seeded hashes). */
+  /** The q52 pair pipeline, shared with the cluster step (q133):
+    * LSH-bucket candidates verified by exact shingle Jaccard ≥ 0.1. */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val shl = Tables.t(s, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+    // The scalable LSH shape: explode signatures into (band, value)
+    // bucket rows and equi-join on the bucket key — a hash-partition
+    // join linear in bucket sizes. An OR-of-bands join condition
+    // would compile to a nested-loop O(n²) plan instead.
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
+        .as(Seq("band", "bval")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+    val cand = a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
+      size(array_distinct(concat(col("x_sh"), col("y_sh"))))
+    cand
+      .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")), "doc_a")
+      .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")), "doc_b")
+      .withColumn("jacc", jacc)
+      .filter(col("jacc") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
+  /** DuckDB CTE chain ending in `good(doc_a, doc_b, jacc)` — the
+    * oracle twin of [[lshVerifiedPairs]]. `recursive` prepends the
+    * RECURSIVE keyword for callers that extend the chain with a
+    * recursive CTE. */
+  private def duckPairsCtes(recursive: Boolean): String = {
+    val kw = if (recursive) "RECURSIVE " else ""
+    s"""WITH ${kw}words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |shl AS (SELECT doc_id, $duckShingles AS shingles FROM words WHERE len(w) >= 3),
+       |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+       |sig AS (SELECT doc_id,
+       |    min(${duckHash("'0:'||s")}) AS m0, min(${duckHash("'1:'||s")}) AS m1,
+       |    min(${duckHash("'2:'||s")}) AS m2, min(${duckHash("'3:'||s")}) AS m3
+       |  FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |   AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |      / len(list_distinct(x.shingles || y.shingles)) AS jacc
+       |  FROM cand JOIN shl x ON cand.doc_a = x.doc_id
+       |            JOIN shl y ON cand.doc_b = y.doc_id),
+       |good AS (SELECT * FROM pairs WHERE jacc >= 0.1)""".stripMargin
+  }
+
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.t(s, dir, "documents")
       .withColumn("w", split(lower(col("text")), " "))
