@@ -23,7 +23,7 @@ object TopK {
 
   case class Scored(score: Double, id: Long)
 
-  private class TopKAgg(k: Int)
+  private[graft] class TopKAgg(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
     private def better(a: Scored, b: Scored): Boolean =

@@ -26,6 +26,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg: any partitioning + merge order equals global sorted take-k") {
+    val r = new Random(11)
+    val agg = new graft.functions.TopK.TopKAgg(3)
+    import graft.functions.TopK.Scored
+    for (_ <- 1 to 200) {
+      // unique ids → total order → result independent of partitioning
+      val rows = r.shuffle((0 until r.nextInt(40)).toList)
+        .map(id => Scored(math.round(r.nextDouble() * 100) / 10.0, id.toLong))
+      val expected = rows.sortBy(s => (-s.score, s.id)).take(3)
+      // split into random partitions, reduce each, merge in random order
+      val parts = rows.grouped(math.max(1, r.nextInt(7))).toList
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = r.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expected, s"rows=$rows parts=$parts")
+    }
+  }
+
+  test("RetractableMax: message order and partitioning never change the result") {
+    val r = new Random(23)
+    val f = new graft.functions.RetractableAgg.RetractableMax
+    for (_ <- 1 to 200) {
+      val base = List.fill(r.nextInt(20) + 1)((r.nextInt(8).toDouble, true))
+      val retracted = r.shuffle(base).take(r.nextInt(base.size)).map(v => (v._1, false))
+      val messages = r.shuffle(base ++ retracted)
+      // survivors = multiset difference
+      val counts = messages.foldLeft(Map.empty[Double, Int]) { case (m, (v, acc)) =>
+        m.updated(v, m.getOrElse(v, 0) + (if (acc) 1 else -1))
+      }
+      val expected = counts.collect { case (v, n) if n > 0 => v } match {
+        case vs if vs.isEmpty => None
+        case vs => Some(vs.max)
+      }
+      val parts = messages.grouped(math.max(1, r.nextInt(5))).toList
+      val accs = parts.map(_.foldLeft(f.createAccumulator()) { case (a, (v, acc)) =>
+        if (acc) f.accumulate(a, v) else f.retract(a, v)
+      })
+      val merged = r.shuffle(accs).foldLeft(f.createAccumulator())(f.merge)
+      assert(f.getValue(merged) == expected, s"messages=$messages")
+    }
+  }
+
   test("similarToRegex: wildcard laws over random alphanumerics") {
     val r = new Random(7)
     for (_ <- 1 to 200) {
