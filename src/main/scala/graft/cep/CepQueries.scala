@@ -200,6 +200,32 @@ object CepQueries extends QueryModule {
         .orderBy(col("user_id"), col("first_id"))
     },
 
+    // ----- ALL ROWS PER MATCH + CLASSIFIER()/MATCH_NUMBER(): every
+    // row of every match, tagged with its symbol and per-partition
+    // match ordinal — the reference's allRows output mode
+    // (DataStreamMatch.scala translateToPlan ALL ROWS branch) -----
+    q("q134_match_recognize_all_rows",
+      """WITH seq AS (SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN value > 250 THEN 1 ELSE 0 END AS ok FROM events),
+        |isl AS (SELECT user_id, event_id, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM seq WHERE ok = 1)
+        |SELECT user_id, event_id, 'UP' AS classifier,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY grp) AS BIGINT) AS match_num
+        |FROM isl ORDER BY user_id, event_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |ALL ROWS PER MATCH
+          |PATTERN (UP+)
+          |DEFINE UP AS UP.value > 250""".stripMargin)
+        .select(col("user_id"), col("event_id"), col("classifier"), col("match_num"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

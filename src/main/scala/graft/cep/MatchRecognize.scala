@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     MEASURES S.col AS alias
   *              | FIRST(S.col) | LAST(S.col) | COUNT(S.*) | COUNT(S.col)
   *              | SUM(S.col) | AVG(S.col) | MIN(S.col) | MAX(S.col) [AS alias, ...]
+  *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *     PATTERN (A B+ C? D* E{n} F{n,m} ...)
   *     DEFINE A AS <predicate on A.col>, ...
@@ -45,7 +46,8 @@ object MatchRecognize {
       measures: Seq[Measure],
       pattern: Seq[(String, Int, Int)],        // (symbol, minTimes, maxTimes)
       define: Map[String, String],
-      skip: CEP.AfterMatchSkip)
+      skip: CEP.AfterMatchSkip,
+      allRows: Boolean)
 
   private val aggMeasureRe =
     """(?i)(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
@@ -59,11 +61,12 @@ object MatchRecognize {
     }
     val partitionBy = section("PARTITION BY", "ORDER BY").getOrElse(
       throw new IllegalArgumentException("PARTITION BY required"))
-    val orderBy = section("ORDER BY", "MEASURES").getOrElse(
+    val orderBy = section("ORDER BY",
+      """(?:MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN)""").getOrElse(
       throw new IllegalArgumentException("ORDER BY required"))
       .split(",").map(_.trim).toSeq
     val measures = splitTopLevel(
-      section("MEASURES", """(?:AFTER\s+MATCH|PATTERN)""").getOrElse(""))
+      section("MEASURES", """(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN)""").getOrElse(""))
       .map(_.trim).filter(_.nonEmpty).map {
         case aggMeasureRe(fn, sy, c, a) => AggMeasure(fn.toUpperCase, sy, c, a)
         case measureRe(sy, c, a) => ColMeasure(sy, c, a)
@@ -78,6 +81,8 @@ object MatchRecognize {
           s"unsupported AFTER MATCH SKIP $other (subset: PAST LAST ROW, TO NEXT ROW)")
       }
       .getOrElse(CEP.SkipPastLast) // SQL-standard default
+    val allRows = """(?is)(ONE|ALL)\s+ROWS?\s+PER\s+MATCH""".r
+      .findFirstMatchIn(clause).exists(_.group(1).equalsIgnoreCase("ALL"))
     val patternStr = """(?is)PATTERN\s*\(\s*(.*?)\s*\)""".r
       .findFirstMatchIn(clause).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException("PATTERN required"))
@@ -100,7 +105,7 @@ object MatchRecognize {
         throw new IllegalArgumentException(s"bad DEFINE: $d"))
       m.group(1) -> m.group(2).trim
     }.toMap
-    Clause(partitionBy, orderBy, measures, pattern, define, skip)
+    Clause(partitionBy, orderBy, measures, pattern, define, skip, allRows)
   }
 
   private def splitTopLevel(s: String): Seq[String] = {
@@ -202,7 +207,20 @@ object MatchRecognize {
       }
     }
 
-    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    // ALL ROWS PER MATCH: input rows + CLASSIFIER() + MATCH_NUMBER()
+    // (restricted: MEASURES are the ONE-ROW form's output — reject the
+    // combination instead of silently ignoring one of them)
+    if (c.allRows) require(c.measures.isEmpty,
+      "ALL ROWS PER MATCH subset emits input rows + classifier + match_num; drop MEASURES")
+    val baseFields = inSchema.fields.filterNot(_.name.startsWith("__m_")).toSeq
+    val allRowsSchema = StructType(baseFields :+
+      StructField("classifier", org.apache.spark.sql.types.StringType, nullable = false) :+
+      StructField("match_num", org.apache.spark.sql.types.LongType, nullable = false))
+    val baseIdx = baseFields.map(f => inSchema.fieldIndex(f.name))
+    val stageNamesInOrder = c.pattern.zipWithIndex.map { case ((sym, _, _), i) => s"$sym#$i" }
+
+    val rowEnc = org.apache.spark.sql.Encoders.row(
+      if (c.allRows) allRowsSchema else outSchema)
 
     val sorted = withFlags
       .repartition(col(c.partitionBy))
@@ -226,7 +244,19 @@ object MatchRecognize {
         }
       }
       groups.flatMap { case (key, rows) =>
-        CEP.matchSequence(rows, pattern)(_ => 0L).map { m =>
+        val ms = CEP.matchSequence(rows, pattern)(_ => 0L)
+        if (c.allRows)
+          // MATCH_NUMBER() is per partition, in match order; rows come
+          // out stage-by-stage, i.e. in temporal order within a match
+          ms.iterator.zipWithIndex.flatMap { case (m, mi) =>
+            stageNamesInOrder.iterator.flatMap { st =>
+              m.stages.getOrElse(st, Nil).map { r =>
+                Row.fromSeq(baseIdx.map(r.get) :+
+                  st.takeWhile(_ != '#') :+ (mi + 1).toLong)
+              }
+            }
+          }
+        else ms.iterator.map { m =>
           Row.fromSeq(key +: measurePlan.map(evalMeasure(m, _)))
         }
       }

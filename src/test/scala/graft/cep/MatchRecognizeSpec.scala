@@ -56,6 +56,34 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(ranged == List((1, 3L)))
   }
 
+  test("ALL ROWS PER MATCH tags each row with classifier and match number") {
+    val out = MatchRecognize(
+      df((1, 1, 1.0, "a"), (1, 2, 2.0, "b"), (1, 3, 0.0, "x"),
+        (1, 4, 3.0, "a"), (1, 5, 4.0, "b")),
+      """PARTITION BY k
+        |ORDER BY seq
+        |ALL ROWS PER MATCH
+        |PATTERN (A B)
+        |DEFINE A AS A.tag = 'a', B AS B.tag = 'b'""".stripMargin)
+      .select(col("seq"), col("classifier"), col("match_num"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toList
+    assert(out == List(
+      (1, "A", 1L), (2, "B", 1L), (4, "A", 2L), (5, "B", 2L)))
+  }
+
+  test("ALL ROWS PER MATCH rejects MEASURES (restricted subset)") {
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(df((1, 1, 1.0, "a")),
+        """PARTITION BY k
+          |ORDER BY seq
+          |MEASURES A.seq AS s
+          |ALL ROWS PER MATCH
+          |PATTERN (A)
+          |DEFINE A AS A.tag = 'a'""".stripMargin)
+    }
+    assert(e.getMessage.contains("ALL ROWS PER MATCH"))
+  }
+
   test("COUNT(S.col) skips nulls; COUNT(S.*) counts rows") {
     val out = MatchRecognize(
       df((1, 1, 10.0, "up"), (1, 2, null, "up"), (1, 3, 30.0, "up")),
