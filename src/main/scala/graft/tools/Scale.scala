@@ -28,6 +28,17 @@ object Scale {
         .select(df.columns.map { c =>
           shifts.get(c) match {
             case Some(base) => (col(c) + col("__rep") * base).as(c)
+            // every WORD of a replica gets a replica-index suffix, so
+            // replicas share NO shingles: without this every doc gains
+            // (mult-1) near-exact duplicates and similarity probes
+            // measure a quadratic pair blowup that is a property of
+            // the replication, not of a real mult-times-larger corpus
+            // (true dup pairs then scale linearly: one copy per replica)
+            case None if c == "text" =>
+              when(col("__rep") === 0, col(c)).otherwise(
+                array_join(
+                  transform(split(col(c), " "),
+                    x => concat(x, lit("r"), col("__rep"))), " ")).as(c)
             case None => col(c)
           }
         }: _*)
