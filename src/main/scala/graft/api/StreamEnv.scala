@@ -300,12 +300,17 @@ final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDatase
     *
     * Scope difference, documented: the reference's punctuated
     * watermark is per source partition; keyed state gives this one a
-    * per-KEY punctuation clock, and keys no marker ever reaches never
-    * seal here — pair with a delay watermark downstream as the
-    * fallback clock for marker-sparse streams. */
-  def punctuatedSeal(tsMillis: T => Long, tie: T => Long)(isMarker: T => Boolean)(
+    * per-KEY punctuation clock. A key no marker ever reaches would
+    * buffer forever — `engineFallback = true` adds the stream's delay
+    * watermark as a second sealing clock (whichever is ahead wins),
+    * bounding state for marker-sparse keys the way a Flink job
+    * combines punctuated and periodic assigners. */
+  def punctuatedSeal(tsMillis: T => Long, tie: T => Long,
+      engineFallback: Boolean = false)(isMarker: T => Boolean)(
       implicit te: Encoder[T], stEnc: Encoder[(Long, Seq[T])]): Dataset[T] =
-    kv.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+    kv.flatMapGroupsWithState(OutputMode.Append,
+      if (engineFallback) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout)(
       (_: K, it: Iterator[T], state: GroupState[(Long, Seq[T])]) => {
         var (hwm, kept) = state.getOption.getOrElse((Long.MinValue, Seq.empty[T]))
         val fresh = scala.collection.mutable.ArrayBuffer.empty[T]
@@ -313,10 +318,18 @@ final class KeyedStream[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDatase
           if (isMarker(t)) hwm = math.max(hwm, tsMillis(t))
           else fresh += t
         }
-        val (sealed_, open) = (kept ++ fresh).partition(t => tsMillis(t) <= hwm)
+        val clock =
+          if (engineFallback) math.max(hwm, state.getCurrentWatermarkMs())
+          else hwm
+        val (sealed_, open) = (kept ++ fresh).partition(t => tsMillis(t) <= clock)
         // the high-water mark must survive even with an empty buffer:
         // it is the key's clock
         state.update((hwm, open))
+        if (engineFallback && open.nonEmpty)
+          // idle keys must re-fire when the delay clock passes their
+          // oldest buffered row, or the fallback never seals them
+          state.setTimeoutTimestamp(math.max(open.map(tsMillis).min + 1,
+            state.getCurrentWatermarkMs() + 1))
         sealed_.sortBy(t => (tsMillis(t), tie(t))).iterator
       })
 

@@ -102,6 +102,34 @@ class StreamEnvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("punctuatedSeal engine fallback bounds state for marker-less keys") {
+    implicit val sc = spark.sqlContext
+    // short 1-minute delay watermark + fallback: key 2 never sees a
+    // marker but still seals once the delay clock passes its rows
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
+    val sealed_ = new StreamOps(
+      input.toDF().toDF("k", "ts", "typ", "id")
+        .withWatermark("ts", "1 minute")
+        .as[(Long, Timestamp, String, Long)])
+      .keyBy(_._1)
+      .punctuatedSeal(_._2.getTime, _._4, engineFallback = true)(_._3 == "wm")
+      .map(e => (e._1, e._4))
+    val q = sealed_.writeStream.format("memory")
+      .queryName("graft_test_punct_fb").outputMode("append").start()
+    def ids() = spark.table("graft_test_punct_fb").as[(Long, Long)].collect().toSet
+    try {
+      input.addData((2L, ts(0), "ev", 9L))
+      q.processAllAvailable()
+      assert(ids().isEmpty)
+      // advance the engine watermark well past 10:00 via another key
+      input.addData((3L, ts(5), "ev", 50L))
+      q.processAllAvailable()
+      input.addData((3L, ts(6), "ev", 51L))
+      q.processAllAvailable()
+      assert(ids()((2L, 9L)), "fallback clock never sealed the marker-less key")
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a memory stream") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
