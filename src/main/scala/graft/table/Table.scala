@@ -23,11 +23,35 @@ final class Table(val df: DataFrame) {
     new Table(df.join(right.df, expr(cond)))
   def leftOuterJoin(right: Table, cond: String): Table =
     new Table(df.join(right.df, expr(cond), "left"))
+  def rightOuterJoin(right: Table, cond: String): Table =
+    new Table(df.join(right.df, expr(cond), "right"))
+  def fullOuterJoin(right: Table, cond: String): Table =
+    new Table(df.join(right.df, expr(cond), "full"))
 
   def union(right: Table): Table = new Table(df.union(right.df).distinct())
   def unionAll(right: Table): Table = new Table(df.union(right.df))
   def intersect(right: Table): Table = new Table(df.intersect(right.df))
+  def intersectAll(right: Table): Table = new Table(df.intersectAll(right.df))
   def minus(right: Table): Table = new Table(df.except(right.df))
+  def minusAll(right: Table): Table = new Table(df.exceptAll(right.df))
+  def distinct: Table = new Table(df.distinct())
+
+  /** addColumns/renameColumns/dropColumns (table.scala column ops). */
+  def addColumns(exprs: String): Table =
+    new Table(Table.splitRaw(exprs).foldLeft(df) { (d, item) =>
+      """(?is)(.*\S)\s+AS\s+(\w+)\s*$""".r.findFirstMatchIn(item) match {
+        case Some(m) => d.withColumn(m.group(2), expr(m.group(1)))
+        case None => throw new IllegalArgumentException(
+          s"addColumns needs '<expr> AS <name>' items, got: $item")
+      }
+    })
+  def renameColumns(pairs: String): Table =
+    new Table(pairs.split(",").map(_.trim).foldLeft(df) { (d, p) =>
+      val Array(from, to) = p.split("(?i)\\s+AS\\s+").map(_.trim)
+      d.withColumnRenamed(from, to)
+    })
+  def dropColumns(cols: String): Table =
+    new Table(df.drop(cols.split(",").map(_.trim).toSeq: _*))
 
   def orderBy(exprs: String): Table = new Table(df.orderBy(split(exprs): _*))
   def fetch(n: Int): Table = new Table(df.limit(n))
@@ -49,7 +73,11 @@ object Table {
   def apply(df: DataFrame): Table = new Table(df)
 
   /** split an expression list on top-level commas only. */
-  private[table] def split(s: String): Seq[Column] = {
+  private[table] def split(s: String): Seq[Column] =
+    splitRaw(s).map(e => expr(e))
+
+  /** Top-level comma split (commas inside parens/strings kept). */
+  private[table] def splitRaw(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var inStr = false
@@ -63,6 +91,6 @@ object Table {
     }
     val last = cur.result().trim
     if (last.nonEmpty) out += last
-    out.result().map(e => expr(e))
+    out.result()
   }
 }
