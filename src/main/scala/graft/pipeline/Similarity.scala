@@ -89,7 +89,47 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** IVF with REAL k-means routing (the production IVF shape; the
+    * label-bucketed q57/q58b prove the same plan with a deterministic
+    * assignment the SQL oracle can reproduce). Both sides route
+    * through `model.transform` — nearest-centroid assignment — so the
+    * corpus is scanned once per cluster and probes only touch their
+    * own cluster. No SQL oracle (DuckDB cannot re-run k-means): the
+    * driver row-checks it, and SimilaritySpec asserts stage-2
+    * exactness against an in-cluster brute force. */
+  def ivfKMeans(s: SparkSession, dir: String, k: Int = 8, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.t(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
+        col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
+    assigned
+      .select(col("vec_id"), col("cluster"), col("embedding").as("ev"),
+        normExpr("embedding").as("e_nrm"))
+      .join(broadcast(probes), col("cluster") === col("q_cluster")
+        && col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(expr(
+        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        / (col("q_nrm") * col("e_nrm")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+
+    qNoOracle("q135_ann_ivf_kmeans") { (s, dir) => ivfKMeans(s, dir) },
 
     q("q56_ann_bruteforce",
       duckCos("a.vec_id < 10", "a.vec_id <> b.vec_id")) { (s, dir) =>
