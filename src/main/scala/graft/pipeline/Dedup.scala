@@ -95,6 +95,23 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // ----- STREAMING ingest dedup: documents arrive as a stream (one
+    // per second of event time, doc_id order) and each is flagged
+    // against everything that arrived BEFORE it — the pipeline shape
+    // of dedup-at-ingest. Per (band, bucket) keyed state holds the
+    // bucket's shingle sets (the corpus signature state any global
+    // streaming dedup must carry; the reference would hold the same
+    // in MapState), rows seal on the watermark for determinism, and
+    // the final min-over-buckets matches the relational oracle:
+    // dup_of = smallest earlier doc sharing a band with Jaccard ≥ 0.1.
+    // Shingles ride as exact sorted strings here; at corpus scale
+    // switch to 64-bit gram hashes (q54's argument) to shrink state. -----
+    q("q136_stream_dedup_minhash",
+      duckPairsCtes(recursive = false) +
+        "\nSELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM good GROUP BY doc_b ORDER BY doc_id") {
+      (s, dir) => StreamingDedup.minhashDedup(s, dir)
+    },
+
     // ----- SimHash: 32-bit signature from frequency-weighted word
     // hashes (bit j votes ±1 per occurrence; sign → bit) -----
     q("q53_simhash",

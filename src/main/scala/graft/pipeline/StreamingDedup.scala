@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Dedup-at-ingest over a document STREAM (the streaming sibling of
+  * the batch MinHash+LSH pipeline, q52): every arriving document is
+  * checked against all PRIOR documents and, if a verified near-dup
+  * exists, emits `(doc_id, dup_of = smallest earlier duplicate)`.
+  *
+  * Shape: per-row minhash banding (pure array expressions — no
+  * aggregation, so it runs on an unbounded stream), shuffle on the
+  * (band, bucket) key, and a keyed state op holding the bucket's
+  * member shingle sets. A document seals once the watermark passes its
+  * event time — every earlier document has then arrived — making the
+  * output independent of micro-batch boundaries. State per bucket is
+  * its member list: global streaming dedup inherently carries the
+  * corpus signature state (bound it in production by windowing the
+  * dedup horizon or capping bucket width — degenerate buckets are
+  * boilerplate by definition).
+  */
+object StreamingDedup {
+
+  /** (band, bval) bucket member: micros, doc, SORTED distinct shingles. */
+  private type Member = (Long, Long, Seq[String], Boolean) // (tsUs, docId, shingles, emitted)
+
+  private def jaccard(a: Seq[String], b: Seq[String]): Double = {
+    var i = 0; var j = 0; var common = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common.toDouble / (a.length + b.length - common)
+  }
+
+  def minhashDedup(s: SparkSession, dir: String, threshold: Double = 0.1): DataFrame = {
+    import s.implicits._
+
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    implicit val sq = s.sqlContext
+    // far-future sentinel: drives the watermark past the last real
+    // document so the final doc seals too (its short text is dropped
+    // by the shingle-length filter AFTER the watermark is assigned)
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    sentinel.addData((4102444800L, "x"))
+    val fileDocs =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs = fileDocs
+      .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+      // synthetic arrival time: one doc per second in doc_id order
+      .withColumn("ts", expr("timestamp_seconds(doc_id)"))
+      .withWatermark("ts", "0 seconds")
+
+    // per-row signature: band b's minhash = min over shingles of
+    // md5('b:'||shingle) — array expressions only, streaming-safe
+    def bandMin(b: Int) = expr(
+      s"""array_min(transform(shingles,
+         |  x -> CAST(conv(substring(md5(concat('$b:', x)), 1, 8), 16, 10) AS BIGINT)))"""
+        .stripMargin)
+
+    val banded = docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", expr(
+        """array_sort(array_distinct(transform(sequence(0, size(w)-3),
+          |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))))""".stripMargin))
+      .select(col("ts"), unix_micros(col("ts")).as("tsUs"),
+        col("doc_id"), col("shingles"),
+        posexplode(array((0 to 3).map(bandMin): _*)).as(Seq("band", "bval")))
+      .select(col("band"), col("bval"), col("ts"), col("tsUs"),
+        col("doc_id"), col("shingles"))
+      .as[(Int, Long, java.sql.Timestamp, Long, Long, Seq[String])]
+
+    implicit val stEnc = org.apache.spark.sql.Encoders.kryo[Seq[Member]]
+    val pairs = banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), it: Iterator[(Int, Long, java.sql.Timestamp, Long, Long, Seq[String])],
+            state: GroupState[Seq[Member]]) => {
+          val members = (state.getOption.getOrElse(Seq.empty) ++
+            it.map(r => (r._4, r._5, r._6, false)))
+            .sortBy(m => (m._1, m._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val updated = members.zipWithIndex.map { case (m @ (ts, doc, sh, emitted), i) =>
+            if (emitted || ts >= wmUs) m
+            else {
+              // all earlier members are present (watermark-sealed):
+              // the smallest earlier verified duplicate in this bucket
+              val dup = members.iterator.take(i)
+                .filter(e => jaccard(e._3, sh) >= threshold)
+                .map(_._2).minOption
+              dup.foreach(d => out += ((doc, d)))
+              (ts, doc, sh, true)
+            }
+          }
+          state.update(updated)
+          val pending = updated.filter(!_._4)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L + 1).min,
+              state.getCurrentWatermarkMs() + 1))
+          out.iterator
+        })
+      .toDF("doc_id", "dup_of_bucket")
+
+    // one doc can match in several buckets → min over buckets. The
+    // stream has completed by here (memory-sink collection), so this
+    // final reduction is a plain batch aggregate.
+    StreamingDedup.viaMemorySink(s, pairs, "graft_stream_dedup")
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of_bucket")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def viaMemorySink(s: SparkSession, df: DataFrame, qname: String): DataFrame = {
+    s.catalog.dropTempView(qname)
+    val query = df.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    s.table(qname)
+  }
+}
