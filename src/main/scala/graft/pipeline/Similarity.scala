@@ -186,6 +186,31 @@ object Similarity extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // ----- STREAMING embedding near-dup at ingest: vectors arrive in
+    // vec_id order; each flags its smallest earlier same-block
+    // near-duplicate (cosine ≥ 0.25), sealed by the watermark so the
+    // result is batching-independent — the vector-side twin of the
+    // q136 streaming text dedup. -----
+    q("q137_stream_embedding_neardup",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(fa.x * fb.x) AS dot
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS score
+        |  FROM pairs JOIN norms na ON na.vec_id = a_id
+        |             JOIN norms nb ON nb.vec_id = b_id)
+        |SELECT b_id AS vec_id, min(a_id) AS dup_of
+        |FROM scored WHERE score >= 0.25 GROUP BY b_id ORDER BY vec_id""") { (s, dir) =>
+      StreamingDedup.embeddingNearDup(s, dir)
+    },
+
     // ----- IVF-shaped two-stage search: stage 1 routes each probe to
     // the nearest coarse representative (deterministic: the min-vec_id
     // member of each label cluster — swap in k-means centroids without

@@ -41,12 +41,19 @@ object StreamingDedup {
 
     val raw = s.read.parquet(s"$dir/documents.parquet").schema
     implicit val sq = s.sqlContext
-    // far-future sentinel: drives the watermark past the last real
-    // document so the final doc seals too (its short text is dropped
-    // by the shingle-length filter AFTER the watermark is assigned)
+    // far-future sentinel that drives the watermark past the last real
+    // document so it seals too. The sentinel must SURVIVE every filter
+    // below the watermark node: Catalyst pushes deterministic filters
+    // through the union+watermark down to the sources, and a filtered
+    // sentinel never registers its event time — the watermark then
+    // stalls at the last real row (exactly the bug this row exists to
+    // prevent). It therefore carries 3 words (passes the shingle-length
+    // filter) of a reserved token, lives in its own bucket, and — being
+    // the stream's maximum timestamp — never seals and is never an
+    // "earlier" candidate for anyone.
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    sentinel.addData((4102444800L, "x"))
+    sentinel.addData((4102444800L, "zsentinela zsentinelb zsentinelc"))
     val fileDocs =
       (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
         s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
@@ -55,8 +62,10 @@ object StreamingDedup {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val docs = fileDocs
       .unionByName(sentinel.toDF().toDF("doc_id", "text"))
-      // synthetic arrival time: one doc per second in doc_id order
-      .withColumn("ts", expr("timestamp_seconds(doc_id)"))
+      // synthetic arrival time: one doc per second in doc_id order,
+      // shifted +1s — a ts equal to the INITIAL watermark (epoch 0)
+      // is dropped as late before ever reaching the state op
+      .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
       .withWatermark("ts", "0 seconds")
 
     // per-row signature: band b's minhash = min over shingles of
@@ -118,6 +127,80 @@ object StreamingDedup {
       .groupBy(col("doc_id"))
       .agg(min(col("dup_of_bucket")).as("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Streaming embedding near-dup at ingest — the cosine sibling of
+    * [[minhashDedup]]: vectors arrive one per second (vec_id order),
+    * block by the coarse bucket (label — swap in a quantizer/k-means
+    * assignment freely), and each sealed vector flags the smallest
+    * earlier vector in its block with cosine ≥ threshold. Same
+    * watermark-sealing determinism argument; state per block is its
+    * member vectors with precomputed norms. */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/embeddings.parquet").schema
+    implicit val sq = s.sqlContext
+    // same survival rule as [[minhashDedup]]'s sentinel: no filter may
+    // drop it below the watermark node. Label -1 gives it a bucket of
+    // its own; as the max-timestamp row it never seals nor serves as
+    // an earlier candidate, so the short vector is never compared.
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Seq[Float])]
+    sentinel.addData((4102444800L, -1, Seq(1.0f)))
+    val fileVecs =
+      (if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/embeddings.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("int").as("label"), col("embedding"))
+    val vecs = fileVecs
+      .unionByName(sentinel.toDF().toDF("vec_id", "label", "embedding"))
+      .withColumn("ts", expr("timestamp_seconds(vec_id + 1)"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("label"), col("ts"), unix_micros(col("ts")).as("tsUs"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, java.sql.Timestamp, Long, Long, Seq[Float])]
+
+    type VMember = (Long, Long, Array[Double], Double, Boolean) // (tsUs, id, vec, norm, emitted)
+    implicit val stEnc = org.apache.spark.sql.Encoders.kryo[Seq[VMember]]
+    val pairs = vecs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, it: Iterator[(Int, java.sql.Timestamp, Long, Long, Seq[Float])],
+            state: GroupState[Seq[VMember]]) => {
+          val members = (state.getOption.getOrElse(Seq.empty) ++
+            it.map { r =>
+              val v = r._5.map(_.toDouble).toArray
+              (r._3, r._4, v, math.sqrt(v.map(x => x * x).sum), false)
+            }).sortBy(m => (m._1, m._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val updated = members.zipWithIndex.map { case (m @ (ts, id, v, nrm, emitted), i) =>
+            if (emitted || ts >= wmUs) m
+            else {
+              val dup = members.iterator.take(i).filter { e =>
+                var dot = 0.0
+                var k = 0
+                while (k < v.length) { dot += v(k) * e._3(k); k += 1 }
+                // same rounded-score comparison as the batch q96 oracle
+                BigDecimal(dot / (nrm * e._4))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= threshold
+              }.map(_._2).minOption
+              dup.foreach(d => out += ((id, d)))
+              (ts, id, v, nrm, true)
+            }
+          }
+          state.update(updated)
+          val pending = updated.filter(!_._5)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L + 1).min,
+              state.getCurrentWatermarkMs() + 1))
+          out.iterator
+        })
+      .toDF("vec_id", "dup_of")
+
+    viaMemorySink(s, pairs, "graft_stream_vec_dedup")
+      .orderBy(col("vec_id"))
   }
 
   private def viaMemorySink(s: SparkSession, df: DataFrame, qname: String): DataFrame = {
