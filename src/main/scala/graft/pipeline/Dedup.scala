@@ -57,7 +57,7 @@ object Dedup extends QueryModule {
          |  min(${duckHash("'2:'||s")}) AS m2,
          |  min(${duckHash("'3:'||s")}) AS m3
          |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      minhashSignatures(s, dir).orderBy(col("doc_id"))
+      minhashSignatures(Tables.t(s, dir, "documents")).orderBy(col("doc_id"))
     },
 
     // ----- LSH banding (b=4 bands of r=1 — high recall) → candidate
@@ -92,6 +92,57 @@ object Dedup extends QueryModule {
         .connectedComponents()
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
           (col("id") === col("comp")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- the CURATION PIPELINE end-to-end, as one declarative plan:
+    // quality-filter the corpus (q58's score), near-dedup the
+    // survivors (LSH pairs -> Pregel components -> canonical keep,
+    // q52/q133), and assign reproducible train/val/test splits by
+    // content hash (q125) — the keep-list a training-data pipeline
+    // actually ships. Every stage is the already-proven scale shape;
+    // composing them adds no new shuffle beyond their own. -----
+    q("q138_curation_keeplist",
+      duckPairsCtes(recursive = true,
+        leadingCtes =
+          s"""base AS (SELECT doc_id, text FROM documents
+             |  WHERE ${TextAnalysis.duckQuality} >= 0.5),
+             |""".stripMargin,
+        source = "base") +
+        """,
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+          |          UNION SELECT doc_b, doc_a FROM good),
+          |walk(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION SELECT a, a FROM edges
+          |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          |cluster AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+          |keep AS (
+          |  SELECT b.doc_id, b.text FROM base b LEFT JOIN cluster c ON b.doc_id = c.doc_id
+          |  WHERE c.doc_id IS NULL OR c.cluster_id = b.doc_id)
+          |SELECT doc_id,
+          |  CASE WHEN h % 100 < 80 THEN 'train'
+          |       WHEN h % 100 < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |  CAST(list_sum(list_transform(range(1,9),
+          |    hx -> (strpos('0123456789abcdef', substr(md5(text), hx, 1))-1)
+          |          * (2**(4*(8-hx))))) AS BIGINT) AS h
+          |  FROM keep)
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.t(s, dir, "documents")
+        .filter(TextAnalysis.quality(col("text")) >= 0.5)
+        .select(col("doc_id"), col("text"))
+      val pairs = lshVerifiedPairs(base).select(col("doc_a"), col("doc_b"))
+      val clusters = graft.graph.Graph.fromEdges(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents()
+      val keep = base.join(clusters.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+      keep.select(col("doc_id"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
         .orderBy(col("doc_id"))
     },
 
@@ -266,8 +317,11 @@ object Dedup extends QueryModule {
   /** Shared MinHash signature computation (4 seeded hashes). */
   /** The q52 pair pipeline, shared with the cluster step (q133):
     * LSH-bucket candidates verified by exact shingle Jaccard ≥ 0.1. */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val shl = Tables.t(s, dir, "documents")
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(Tables.t(s, dir, "documents"))
+
+  private[pipeline] def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+    val shl = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(sparkShingles).as("shingles"))
@@ -275,7 +329,7 @@ object Dedup extends QueryModule {
     // bucket rows and equi-join on the bucket key — a hash-partition
     // join linear in bucket sizes. An OR-of-bands join condition
     // would compile to a nested-loop O(n²) plan instead.
-    val sig = minhashSignatures(s, dir)
+    val sig = minhashSignatures(docs)
     val bands = sig.select(col("doc_id"),
       posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
         .as(Seq("band", "bval")))
@@ -298,9 +352,10 @@ object Dedup extends QueryModule {
     * oracle twin of [[lshVerifiedPairs]]. `recursive` prepends the
     * RECURSIVE keyword for callers that extend the chain with a
     * recursive CTE. */
-  private def duckPairsCtes(recursive: Boolean): String = {
+  private[pipeline] def duckPairsCtes(recursive: Boolean,
+      leadingCtes: String = "", source: String = "documents"): String = {
     val kw = if (recursive) "RECURSIVE " else ""
-    s"""WITH ${kw}words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    s"""WITH $kw${leadingCtes}words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $source),
        |shl AS (SELECT doc_id, $duckShingles AS shingles FROM words WHERE len(w) >= 3),
        |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
        |sig AS (SELECT doc_id,
@@ -320,8 +375,8 @@ object Dedup extends QueryModule {
        |good AS (SELECT * FROM pairs WHERE jacc >= 0.1)""".stripMargin
   }
 
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.t(s, dir, "documents")
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(sparkShingles)).as("s"))

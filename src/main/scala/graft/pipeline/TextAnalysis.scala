@@ -13,6 +13,24 @@ object TextAnalysis extends QueryModule {
 
   private val TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
+  /** Quality score — logistic over avg word length and stopword ratio
+    * (the q58 formula, shared with the curation pipeline q138). */
+  def quality(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = split(text, " ")
+    val awl = length(regexp_replace(text, " ", "")).cast("double") / size(w)
+    val stopRatio = size(expr("filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to'))"))
+      .cast("double") / size(w)
+    round(lit(1.0) / (lit(1.0) + exp(-(lit(0.2) * awl + lit(2.0) * stopRatio - lit(1.0)))), 6)
+  }
+
+  /** Same score in DuckDB SQL over a relation exposing `text`. */
+  val duckQuality: String =
+    """round(1.0 / (1.0 + exp(-(
+      |    0.2 * (length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')))
+      |    + 2.0 * (len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+      |          / len(string_split(text, ' ')))
+      |    - 1.0))), 6)""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
 
     q("q58_text_stats",
