@@ -320,7 +320,16 @@ object Dedup extends QueryModule {
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     lshVerifiedPairs(Tables.t(s, dir, "documents"))
 
-  private[pipeline] def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+  private[pipeline] def lshVerifiedPairs(docs: DataFrame): DataFrame =
+    lshVerifiedPairs(docs, maxBucketWidth = Int.MaxValue)
+
+  /** @param maxBucketWidth drop band buckets wider than this BEFORE
+    *   the pair join — the 100 TB safety valve against degenerate
+    *   buckets (replicated or boilerplate-heavy corpora make bucket
+    *   sizes, and so candidate pairs, grow quadratically; a bucket
+    *   that wide is boilerplate by definition). An explicit recall
+    *   trade-off: the default keeps exact semantics. */
+  private[pipeline] def lshVerifiedPairs(docs: DataFrame, maxBucketWidth: Int): DataFrame = {
     val shl = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
@@ -330,9 +339,20 @@ object Dedup extends QueryModule {
     // join linear in bucket sizes. An OR-of-bands join condition
     // would compile to a nested-loop O(n²) plan instead.
     val sig = minhashSignatures(docs)
-    val bands = sig.select(col("doc_id"),
+    val allBands = sig.select(col("doc_id"),
       posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
         .as(Seq("band", "bval")))
+    val bands =
+      if (maxBucketWidth == Int.MaxValue) allBands
+      else {
+        // one extra partial+final count on the bucket key (same
+        // partitioning as the join) — cheap insurance at scale
+        val widths = allBands.groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("__bw"))
+          .filter(col("__bw") <= maxBucketWidth)
+          .select(col("band"), col("bval"))
+        allBands.join(widths, Seq("band", "bval"))
+      }
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
     val cand = a.join(b, Seq("band", "bval"))
