@@ -36,7 +36,12 @@ object StreamingDedup {
     common.toDouble / (a.length + b.length - common)
   }
 
-  def minhashDedup(s: SparkSession, dir: String, threshold: Double = 0.1): DataFrame = {
+  /** @param horizonSeconds dedup horizon: members sealed longer ago
+    *   than this are evicted and can no longer match future arrivals —
+    *   the windowed-recall trade-off that bounds state for unbounded
+    *   streams (None = global dedup, state grows with the corpus). */
+  def minhashDedup(s: SparkSession, dir: String, threshold: Double = 0.1,
+      horizonSeconds: Option[Long] = None): DataFrame = {
     import s.implicits._
 
     val raw = s.read.parquet(s"$dir/documents.parquet").schema
@@ -104,14 +109,24 @@ object StreamingDedup {
             else {
               // all earlier members are present (watermark-sealed):
               // the smallest earlier verified duplicate in this bucket
+              // within the horizon of THIS doc's own timestamp (the
+              // batching-independent form of the windowed trade-off;
+              // state eviction below is its corollary)
               val dup = members.iterator.take(i)
-                .filter(e => jaccard(e._3, sh) >= threshold)
+                .filter(e => horizonSeconds.forall(h => e._1 >= ts - h * 1000000L)
+                  && jaccard(e._3, sh) >= threshold)
                 .map(_._2).minOption
               dup.foreach(d => out += ((doc, d)))
               (ts, doc, sh, true)
             }
           }
-          state.update(updated)
+          // horizon eviction: only EMITTED members age out (an unsealed
+          // row must stay until its own emission)
+          val kept = horizonSeconds match {
+            case Some(h) => updated.filter(m => !m._4 || m._1 >= wmUs - h * 1000000L)
+            case None => updated
+          }
+          state.update(kept)
           val pending = updated.filter(!_._4)
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L + 1).min,

@@ -26,4 +26,27 @@ class DedupSpec extends SparkSpec {
     // the 6-wide boilerplate buckets are dropped; the real pair stays
     assert(capped == Set((1L, 2L)))
   }
+
+  test("streaming dedup horizon forgets duplicates older than the window") {
+    // docs 1 and 200 are near-identical but 199 synthetic seconds
+    // apart; docs 210/211 are adjacent near-dups
+    val dir = java.nio.file.Files.createTempDirectory("graft_horizon").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "the quick brown fox jumps over the lazy cat"),
+      (210L, "pack my box with five dozen liquor jugs"),
+      (211L, "pack my box with five dozen liquor mugs")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(dir + "/documents.parquet")
+
+    val global = StreamingDedup.minhashDedup(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(global == Set((200L, 1L), (211L, 210L)))
+
+    // 60s horizon: doc 1 has aged out when 200 arrives; the adjacent
+    // pair still dedups
+    val windowed = StreamingDedup.minhashDedup(spark, dir, horizonSeconds = Some(60L))
+      .as[(Long, Long)].collect().toSet
+    assert(windowed == Set((211L, 210L)))
+  }
 }
