@@ -89,15 +89,81 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** IVF with REAL k-means routing (the production IVF shape; the
-    * label-bucketed q57/q58b prove the same plan with a deterministic
-    * assignment the SQL oracle can reproduce). Both sides route
-    * through `model.transform` — nearest-centroid assignment — so the
-    * corpus is scanned once per cluster and probes only touch their
-    * own cluster. No SQL oracle (DuckDB cannot re-run k-means): the
-    * driver row-checks it, and SimilaritySpec asserts stage-2
-    * exactness against an in-cluster brute force. */
-  def ivfKMeans(s: SparkSession, dir: String, k: Int = 8, seed: Long = 7L): DataFrame = {
+  /** Deterministic Lloyd's k-means expressed relationally, so the SQL
+    * oracle can replay the EXACT fit: init = the first k vectors
+    * (cluster id = vec_id), a fixed number of update iterations,
+    * centroid components and distances rounded to 6 dp each step (the
+    * argmin becomes independent of fp summation order on either
+    * engine), ties broken by lowest cluster id. Returns
+    * (vec_id, cluster).
+    *
+    * Plan shape per iteration: one corpus×k nearest-centroid pass
+    * (centroids broadcast — k·dim doubles, never a shuffle of the
+    * corpus) and one posexplode + (cluster, dim) partial-aggregated
+    * avg for the update — the standard distributed Lloyd's cost. At
+    * 100 TB you fit on a sample and only the final assignment pass
+    * touches the full corpus; `updates = 0` gives exactly that
+    * assign-only pass over pre-fitted centroids. */
+  private[pipeline] def kmeansClusters(e: DataFrame, k: Int, updates: Int): DataFrame = {
+    val ed = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+    def assign(cent: DataFrame): DataFrame =
+      ed.crossJoin(broadcast(cent))
+        .withColumn("dist", round(expr(
+          """aggregate(zip_with(ev, cv, (x, c) -> (x - c) * (x - c)),
+            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(ed, "vec_id")
+        .select(col("cluster"), posexplode(col("ev")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("c"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cv"))
+    var cent = ed.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("ev").as("cv"))
+    for (_ <- 1 to updates) cent = update(assign(cent))
+    assign(cent)
+  }
+
+  /** IVF with real k-means routing: cluster the corpus with the
+    * relational Lloyd's above, then run the two-stage search — probes
+    * only touch their own cluster, the corpus is scanned once. The
+    * whole route (fit + assignment + top-k) is hash-checked against a
+    * DuckDB replay of the same fixed-seed fit. */
+  def ivfKMeans(s: SparkSession, dir: String, k: Int = 8, updates: Int = 2): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val clustered = kmeansClusters(e, k, updates)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val probes = clustered.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
+        col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
+    clustered
+      .select(col("vec_id"), col("cluster"), col("embedding").as("ev"),
+        normExpr("embedding").as("e_nrm"))
+      .join(broadcast(probes), col("cluster") === col("q_cluster")
+        && col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(expr(
+        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        / (col("q_nrm") * col("e_nrm")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The same IVF plan with MLlib's KMeans doing the fit (the
+    * interop path a production user would take; `model.transform` is
+    * the nearest-centroid assignment). Not SQL-oracle-checkable —
+    * DuckDB cannot re-run MLlib — so SimilaritySpec asserts stage-2
+    * exactness against an in-cluster brute force instead. */
+  def ivfKMeansMllib(s: SparkSession, dir: String, k: Int = 8, seed: Long = 7L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.t(s, dir, "embeddings")
@@ -129,7 +195,57 @@ object Similarity extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
 
-    qNoOracle("q135_ann_ivf_kmeans") { (s, dir) => ivfKMeans(s, dir) },
+    // ----- IVF with a real k-means fit, fully oracle-checked: the
+    // deterministic Lloyd's (init = first 8 vectors, 2 update
+    // iterations, 6-dp rounding, ties to lowest cluster id) is
+    // replayed step-by-step in DuckDB, so fit + routing + stage-2
+    // top-k all hash-match. -----
+    q("q135_ann_ivf_kmeans",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM flat WHERE vec_id < 8),
+        |d1 AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d1)
+        |       WHERE rk = 1),
+        |c1 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
+        |       FROM a1 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2 AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM flat f JOIN c1 c ON c.i = f.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d2)
+        |       WHERE rk = 1),
+        |c2 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
+        |       FROM a2 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d3)
+        |       WHERE rk = 1),
+        |scored AS (
+        |  SELECT p.vec_id AS query_id, b.vec_id AS vec_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM a3 p JOIN a3 b ON b.cluster = p.cluster AND b.vec_id <> p.vec_id
+        |  JOIN flat fa ON fa.vec_id = p.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = p.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  WHERE p.vec_id < 10
+        |  GROUP BY p.vec_id, b.vec_id, na.nrm, nb.nrm),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => ivfKMeans(s, dir) },
 
     q("q56_ann_bruteforce",
       duckCos("a.vec_id < 10", "a.vec_id <> b.vec_id")) { (s, dir) =>
