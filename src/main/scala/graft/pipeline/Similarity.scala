@@ -304,9 +304,12 @@ object Similarity extends QueryModule {
 
     // ----- STREAMING embedding near-dup at ingest: vectors arrive in
     // vec_id order; each flags its smallest earlier same-block
-    // near-duplicate (cosine ≥ 0.25), sealed by the watermark so the
-    // result is batching-independent — the vector-side twin of the
-    // q136 streaming text dedup. -----
+    // near-duplicate (cosine ≥ 0.25) WITHIN THE 100-SECOND DEDUP
+    // HORIZON (ts = vec_id + 1 s, so candidate a needs
+    // a_id >= b_id - 100), sealed by the watermark so the result is
+    // batching-independent — the vector-side twin of the q136
+    // streaming text dedup, with the state bound the unbounded stream
+    // needs. -----
     q("q137_stream_embedding_neardup",
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
@@ -315,6 +318,7 @@ object Similarity extends QueryModule {
         |pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(fa.x * fb.x) AS dot
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |    AND a.vec_id >= b.vec_id - 100
         |  JOIN flat fa ON fa.vec_id = a.vec_id
         |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
         |  GROUP BY 1, 2),
@@ -324,7 +328,46 @@ object Similarity extends QueryModule {
         |             JOIN norms nb ON nb.vec_id = b_id)
         |SELECT b_id AS vec_id, min(a_id) AS dup_of
         |FROM scored WHERE score >= 0.25 GROUP BY b_id ORDER BY vec_id""") { (s, dir) =>
-      StreamingDedup.embeddingNearDup(s, dir)
+      StreamingDedup.embeddingNearDup(s, dir, horizonSeconds = Some(100L))
+    },
+
+    // ----- the same ingest dedup blocked by random-hyperplane LSH
+    // sign buckets instead of the stored label (4 tables × 2
+    // hyperplanes, OR-amplified like minhash bands) — the blocking
+    // that survives skewed labels: bucket population is set by the
+    // hyperplane geometry, not by label popularity. Deterministic
+    // hyperplanes (md5-parity signs) + 6-dp-rounded dots let DuckDB
+    // replay the exact bucket assignment. -----
+    q("q139_stream_vecdedup_lsh",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |hp AS (SELECT t.j, u.i,
+        |         CASE WHEN substring(md5(t.j || ':' || u.i), 1, 1)
+        |           IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END AS h
+        |       FROM (SELECT unnest(range(8)) AS j) t
+        |       CROSS JOIN (SELECT DISTINCT i FROM flat) u),
+        |dots AS (SELECT f.vec_id, hp.j, round(sum(f.x * hp.h), 6) AS d
+        |         FROM flat f JOIN hp ON hp.i = f.i GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, j // 2 AS tbl,
+        |           sum(CASE WHEN d >= 0 THEN 1 << (j % 2) ELSE 0 END) AS bucket
+        |         FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |           AND a.vec_id < b.vec_id AND a.vec_id >= b.vec_id - 200),
+        |scored AS (SELECT c.a_id, c.b_id,
+        |             round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |           FROM cand c
+        |           JOIN flat fa ON fa.vec_id = c.a_id
+        |           JOIN flat fb ON fb.vec_id = c.b_id AND fb.i = fa.i
+        |           JOIN norms na ON na.vec_id = c.a_id
+        |           JOIN norms nb ON nb.vec_id = c.b_id
+        |           GROUP BY c.a_id, c.b_id, na.nrm, nb.nrm)
+        |SELECT b_id AS vec_id, min(a_id) AS dup_of FROM scored
+        |WHERE score >= 0.25 GROUP BY b_id ORDER BY vec_id""") { (s, dir) =>
+      StreamingDedup.embeddingNearDup(s, dir, horizonSeconds = Some(200L),
+        signTables = 4, signBits = 2)
     },
 
     // ----- IVF-shaped two-stage search: stage 1 routes each probe to

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -12,28 +12,59 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Shape: per-row minhash banding (pure array expressions — no
   * aggregation, so it runs on an unbounded stream), shuffle on the
   * (band, bucket) key, and a keyed state op holding the bucket's
-  * member shingle sets. A document seals once the watermark passes its
+  * member signatures. A document seals once the watermark passes its
   * event time — every earlier document has then arrived — making the
   * output independent of micro-batch boundaries. State per bucket is
   * its member list: global streaming dedup inherently carries the
-  * corpus signature state (bound it in production by windowing the
-  * dedup horizon or capping bucket width — degenerate buckets are
-  * boilerplate by definition).
+  * corpus signature state; `horizonSeconds` bounds it for unbounded
+  * streams (members older than the horizon are evicted — safe, since
+  * any future row's candidate window `[its ts - horizon, its ts]`
+  * lies at or above `watermark - horizon`: rows older than the
+  * watermark are dropped as late before reaching the op).
   */
 object StreamingDedup {
 
-  /** (band, bval) bucket member: micros, doc, SORTED distinct shingles. */
-  private type Member = (Long, Long, Seq[String], Boolean) // (tsUs, docId, shingles, emitted)
+  /** Watermark-driving sentinel event time (epoch seconds, year 2100).
+    * Real ids double as event-time seconds, so they must stay below
+    * this; both entry points assert it against the input's max id. */
+  private val SentinelSec = 4102444800L
 
-  private def jaccard(a: Seq[String], b: Seq[String]): Double = {
+  /** (band, bval) bucket member: micros, doc, SORTED distinct 64-bit
+    * shingle hashes (hashed grams, not the strings — q54's argument:
+    * state shrinks ~8× and collisions at 2^-64 are negligible). */
+  private type Member = (Long, Long, Seq[Long], Boolean) // (tsUs, docId, shingleHashes, emitted)
+
+  private def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
     var i = 0; var j = 0; var common = 0
     while (i < a.length && j < b.length) {
-      val c = a(i).compareTo(b(j))
+      val c = java.lang.Long.compare(a(i), b(j))
       if (c == 0) { common += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
     common.toDouble / (a.length + b.length - common)
+  }
+
+  /** Sealed-member horizon eviction + wakeup, shared by both state
+    * ops. Members still pending keep the earliest wakeup at their own
+    * seal time; with a horizon, an all-emitted (quiescent) bucket arms
+    * a wakeup at its oldest member's eviction time instead — without
+    * it a bucket that stops receiving data would never re-fire and its
+    * state would never age out. Returns the members to keep. */
+  private def evictAndArm[M](state: GroupState[Seq[M]], updated: Seq[M],
+      horizonSeconds: Option[Long])(tsUs: M => Long, emitted: M => Boolean): Unit = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val kept = horizonSeconds match {
+      case Some(h) => updated.filter(m => !emitted(m) || tsUs(m) >= (wmMs - h * 1000L) * 1000L)
+      case None => updated
+    }
+    if (kept.isEmpty) state.remove() else state.update(kept)
+    val pending = kept.filter(m => !emitted(m))
+    if (pending.nonEmpty)
+      state.setTimeoutTimestamp(math.max(pending.map(tsUs(_) / 1000L + 1).min, wmMs + 1))
+    else if (kept.nonEmpty && horizonSeconds.isDefined)
+      state.setTimeoutTimestamp(math.max(
+        kept.map(tsUs(_) / 1000L).min + horizonSeconds.get * 1000L + 1, wmMs + 1))
   }
 
   /** @param horizonSeconds dedup horizon: members sealed longer ago
@@ -44,7 +75,15 @@ object StreamingDedup {
       horizonSeconds: Option[Long] = None): DataFrame = {
     import s.implicits._
 
-    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val batch = s.read.parquet(s"$dir/documents.parquet")
+    val raw = batch.schema
+    // ids double as event-time seconds: a doc_id at or past the
+    // sentinel would stall sealing (the sentinel is no longer the max
+    // timestamp) — fail loudly instead. Parquet min/max stats make
+    // this a metadata-priced batch scan.
+    val maxId = batch.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId + 1 < SentinelSec,
+      s"doc_id $maxId reaches the watermark sentinel epoch $SentinelSec")
     implicit val sq = s.sqlContext
     // far-future sentinel that drives the watermark past the last real
     // document so it seals too. The sentinel must SURVIVE every filter
@@ -58,7 +97,7 @@ object StreamingDedup {
     // "earlier" candidate for anyone.
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    sentinel.addData((4102444800L, "zsentinela zsentinelb zsentinelc"))
+    sentinel.addData((SentinelSec, "zsentinela zsentinelb zsentinelc"))
     val fileDocs =
       (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
         s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
@@ -86,18 +125,20 @@ object StreamingDedup {
       .withColumn("shingles", expr(
         """array_sort(array_distinct(transform(sequence(0, size(w)-3),
           |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))))""".stripMargin))
+      // state carries 64-bit shingle hashes, not the strings
+      .withColumn("hs", expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
       .select(col("ts"), unix_micros(col("ts")).as("tsUs"),
-        col("doc_id"), col("shingles"),
+        col("doc_id"), col("hs"),
         posexplode(array((0 to 3).map(bandMin): _*)).as(Seq("band", "bval")))
       .select(col("band"), col("bval"), col("ts"), col("tsUs"),
-        col("doc_id"), col("shingles"))
-      .as[(Int, Long, java.sql.Timestamp, Long, Long, Seq[String])]
+        col("doc_id"), col("hs"))
+      .as[(Int, Long, java.sql.Timestamp, Long, Long, Seq[Long])]
 
     implicit val stEnc = org.apache.spark.sql.Encoders.kryo[Seq[Member]]
     val pairs = banded
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: (Int, Long), it: Iterator[(Int, Long, java.sql.Timestamp, Long, Long, Seq[String])],
+        (_: (Int, Long), it: Iterator[(Int, Long, java.sql.Timestamp, Long, Long, Seq[Long])],
             state: GroupState[Seq[Member]]) => {
           val members = (state.getOption.getOrElse(Seq.empty) ++
             it.map(r => (r._4, r._5, r._6, false)))
@@ -111,7 +152,7 @@ object StreamingDedup {
               // the smallest earlier verified duplicate in this bucket
               // within the horizon of THIS doc's own timestamp (the
               // batching-independent form of the windowed trade-off;
-              // state eviction below is its corollary)
+              // state eviction in evictAndArm is its corollary)
               val dup = members.iterator.take(i)
                 .filter(e => horizonSeconds.forall(h => e._1 >= ts - h * 1000000L)
                   && jaccard(e._3, sh) >= threshold)
@@ -120,17 +161,7 @@ object StreamingDedup {
               (ts, doc, sh, true)
             }
           }
-          // horizon eviction: only EMITTED members age out (an unsealed
-          // row must stay until its own emission)
-          val kept = horizonSeconds match {
-            case Some(h) => updated.filter(m => !m._4 || m._1 >= wmUs - h * 1000000L)
-            case None => updated
-          }
-          state.update(kept)
-          val pending = updated.filter(!_._4)
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L + 1).min,
-              state.getCurrentWatermarkMs() + 1))
+          evictAndArm(state, updated, horizonSeconds)(_._1, _._4)
           out.iterator
         })
       .toDF("doc_id", "dup_of_bucket")
@@ -146,22 +177,39 @@ object StreamingDedup {
 
   /** Streaming embedding near-dup at ingest — the cosine sibling of
     * [[minhashDedup]]: vectors arrive one per second (vec_id order),
-    * block by the coarse bucket (label — swap in a quantizer/k-means
-    * assignment freely), and each sealed vector flags the smallest
-    * earlier vector in its block with cosine ≥ threshold. Same
-    * watermark-sealing determinism argument; state per block is its
-    * member vectors with precomputed norms. */
-  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
+    * block either by the stored coarse bucket (`label`) or — the
+    * shape that survives skewed labels — by random-hyperplane LSH
+    * sign buckets (`signTables` tables of `signBits` hyperplanes
+    * each; a pair is a candidate if it collides in ANY table, the
+    * same OR-amplification as minhash banding). Each sealed vector
+    * flags the smallest earlier candidate with cosine ≥ threshold.
+    * Same watermark-sealing determinism argument; state per block is
+    * its member vectors with precomputed norms, bounded by
+    * `horizonSeconds` exactly like the text side.
+    *
+    * The hyperplanes are deterministic (component sign = parity of
+    * the first md5 hex digit of "j:i"), so a SQL oracle can replay
+    * bucket assignment; dots are rounded to 6 dp before the sign
+    * test so fp summation order cannot flip a bucket bit. */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.25,
+      horizonSeconds: Option[Long] = None,
+      signTables: Int = 0, signBits: Int = 2): DataFrame = {
     import s.implicits._
-    val raw = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val batch = s.read.parquet(s"$dir/embeddings.parquet")
+    val raw = batch.schema
+    val maxId = batch.agg(max(col("vec_id").cast("long"))).head.getLong(0)
+    require(maxId + 1 < SentinelSec,
+      s"vec_id $maxId reaches the watermark sentinel epoch $SentinelSec")
     implicit val sq = s.sqlContext
     // same survival rule as [[minhashDedup]]'s sentinel: no filter may
     // drop it below the watermark node. Label -1 gives it a bucket of
-    // its own; as the max-timestamp row it never seals nor serves as
-    // an earlier candidate, so the short vector is never compared.
+    // its own under label blocking; under sign blocking it may share a
+    // bucket, which is still safe — as the max-timestamp row it never
+    // seals nor serves as an earlier candidate, so the short vector is
+    // never compared.
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Int, Seq[Float])]
-    sentinel.addData((4102444800L, -1, Seq(1.0f)))
+    sentinel.addData((SentinelSec, -1, Seq(1.0f)))
     val fileVecs =
       (if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
         s.readStream.schema(raw).parquet(s"$dir/embeddings.parquet")
@@ -169,60 +217,94 @@ object StreamingDedup {
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
         .select(col("vec_id").cast("long").as("vec_id"),
           col("label").cast("int").as("label"), col("embedding"))
-    val vecs = fileVecs
+    val vecs0 = fileVecs
       .unionByName(sentinel.toDF().toDF("vec_id", "label", "embedding"))
       .withColumn("ts", expr("timestamp_seconds(vec_id + 1)"))
       .withWatermark("ts", "0 seconds")
-      .select(col("label"), col("ts"), unix_micros(col("ts")).as("tsUs"),
-        col("vec_id"), col("embedding"))
-      .as[(Int, java.sql.Timestamp, Long, Long, Seq[Float])]
+
+    // hyperplane j's component for dim i is ±1 by md5 parity; the
+    // bucket of table t packs signBits rounded-dot signs into an int.
+    // Pure per-row expressions — streaming-safe, oracle-replayable.
+    def signBit(j: Int): Column = when(round(expr(
+      s"""aggregate(transform(embedding, (x, i) ->
+         |  CAST(x AS DOUBLE) * (CASE WHEN substring(md5(concat('$j:', CAST(i AS STRING))), 1, 1)
+         |    IN ('0','2','4','6','8','a','c','e') THEN 1.0D ELSE -1.0D END)),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6) >= 0, 1)
+      .otherwise(0)
+    def bucketFor(t: Int): Column =
+      (0 until signBits).map(b => signBit(t * signBits + b) * lit(1 << b))
+        .reduce(_ + _)
+
+    val vecs =
+      (if (signTables == 0)
+        vecs0.select(lit(0).as("tbl"), col("label").as("bucket"), col("ts"),
+          unix_micros(col("ts")).as("tsUs"), col("vec_id"), col("embedding"))
+      else
+        vecs0.select(col("ts"), unix_micros(col("ts")).as("tsUs"),
+          col("vec_id"), col("embedding"),
+          posexplode(array((0 until signTables).map(bucketFor): _*))
+            .as(Seq("tbl", "bucket")))
+          .select(col("tbl"), col("bucket"), col("ts"), col("tsUs"),
+            col("vec_id"), col("embedding")))
+        .as[(Int, Int, java.sql.Timestamp, Long, Long, Seq[Float])]
 
     type VMember = (Long, Long, Array[Double], Double, Boolean) // (tsUs, id, vec, norm, emitted)
     implicit val stEnc = org.apache.spark.sql.Encoders.kryo[Seq[VMember]]
-    val pairs = vecs.groupByKey(_._1)
+    val pairs = vecs.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: Int, it: Iterator[(Int, java.sql.Timestamp, Long, Long, Seq[Float])],
+        (_: (Int, Int), it: Iterator[(Int, Int, java.sql.Timestamp, Long, Long, Seq[Float])],
             state: GroupState[Seq[VMember]]) => {
           val members = (state.getOption.getOrElse(Seq.empty) ++
             it.map { r =>
-              val v = r._5.map(_.toDouble).toArray
-              (r._3, r._4, v, math.sqrt(v.map(x => x * x).sum), false)
+              val v = r._6.map(_.toDouble).toArray
+              (r._4, r._5, v, math.sqrt(v.map(x => x * x).sum), false)
             }).sortBy(m => (m._1, m._2))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           val updated = members.zipWithIndex.map { case (m @ (ts, id, v, nrm, emitted), i) =>
             if (emitted || ts >= wmUs) m
             else {
-              val dup = members.iterator.take(i).filter { e =>
-                var dot = 0.0
-                var k = 0
-                while (k < v.length) { dot += v(k) * e._3(k); k += 1 }
-                // same rounded-score comparison as the batch q96 oracle
-                BigDecimal(dot / (nrm * e._4))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= threshold
-              }.map(_._2).minOption
+              val dup = members.iterator.take(i)
+                .filter(e => horizonSeconds.forall(h => e._1 >= ts - h * 1000000L))
+                .filter { e =>
+                  var dot = 0.0
+                  var k = 0
+                  while (k < v.length) { dot += v(k) * e._3(k); k += 1 }
+                  // same rounded-score comparison as the batch q96 oracle
+                  BigDecimal(dot / (nrm * e._4))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= threshold
+                }.map(_._2).minOption
               dup.foreach(d => out += ((id, d)))
               (ts, id, v, nrm, true)
             }
           }
-          state.update(updated)
-          val pending = updated.filter(!_._5)
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp(math.max(pending.map(_._1 / 1000L + 1).min,
-              state.getCurrentWatermarkMs() + 1))
+          evictAndArm(state, updated, horizonSeconds)(_._1, _._5)
           out.iterator
         })
-      .toDF("vec_id", "dup_of")
+      .toDF("vec_id", "dup_of_bucket")
 
+    // a vector can collide with its duplicate in several tables →
+    // min across buckets (a no-op under label blocking, where every
+    // vector lives in exactly one bucket)
     viaMemorySink(s, pairs, "graft_stream_vec_dedup")
+      .groupBy(col("vec_id"))
+      .agg(min(col("dup_of_bucket")).as("dup_of"))
       .orderBy(col("vec_id"))
   }
+
+  /** State rows (= live bucket groups) reported by the final progress
+    * of the last memory-sink run — DedupSpec's probe that horizon
+    * eviction really removes quiescent buckets. */
+  @volatile private[pipeline] var lastStateRows: Long = -1L
 
   private def viaMemorySink(s: SparkSession, df: DataFrame, qname: String): DataFrame = {
     s.catalog.dropTempView(qname)
     val query = df.writeStream.format("memory").queryName(qname)
       .outputMode("append").start()
     query.processAllAvailable()
+    lastStateRows = Option(query.lastProgress)
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+      .getOrElse(-1L)
     query.stop()
     s.table(qname)
   }

@@ -49,4 +49,48 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(windowed == Set((211L, 210L)))
   }
+
+  test("streaming embedding horizon forgets vectors older than the window") {
+    // vec 1 and 300 are identical (cosine 1) but 299 synthetic seconds
+    // apart; 310/311 are adjacent identicals. Same label → one block.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_horizon").toString
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-3.0f, 1.0f, 2.0f)
+    Seq((1L, 0, a), (300L, 0, a), (310L, 0, b), (311L, 0, b))
+      .toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.parquet(dir + "/embeddings.parquet")
+
+    val global = StreamingDedup.embeddingNearDup(spark, dir, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(global == Set((300L, 1L), (311L, 310L)))
+    // no horizon → no eviction: all label blocks stay live
+    assert(StreamingDedup.lastStateRows >= 2,
+      s"expected live blocks without a horizon, saw ${StreamingDedup.lastStateRows}")
+
+    val windowed = StreamingDedup.embeddingNearDup(spark, dir, threshold = 0.9,
+      horizonSeconds = Some(60L)).as[(Long, Long)].collect().toSet
+    assert(windowed == Set((311L, 310L)))
+    // horizon eviction removes quiescent blocks once the watermark
+    // passes their members; only the sentinel's pending block survives
+    assert(StreamingDedup.lastStateRows <= 1,
+      s"horizon left ${StreamingDedup.lastStateRows} state rows")
+  }
+
+  test("sign-bucket blocking finds cross-label near-dups label blocking misses") {
+    // identical vectors under DIFFERENT labels: label blocking can
+    // never pair them, hyperplane buckets (label-blind) do
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_lsh").toString
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    Seq((1L, 0, v), (2L, 1, v))
+      .toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.parquet(dir + "/embeddings.parquet")
+
+    val byLabel = StreamingDedup.embeddingNearDup(spark, dir, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(byLabel.isEmpty)
+
+    val bySign = StreamingDedup.embeddingNearDup(spark, dir, threshold = 0.9,
+      signTables = 4, signBits = 2).as[(Long, Long)].collect().toSet
+    assert(bySign == Set((2L, 1L)))
+  }
 }
