@@ -38,6 +38,16 @@ object CEP {
   sealed trait AfterMatchSkip
   case object NoSkip extends AfterMatchSkip
   case object SkipPastLast extends AfterMatchSkip
+  /** Resume scanning AT the first row the named variable matched
+    * (reference flink-cep nfa/aftermatch/SkipToFirstStrategy.java):
+    * overlapping matches are allowed from that row on. Throws if the
+    * target is the match's own first row — the loop the reference's
+    * strategy also refuses. Matches variables by exact stage name or
+    * by SQL symbol (stage `sym#i`). */
+  final case class SkipToFirst(sym: String) extends AfterMatchSkip
+  /** Resume scanning AT the last row the named variable matched
+    * (reference SkipToLastStrategy.java). */
+  final case class SkipToLast(sym: String) extends AfterMatchSkip
 
   final case class Stage[T](
       name: String,
@@ -62,7 +72,13 @@ object CEP {
       // .java): the predicate also sees the events matched by EARLIER
       // stages (ctx.getEventsForPattern) — e.g. B.price > A.price.
       // The context excludes the current stage's own partial block.
-      ctxPred: Option[(T, Map[String, Seq[T]]) => Boolean] = None)
+      ctxPred: Option[(T, Map[String, Seq[T]]) => Boolean] = None,
+      // reluctant quantifier (reference Quantifier.java greedy flag,
+      // inverted): the block takes the SHORTEST length that lets the
+      // rest of the pattern complete, trying longer blocks only when
+      // shorter ones fail — unlike the greedy default, this
+      // backtracks over block sizes.
+      reluctant: Boolean = false)
 
   /** Immutable fluent builder — Pattern.begin("a").where(p)
     * .followedBy("b").where(q).within(1.hour) */
@@ -122,7 +138,10 @@ object CEP {
     def consecutive: Pattern[T] = this
     /** Reference greedy(): prefer the longest block — already the
       * default (deterministic blocks consume greedily). */
-    def greedy: Pattern[T] = this
+    def greedy: Pattern[T] = updLast(_.copy(reluctant = false))
+    /** Prefer the SHORTEST block that lets the rest of the pattern
+      * complete (the reference's non-greedy quantifier; SQL `B+?`). */
+    def reluctant: Pattern[T] = updLast(_.copy(reluctant = true))
     def within(d: Duration): Pattern[T] = copy(withinSpan = Some(d.toMillis))
     /** within() in raw time-axis units (e.g. micros when tsOf is micros). */
     def withinUnits(span: Long): Pattern[T] = copy(withinSpan = Some(span))
@@ -146,27 +165,31 @@ object CEP {
       "followedByAny supports single-element stages only")
     require(!pattern.stages.last.negated,
       "a pattern may not end in notNext/notFollowedBy (reference NFACompiler rule)")
-    require(pattern.skip != SkipPastLast || !pattern.stages.exists(st =>
+    require(pattern.skip == NoSkip || !pattern.stages.exists(st =>
       st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1)),
-      "SKIP_PAST_LAST with a branching pattern (followedByAny/allowCombinations) " +
-        "is unsupported: emitting every overlapping completion from one start " +
-        "diverges from the reference's skip-strategy prune")
+      "an after-match skip strategy with a branching pattern " +
+        "(followedByAny/allowCombinations) is unsupported: emitting every " +
+        "overlapping completion from one start diverges from the reference's " +
+        "skip-strategy prune")
     val out = Vector.newBuilder[Match[T]]
-    var blockedBelow = -1 // for SkipPastLast: no new match may start at or before this idx
+    var blockedBelow = -1 // skip fence: no new match may start at or before this idx
 
     /** All completions from (stageIdx, pos): deterministic stages
       * yield at most one continuation; RelaxedAny branches to every
-      * qualifying element. `ban` is a pending notFollowedBy predicate:
-      * no event in the gap [pos, entry-of-this-stage) may satisfy it.
-      * Returns (per-stage events, last index). */
+      * qualifying element; reluctant blocks branch over block sizes
+      * ascending. `ban` is a pending notFollowedBy predicate: no event
+      * in the gap [pos, entry-of-this-stage) may satisfy it. Returns
+      * (per-stage event INDICES, last index) — indices, so skip-to
+      * strategies can place their resume fence. */
     def expand(stageIdx: Int, pos: Int, firstTs0: Long,
-        acc: List[(String, Seq[T])],
-        ban: Option[T => Boolean]): Iterator[(List[(String, Seq[T])], Int)] = {
+        acc: List[(String, Seq[Int])],
+        ban: Option[T => Boolean]): Iterator[(List[(String, Seq[Int])], Int)] = {
       if (stageIdx == pattern.stages.length)
         return Iterator((acc, pos - 1))
       val st = pattern.stages(stageIdx)
       // IterativeCondition context: earlier completed stages by name
-      lazy val ctx: Map[String, Seq[T]] = acc.toMap
+      lazy val ctx: Map[String, Seq[T]] =
+        acc.map { case (n, is) => n -> is.map(events) }.toMap
       def ok(e: T): Boolean = st.pred(e) && st.ctxPred.forall(_(e, ctx))
       def inWindow(i: Int, firstTs: Long): Boolean =
         pattern.withinSpan.isEmpty || firstTs < 0 ||
@@ -197,7 +220,7 @@ object CEP {
             .flatMap { i =>
               val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
               expand(stageIdx + 1, i + 1, fTs,
-                (st.name -> Seq(events(i))) :: acc, None)
+                (st.name -> Seq(i)) :: acc, None)
             }
         case _ if st.combinations && st.maxTimes > 1 =>
           // entry element per the stage's contiguity, then every
@@ -215,7 +238,7 @@ object CEP {
                 .find(j => u(events(j))).getOrElse(events.length)
               case None => events.length
             }
-            def pick(from: Int, taken: Vector[T]): Iterator[(List[(String, Seq[T])], Int)] = {
+            def pick(from: Int, taken: Vector[Int]): Iterator[(List[(String, Seq[Int])], Int)] = {
               val stop =
                 if (taken.size >= st.minTimes)
                   expand(stageIdx + 1, from, fTs, (st.name -> taken) :: acc, None)
@@ -224,26 +247,48 @@ object CEP {
                 if (taken.size < st.maxTimes)
                   Iterator.range(from, stopIdx)
                     .filter(j => ok(events(j)) && inWindow(j, fTs))
-                    .flatMap(j => pick(j + 1, taken :+ events(j)))
+                    .flatMap(j => pick(j + 1, taken :+ j))
                 else Iterator.empty
               stop ++ grow
             }
-            pick(entry + 1, Vector(events(entry)))
+            pick(entry + 1, Vector(entry))
           }
         case _ =>
           var i = pos
           if (st.contiguity == Relaxed && stageIdx > 0)
             while (i < events.length && !ok(events(i))) i += 1
           if (!gapClean(pos, math.min(i, events.length))) Iterator.empty
-          else {
+          else if (st.reluctant && st.maxTimes > st.minTimes) {
+            // reluctant: measure the maximal qualifying contiguous run
+            // once, then offer block sizes ASCENDING — the caller's
+            // earliest-completion selection takes the SHORTEST block
+            // that lets the rest of the pattern complete
+            var runLen = 0
+            while (i + runLen < events.length && runLen < st.maxTimes
+                && ok(events(i + runLen))
+                && inWindow(i + runLen,
+                  if (firstTs0 < 0) { if (runLen == 0) -1L else tsOf(events(i)) }
+                  else firstTs0)
+                && !st.untilPred.exists(_(events(i + runLen)))) runLen += 1
+            if (runLen < st.minTimes) Iterator.empty
+            else Iterator.range(st.minTimes, runLen + 1).flatMap { k =>
+              if (k == 0) // nothing consumed: stage skipped entirely
+                expand(stageIdx + 1, pos, firstTs0, acc, ban)
+              else {
+                val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
+                expand(stageIdx + 1, i + k, fTs,
+                  (st.name -> (i until i + k)) :: acc, None)
+              }
+            }
+          } else {
             var taken = 0
             var firstTs = firstTs0
-            val buf = Vector.newBuilder[T]
+            val buf = Vector.newBuilder[Int]
             while (i < events.length && taken < st.maxTimes && ok(events(i))
                 && inWindow(i, firstTs)
                 && !st.untilPred.exists(_(events(i)))) {
               if (firstTs < 0) firstTs = tsOf(events(i))
-              buf += events(i)
+              buf += i
               i += 1
               taken += 1
             }
@@ -267,11 +312,35 @@ object CEP {
           if (branching) completions.toSeq // all non-deterministic matches
           else completions.take(1).toSeq   // earliest completion
         selected.foreach { case (accList, lastIdx) =>
-          out += Match(accList.reverse.toMap)
-          // max, not assignment: even though completions from one
-          // start arrive in order, the fence must never move backward
-          if (pattern.skip == SkipPastLast)
-            blockedBelow = math.max(blockedBelow, lastIdx)
+          out += Match(accList.reverse
+            .map { case (n, is) => n -> is.map(events) }.toMap)
+          // skip strategies place the resume fence; max, not
+          // assignment: even though completions from one start arrive
+          // in order, the fence must never move backward
+          def varIdxs(v: String): Seq[Int] = accList.collect {
+            case (n, is) if n == v || n.takeWhile(_ != '#') == v => is
+          }.flatten
+          pattern.skip match {
+            case SkipPastLast =>
+              blockedBelow = math.max(blockedBelow, lastIdx)
+            case SkipToFirst(v) =>
+              val is = varIdxs(v)
+              require(is.nonEmpty, s"AFTER MATCH SKIP TO FIRST $v: the " +
+                "variable matched no rows (reference SkipToFirstStrategy " +
+                "refuses the empty target)")
+              require(is.min > s, s"AFTER MATCH SKIP TO FIRST $v targets " +
+                "the match's own first row — the resume loop the reference " +
+                "strategy throws on")
+              blockedBelow = math.max(blockedBelow, is.min - 1)
+            case SkipToLast(v) =>
+              val is = varIdxs(v)
+              require(is.nonEmpty, s"AFTER MATCH SKIP TO LAST $v: the " +
+                "variable matched no rows")
+              require(is.max > s, s"AFTER MATCH SKIP TO LAST $v targets " +
+                "the match's own first row")
+              blockedBelow = math.max(blockedBelow, is.max - 1)
+            case NoSkip => ()
+          }
         }
       }
       s += 1
@@ -363,6 +432,10 @@ object CEP {
       implicit bufEnc: Encoder[Seq[T]]): Dataset[R] = {
     require(p.withinSpan.isDefined,
       "patternStream requires within() — unbounded patterns cannot seal")
+    require(p.skip == NoSkip || p.skip == SkipPastLast,
+      "patternStream supports NO_SKIP / SKIP_PAST_LAST; SKIP TO " +
+        "FIRST/LAST fences resume at a row INSIDE the emitted match, " +
+        "which the sealed-prefix eviction here cannot keep — batch only")
     require(p.stages.head.minTimes >= 1,
       "patternStream requires a non-optional first stage: a zero-event " +
         "start has no timestamp to seal or fence on")

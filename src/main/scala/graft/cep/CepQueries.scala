@@ -226,6 +226,68 @@ object CepQueries extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // ----- AFTER MATCH SKIP TO LAST <symbol> (reference flink-cep
+    // nfa/aftermatch/SkipToLastStrategy.java): view→click+→view
+    // chains where each match's closing view REOPENS the next match —
+    // PAST LAST ROW would emit only every other link of a chain; the
+    // skip-to fence resumes AT the closing view, so every link emits.
+    // Relationally: every (view a, view b) pair whose gap is a
+    // non-empty pure click run. -----
+    q("q140_match_skip_to_last",
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS start_id, b.event_id AS end_id
+        |FROM seq a JOIN seq b ON a.user_id = b.user_id AND b.rn > a.rn + 1
+        |WHERE a.event_type = 'view' AND b.event_type = 'view'
+        |  AND NOT EXISTS (SELECT 1 FROM seq m
+        |    WHERE m.user_id = a.user_id AND m.rn > a.rn AND m.rn < b.rn
+        |      AND m.event_type <> 'click')
+        |ORDER BY a.user_id, start_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS start_id, W.event_id AS end_id
+          |AFTER MATCH SKIP TO LAST W
+          |PATTERN (V C+ W)
+          |DEFINE V AS V.event_type = 'view', C AS C.event_type = 'click',
+          |       W AS W.event_type = 'view'""".stripMargin)
+        .orderBy(col("user_id"), col("start_id"))
+    },
+
+    // ----- reluctant SQL quantifier (reference Quantifier.java greedy
+    // flag, surfaced as B{1,3}? in MATCH_RECOGNIZE): the block takes
+    // the SHORTEST length that completes the match, so each view pairs
+    // with its EARLIEST purchase 2–4 rows later — the greedy form
+    // would consume 3 rows unconditionally and demand the purchase at
+    // exactly the 4th. -----
+    q("q141_match_reluctant",
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (SELECT v.user_id, v.event_id AS view_id, v.rn AS vrn, min(p.rn) AS prn
+        |      FROM seq v JOIN seq p ON p.user_id = v.user_id
+        |        AND p.rn BETWEEN v.rn + 2 AND v.rn + 4
+        |      WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |      GROUP BY v.user_id, v.event_id, v.rn)
+        |SELECT m.user_id, m.view_id, s.event_id AS purchase_id,
+        |  CAST(m.prn - m.vrn - 1 AS BIGINT) AS gap_len
+        |FROM m JOIN seq s ON s.user_id = m.user_id AND s.rn = m.prn
+        |ORDER BY m.user_id, m.view_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS view_id, P.event_id AS purchase_id,
+          |         COUNT(B.*) AS gap_len
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (V B{1,3}? P)
+          |DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'"""
+          .stripMargin)
+        .orderBy(col("user_id"), col("view_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

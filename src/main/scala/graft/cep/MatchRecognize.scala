@@ -14,15 +14,20 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *              | FIRST(S.col) | LAST(S.col) | COUNT(S.*) | COUNT(S.col)
   *              | SUM(S.col) | AVG(S.col) | MIN(S.col) | MAX(S.col) [AS alias, ...]
   *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *     PATTERN (A B+ C? D* E{n} F{n,m} ...)
+  *     [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+  *      | SKIP TO [FIRST | LAST] <symbol>]
+  *     PATTERN (A B+ C? D* E{n} F{n,m} B+? D*? F{n,m}? ...)
   *     DEFINE A AS <predicate on A.col>, ...
   *   )
   *
   * AFTER MATCH defaults to SKIP PAST LAST ROW (the SQL-standard and
   * reference default, flink-table .../match/PatternVisitor); SKIP TO
-  * NEXT ROW maps to the matcher's every-start mode. SKIP TO
-  * FIRST/LAST <symbol> are outside the subset and rejected.
+  * NEXT ROW maps to the matcher's every-start mode; SKIP TO
+  * FIRST/LAST <symbol> resumes at the first/last row the symbol
+  * matched (reference flink-cep nfa/aftermatch/SkipToFirstStrategy
+  * .java, SkipToLastStrategy.java) — overlapping pattern families.
+  * Reluctant quantifiers (`B+?`, `B*?`, `B{n,m}?`) take the shortest
+  * block that completes the match (Quantifier.java greedy flag).
   * Undefined pattern symbols match any row (SQL default). Execution is
   * the scalable sort-based shape: per-symbol predicates become boolean
   * columns (Catalyst expressions), rows hash-partition by the key and
@@ -44,7 +49,7 @@ object MatchRecognize {
       partitionBy: String,
       orderBy: Seq[String],
       measures: Seq[Measure],
-      pattern: Seq[(String, Int, Int)],        // (symbol, minTimes, maxTimes)
+      pattern: Seq[(String, Int, Int, Boolean)], // (symbol, minTimes, maxTimes, reluctant)
       define: Map[String, String],
       skip: CEP.AfterMatchSkip,
       allRows: Boolean)
@@ -52,7 +57,7 @@ object MatchRecognize {
   private val aggMeasureRe =
     """(?i)(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
   private val measureRe = """(?i)(\w+)\.(\w+)\s+AS\s+(\w+)""".r
-  private val symRe = """(\w+)(\*|\+|\?|\{(\d+)(?:,(\d+))?\})?""".r
+  private val symRe = """(\w+)(?:(\*|\+|\{(\d+)(?:,(\d+))?\})(\?)?|(\?))?""".r
 
   def parse(clause: String): Clause = {
     def section(name: String, endAt: String): Option[String] = {
@@ -68,17 +73,28 @@ object MatchRecognize {
     val measures = splitTopLevel(
       section("MEASURES", """(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN)""").getOrElse(""))
       .map(_.trim).filter(_.nonEmpty).map {
-        case aggMeasureRe(fn, sy, c, a) => AggMeasure(fn.toUpperCase, sy, c, a)
+        case aggMeasureRe(fn, sy, c, a) =>
+          // `S.*` is only meaningful for COUNT; for the others it
+          // would crash the executor with an opaque index error
+          require(c != "*" || fn.equalsIgnoreCase("COUNT"),
+            s"$fn($sy.*) is not valid — only COUNT accepts $sy.*")
+          AggMeasure(fn.toUpperCase, sy, c, a)
         case measureRe(sy, c, a) => ColMeasure(sy, c, a)
         case other => throw new IllegalArgumentException(s"bad MEASURE: $other")
       }.toSeq
+    val skipToRe = """(?i)TO (FIRST|LAST) (\w+)""".r
+    // symbol case is preserved (only the keywords compare folded)
     val skip = """(?is)AFTER\s+MATCH\s+SKIP\s+(.*?)\s*(?=PATTERN)""".r
-      .findFirstMatchIn(clause).map(_.group(1).trim.toUpperCase.replaceAll("\\s+", " "))
+      .findFirstMatchIn(clause).map(_.group(1).trim.replaceAll("\\s+", " "))
       .map {
-        case "PAST LAST ROW" => CEP.SkipPastLast
-        case "TO NEXT ROW" => CEP.NoSkip
+        case s0 if s0.equalsIgnoreCase("PAST LAST ROW") => CEP.SkipPastLast
+        case s0 if s0.equalsIgnoreCase("TO NEXT ROW") => CEP.NoSkip
+        case skipToRe(which, sym) =>
+          if (which.equalsIgnoreCase("FIRST")) CEP.SkipToFirst(sym)
+          else CEP.SkipToLast(sym)
         case other => throw new IllegalArgumentException(
-          s"unsupported AFTER MATCH SKIP $other (subset: PAST LAST ROW, TO NEXT ROW)")
+          s"unsupported AFTER MATCH SKIP $other " +
+            "(subset: PAST LAST ROW, TO NEXT ROW, TO FIRST/LAST <symbol>)")
       }
       .getOrElse(CEP.SkipPastLast) // SQL-standard default
     val allRows = """(?is)(ONE|ALL)\s+ROWS?\s+PER\s+MATCH""".r
@@ -86,15 +102,16 @@ object MatchRecognize {
     val patternStr = """(?is)PATTERN\s*\(\s*(.*?)\s*\)""".r
       .findFirstMatchIn(clause).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException("PATTERN required"))
+    // symRe groups: sym, quant(*/+/{..}), n, m, reluctant-?, lone-?
     val pattern = patternStr.split("\\s+").toSeq.map {
-      case symRe(s, null, _, _) => (s, 1, 1)
-      case symRe(s, "?", _, _) => (s, 0, 1)
-      case symRe(s, "+", _, _) => (s, 1, Int.MaxValue)
-      case symRe(s, "*", _, _) => (s, 0, Int.MaxValue)
-      case symRe(s, _, n, null) if n != null => (s, n.toInt, n.toInt)
-      case symRe(s, _, n, m2) if n != null && m2 != null =>
+      case symRe(s, null, _, _, _, null) => (s, 1, 1, false)
+      case symRe(s, null, _, _, _, "?") => (s, 0, 1, false)
+      case symRe(s, "+", _, _, r, _) => (s, 1, Int.MaxValue, r != null)
+      case symRe(s, "*", _, _, r, _) => (s, 0, Int.MaxValue, r != null)
+      case symRe(s, _, n, null, r, _) if n != null => (s, n.toInt, n.toInt, r != null)
+      case symRe(s, _, n, m2, r, _) if n != null && m2 != null =>
         require(n.toInt <= m2.toInt, s"bad quantifier {$n,$m2}")
-        (s, n.toInt, m2.toInt)
+        (s, n.toInt, m2.toInt, r != null)
       case other => throw new IllegalArgumentException(s"bad pattern element: $other")
     }
     val defineStr = """(?is)DEFINE\s+(.*)\z""".r
@@ -139,11 +156,11 @@ object MatchRecognize {
     val keyIdx = inSchema.fieldIndex(c.partitionBy)
 
     val pattern = CEP.Pattern[Row](
-      c.pattern.zipWithIndex.map { case ((sym, mn, mx), i) =>
+      c.pattern.zipWithIndex.map { case ((sym, mn, mx, rel), i) =>
         // repeated symbols get stage names sym#i; measures resolve to
         // the first stage carrying the symbol
         CEP.Stage[Row](s"$sym#$i", r => r.getBoolean(symIdx(sym)),
-          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx)
+          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
       }.toVector, None, c.skip)
 
     import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
@@ -166,7 +183,7 @@ object MatchRecognize {
     // repeated in the pattern are ONE symbol, so measures span them all
     val stagesOfSym: Map[String, Seq[String]] = c.pattern.map(_._1).distinct.map { sym =>
       sym -> c.pattern.zipWithIndex.collect {
-        case ((s2, _, _), i) if s2 == sym => s"$sym#$i"
+        case ((s2, _, _, _), i) if s2 == sym => s"$sym#$i"
       }
     }.toMap
     val measurePlan: Seq[(Measure, Int, Boolean)] = c.measures.map { m =>
@@ -217,7 +234,7 @@ object MatchRecognize {
       StructField("classifier", org.apache.spark.sql.types.StringType, nullable = false) :+
       StructField("match_num", org.apache.spark.sql.types.LongType, nullable = false))
     val baseIdx = baseFields.map(f => inSchema.fieldIndex(f.name))
-    val stageNamesInOrder = c.pattern.zipWithIndex.map { case ((sym, _, _), i) => s"$sym#$i" }
+    val stageNamesInOrder = c.pattern.zipWithIndex.map { case ((sym, _, _, _), i) => s"$sym#$i" }
 
     val rowEnc = org.apache.spark.sql.Encoders.row(
       if (c.allRows) allRowsSchema else outSchema)

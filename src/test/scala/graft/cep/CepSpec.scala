@@ -70,7 +70,7 @@ class CepSpec extends AnyFunSuite {
     val p = Pattern.begin[E]("a").where(_._2 == "a")
       .followedByAny("b").where(_._2 == "b").afterMatchSkipPastLast
     val e = intercept[IllegalArgumentException] { matchSequence(ev("a b b"), p)(_._3) }
-    assert(e.getMessage.contains("SKIP_PAST_LAST"))
+    assert(e.getMessage.contains("skip strategy with a branching pattern"))
   }
 
   test("longestPartial tolerates optional stages that matched zero events") {
@@ -166,6 +166,57 @@ class CepSpec extends AnyFunSuite {
     // a=0: first b with id>0 is b1; a=2: needs id>4 → b5
     assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head))
       == Seq((0L, 1L), (2L, 5L)))
+  }
+
+  test("SkipToLast fences starts inside the match that NoSkip would take") {
+    // v v c w: NoSkip starts a second match at the inner v (relaxed
+    // gap skips it in match 1); SkipToLast("w")'s fence at w blocks it
+    val events = ev("v v c w")
+    def p(skip: AfterMatchSkip) = Pattern.begin[E]("v").where(_._2 == "v")
+      .followedBy("c").where(_._2 == "c")
+      .followedBy("w").where(_._2 == "w")
+      .copy(skip = skip)
+    val all = matchSequence(events, p(NoSkip))(_._3)
+      .map(m => ids(m, "v").head)
+    assert(all == Seq(0L, 1L))
+    val fenced = matchSequence(events, p(SkipToLast("w")))(_._3)
+      .map(m => ids(m, "v").head)
+    assert(fenced == Seq(0L))
+  }
+
+  test("SkipToFirst resumes at the variable's first row, allowing overlap") {
+    // v c v c w: match 1 = (v0, cs=[c1], w4) — its relaxed gap spans
+    // v2. SkipPastLast fences past w4 (one match total); SkipToFirst
+    // of the block resumes at c1, so v2 starts the overlapping match 2
+    val events = ev("v c v c w")
+    def p(skip: AfterMatchSkip) = Pattern.begin[E]("v").where(_._2 == "v")
+      .followedBy("cs").where(_._2 == "c").oneOrMore
+      .followedBy("w").where(_._2 == "w")
+      .copy(skip = skip)
+    val past = matchSequence(events, p(SkipPastLast))(_._3)
+      .map(m => (ids(m, "v").head, ids(m, "cs")))
+    assert(past == Seq((0L, Seq(1L))))
+    val first = matchSequence(events, p(SkipToFirst("cs")))(_._3)
+      .map(m => (ids(m, "v").head, ids(m, "cs")))
+    assert(first == Seq((0L, Seq(1L)), (2L, Seq(3L))))
+  }
+
+  test("reluctant oneOrMore takes the shortest block that completes") {
+    // a e e e b: greedy es+ consumes e e e then b; reluctant stops at
+    // the first e because the following stage (any row) completes
+    val events = ev("a e e e b")
+    val base = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("es").where(_._2 == "e").oneOrMore
+      .followedBy("z").where(_._2 == "b")
+    val greedy = matchSequence(events, base)(_._3)
+    assert(ids(greedy.head, "es") == Seq(1L, 2L, 3L))
+    val rel = matchSequence(events, base.copy(stages =
+      base.stages.updated(1, base.stages(1).copy(reluctant = true))))(_._3)
+    // shortest block: just e1 — but z demands a 'b', which only
+    // follows the full run... z is Relaxed, so it skips e2 e3 and
+    // finds b: the single-e block completes
+    assert(ids(rel.head, "es") == Seq(1L))
+    assert(ids(rel.head, "z") == Seq(4L))
   }
 
   test("whereCtx gates quantified blocks against the anchor stage") {

@@ -84,6 +84,69 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("ALL ROWS PER MATCH"))
   }
 
+  // v c v c v: a 2-link chain — the three skip strategies disagree
+  private def chain = df(
+    (1, 1, 1.0, "v"), (1, 2, 1.0, "c"), (1, 3, 1.0, "v"),
+    (1, 4, 1.0, "c"), (1, 5, 1.0, "v"))
+
+  private def links(skip: String) = MatchRecognize(chain,
+    s"""PARTITION BY k
+       |ORDER BY seq
+       |MEASURES V.seq AS s, W.seq AS e
+       |AFTER MATCH SKIP $skip
+       |PATTERN (V C+ W)
+       |DEFINE V AS V.tag = 'v', C AS C.tag = 'c', W AS W.tag = 'v'"""
+      .stripMargin)
+    .select(col("s"), col("e")).as[(Int, Int)].collect().sortBy(_._1).toList
+
+  test("SKIP TO LAST resumes at the closing symbol: every chain link emits") {
+    assert(links("PAST LAST ROW") == List((1, 3)))       // every OTHER link
+    assert(links("TO LAST W") == List((1, 3), (3, 5)))   // every link
+  }
+
+  test("SKIP TO FIRST places the fence at the variable's first row") {
+    // fence at C's first row still blocks restarting at V, so the
+    // middle view (inside the skipped region) can reopen — same as
+    // TO LAST W here; the distinct fence shows via TO FIRST W
+    assert(links("TO FIRST W") == List((1, 3), (3, 5)))
+  }
+
+  test("SKIP TO FIRST of the start variable refuses the resume loop") {
+    val e = intercept[Exception] { links("TO FIRST V") }
+    assert(e.getMessage.contains("first row"))
+  }
+
+  test("reluctant quantifier takes the shortest completing block") {
+    // v x p x p: B{1,3}? pairs the view with the EARLIEST purchase
+    // ≥2 rows later; greedy B{1,3} consumes 3 rows and demands the
+    // purchase at exactly the 4th
+    val d = df((1, 1, 1.0, "v"), (1, 2, 1.0, "x"), (1, 3, 1.0, "p"),
+      (1, 4, 1.0, "x"), (1, 5, 1.0, "p"))
+    def run(q: String) = MatchRecognize(d,
+      s"""PARTITION BY k
+         |ORDER BY seq
+         |MEASURES V.seq AS s, P.seq AS e, COUNT(B.*) AS gap
+         |AFTER MATCH SKIP TO NEXT ROW
+         |PATTERN (V B$q P)
+         |DEFINE V AS V.tag = 'v', P AS P.tag = 'p'""".stripMargin)
+      .select(col("s"), col("e"), col("gap")).as[(Int, Int, Long)]
+      .collect().toList
+    assert(run("{1,3}?") == List((1, 3, 1L))) // earliest purchase
+    assert(run("{1,3}") == List((1, 5, 3L)))  // greedy: 4th row exactly
+  }
+
+  test("SUM/AVG/MIN/MAX reject the star argument at parse time") {
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(df((1, 1, 1.0, "a")),
+        """PARTITION BY k
+          |ORDER BY seq
+          |MEASURES SUM(A.*) AS s
+          |PATTERN (A)
+          |DEFINE A AS A.tag = 'a'""".stripMargin)
+    }
+    assert(e.getMessage.contains("only COUNT"))
+  }
+
   test("COUNT(S.col) skips nulls; COUNT(S.*) counts rows") {
     val out = MatchRecognize(
       df((1, 1, 10.0, "up"), (1, 2, null, "up"), (1, 3, 30.0, "up")),
