@@ -149,6 +149,51 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"), col("w_start"))
     },
 
+    // ----- dynamic-gap session windows on a REAL stream (reference
+    // DynamicEventTimeSessionWindows.java): the per-row gap Column —
+    // errors close their session after 10 min, everything else after
+    // 30 — feeds session_window directly under a watermark; same
+    // oracle as the batch q42b, so the streaming merge path is
+    // hash-checked against the relational run-max definition. -----
+    q("q42c_stream_session_dynamic",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    ts + (CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+        |               ELSE INTERVAL 30 MINUTE END) AS w_end
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max,
+        |    CASE WHEN max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR ts >= max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS w_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, w_start""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "view"))
+      val gap = when(col("event_type") === "error", "10 minutes")
+        .otherwise("30 minutes")
+      val agg = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .unionByName(sentinel.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("w_start"), col("n"))
+      viaMemorySink(s, agg, "append", "graft_stream_sess_dyn")
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
     // ----- the same tumble as a REAL streaming query: readStream +
     // watermark + windowed agg, complete mode, final state compared -----
     q("q43_stream_tumble",
