@@ -137,4 +137,41 @@ private[graph] trait PregelSupport { self: Graph =>
     }
     verts
   }
+
+  /** Scatter-gather iteration facade (reference flink-gelly
+    * spargel/ScatterGatherIteration.java, Graph.java
+    * runScatterGatherIteration): `scatter` produces the messages each
+    * vertex sends along its edges (the ScatterFunction), `gather`
+    * rewrites the vertex value from the combined inbox (the
+    * GatherFunction). The reference iterates the MessageIterator
+    * inside gather; here the combiner is the explicit `combine`
+    * aggregate — same fixpoints, and the map-side pre-combine the
+    * reference only gets from a separate MessageCombiner is free.
+    * Executes on [[pregel]]: identical superstep plan. */
+  def scatterGather(
+      stateCols: Seq[(String, Column)],
+      scatter: Seq[PregelMsg],
+      combine: Column,
+      gather: Seq[(String, Column)],
+      maxIter: Int,
+      haltOnNoChange: Boolean = false): DataFrame =
+    pregel(stateCols, scatter, combine, gather, maxIter, haltOnNoChange)
+
+  /** Gather-sum-apply iteration facade (reference flink-gelly
+    * gsa/GatherSumApplyIteration.java, Graph.java
+    * runGatherSumApplyIteration): `gather` evaluates one partial value
+    * per in-neighbor (expression over `src.*` / `edge.*` — the
+    * reference's GatherFunction over a Neighbor), `sum` reduces the
+    * partials (SumFunction — an associative aggregate over
+    * [[Pregel.msg]]), `apply` rewrites the vertex state from the sum
+    * (ApplyFunction). Executes on [[pregel]] with a single toDst
+    * message per edge: identical superstep plan. */
+  def gatherSumApply(
+      stateCols: Seq[(String, Column)],
+      gather: Column,
+      sum: Column,
+      apply: Seq[(String, Column)],
+      maxIter: Int,
+      haltOnNoChange: Boolean = false): DataFrame =
+    pregel(stateCols, Seq(Pregel.toDst(gather)), sum, apply, maxIter, haltOnNoChange)
 }

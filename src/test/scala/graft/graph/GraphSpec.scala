@@ -49,6 +49,38 @@ class GraphSpec extends SparkSpec {
     assert(reach == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("scatterGather min-label propagation matches connectedComponents") {
+    // the reference's ConnectedComponents IS a scatter-gather program
+    // (library/ConnectedComponents.java); same fixpoint expected
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+    val both = es ++ es.map(e => (e._2, e._1))
+    val sg = g(both: _*).scatterGather(
+      stateCols = Seq("comp" -> col("id")),
+      scatter = Seq(Pregel.toDst(Pregel.src("comp"))),
+      combine = min(Pregel.msg),
+      gather = Seq("comp" -> least(col("comp"), coalesce(Pregel.msg, col("comp")))),
+      maxIter = 20, haltOnNoChange = true)
+      .as[(Long, Long)].collect().toMap
+    val canned = g(es: _*).connectedComponents().as[(Long, Long)].collect().toMap
+    assert(sg == canned)
+  }
+
+  test("gatherSumApply weighted SSSP reaches the GSA example's fixpoint") {
+    // reference gsa/GSASingleSourceShortestPaths: gather = neighbor
+    // dist + edge weight, sum = min, apply = keep the smaller
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 10L))
+      .toDF("src", "dst", "w")
+    val INF = Long.MaxValue
+    val gsa = Graph.fromEdges(edges).gatherSumApply(
+      stateCols = Seq("dist" -> when(col("id") === 1L, 0L).otherwise(INF)),
+      gather = when(Pregel.src("dist") =!= INF, Pregel.src("dist") + Pregel.edge("w")),
+      sum = min(Pregel.msg),
+      apply = Seq("dist" -> least(col("dist"), coalesce(Pregel.msg, col("dist")))),
+      maxIter = 10, haltOnNoChange = true)
+      .as[(Long, Long)].collect().toMap
+    assert(gsa == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
   test("triangleCount on K4 gives 3 per vertex") {
     val k4 = g((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val t = k4.triangleCount().as[(Long, Long)].collect().toMap
