@@ -486,16 +486,21 @@ object StreamQueries extends QueryModule {
           col("event_type"), col("value"))
         .unionByName(sentinel.toDF()
           .toDF("event_id", "ts", "user_id", "event_type", "value"))
-      val probe = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("key"), col("ts"),
-          col("event_id").as("seq"), col("event_id").as("probeId"))
-      val build = ev.filter(col("event_type") === "signup")
-        .select(col("user_id").as("key"), col("ts"),
-          col("event_id").as("seq"), col("value"))
-      val joined = TemporalJoin.rowTime(probe, build, "0 seconds")
+      // registered the way the reference's Table API users write it:
+      // build.createTemporalTableFunction + probe.joinLateralAsOf
+      // (graft.table.Table → the same TemporalJoin.rowTime state op)
+      val rates = graft.table.Table(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+        .createTemporalTableFunction("ts", "user_id", seqColumn = "event_id")
+      val joined = graft.table.Table(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")))
+        .joinLateralAsOf(rates, "ts", "user_id", "event_id", "0 seconds")
+        .toDF
       viaMemorySink(s, joined, "append", "graft_temporal_join")
-        .filter(col("probeId") >= 0)
-        .select(col("probeId").as("event_id"), col("value").as("rate"))
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"), col("value").as("rate"))
         .orderBy(col("event_id"))
     },
 

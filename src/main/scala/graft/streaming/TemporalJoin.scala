@@ -64,8 +64,14 @@ object TemporalJoin {
               .sortBy(v => (v._1, v._2))
           val allProbes = st.probes ++ probes.map(p => (p.tsUs, p.seq, p.probeId))
           // Spark treats rows with ts >= watermark as still possible, so
-          // seal strictly below it (µs-floor of the ms watermark)
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // seal strictly below it (µs-floor of the ms watermark).
+          // Batch execution has no watermark: everything has already
+          // arrived, so the effective watermark is +inf and every probe
+          // seals in this single invocation — the same op then serves
+          // batch AS OF joins (Table.joinLateralAsOf on plain frames).
+          val wmUs = (try state.getCurrentWatermarkMs() catch {
+            case _: UnsupportedOperationException => Long.MaxValue / 2000L
+          }) * 1000L
           val (sealedP, openP) = allProbes.partition(_._1 < wmUs)
           val out = sealedP.sortBy(p => (p._1, p._2)).flatMap { case (ts, _, id) =>
             // latest version at or before the probe row's time; equal-ts

@@ -59,6 +59,45 @@ final class Table(val df: DataFrame) {
 
   def as(alias: String): Table = new Table(df.as(alias))
   def toDF: DataFrame = df
+
+  /** Register this table as a row-time versioned temporal table
+    * function (reference table.scala:188-215
+    * createTemporalTableFunction): versions are keyed by `primaryKey`
+    * and ordered by `timeAttribute`; `seqColumn` breaks equal-time
+    * version ties (highest wins; omit when (key, time) is unique).
+    * The remaining single column is the version payload — the
+    * restricted subset this engine's state op carries. Apply with
+    * [[joinLateralAsOf]] on the probe side. */
+  def createTemporalTableFunction(timeAttribute: String, primaryKey: String,
+      seqColumn: String = null): TemporalTableFunction = {
+    val payload = df.columns.toSeq
+      .filterNot(c => c == timeAttribute || c == primaryKey || c == seqColumn)
+    require(payload.size == 1,
+      s"temporal table function subset carries exactly one payload column, " +
+        s"found ${payload.mkString(", ")}")
+    TemporalTableFunction(df, timeAttribute, primaryKey,
+      Option(seqColumn), payload.head)
+  }
+
+  /** probe ⋈ fn FOR SYSTEM_TIME AS OF probe.`probeTime` (reference
+    * joinLateral over a registered TemporalTableFunction): each probe
+    * row pairs with the latest version at or before its time for the
+    * same key, sealed by the watermark (`delay`). Output columns:
+    * (`probeId`, fn's payload). Works on streams — both sides union
+    * under one watermark — and on batch frames run through the same
+    * state op. */
+  def joinLateralAsOf(fn: TemporalTableFunction, probeTime: String,
+      probeKey: String, probeId: String, delay: String = "0 seconds"): Table = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val probe = df.select(col(probeKey).as("key"), col(probeTime).as("ts"),
+      col(probeId).cast("long").as("seq"), col(probeId).cast("long").as("probeId"))
+    val build = fn.build.select(col(fn.primaryKey).as("key"),
+      col(fn.timeAttribute).as("ts"),
+      fn.seqColumn.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("seq"),
+      col(fn.payload).cast("double").as("value"))
+    new Table(graft.streaming.TemporalJoin.rowTime(probe, build, delay)
+      .toDF(probeId, fn.payload))
+  }
 }
 
 final class GroupedTable(df: DataFrame, keys: Seq[Column]) {
@@ -68,6 +107,16 @@ final class GroupedTable(df: DataFrame, keys: Seq[Column]) {
     new Table(df.groupBy(keys: _*).agg(cols.head, cols.tail: _*))
   }
 }
+
+/** A registered row-time versioned table function handle (reference
+  * TemporalTableFunction, table.scala:188-215): the build-side frame
+  * plus the metadata a FOR SYSTEM_TIME AS OF application needs. */
+final case class TemporalTableFunction(
+    build: DataFrame,
+    timeAttribute: String,
+    primaryKey: String,
+    seqColumn: Option[String],
+    payload: String)
 
 object Table {
   def apply(df: DataFrame): Table = new Table(df)

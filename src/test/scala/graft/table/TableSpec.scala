@@ -40,4 +40,27 @@ class TableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("AS"))
   }
+
+  test("createTemporalTableFunction + joinLateralAsOf resolve AS OF versions") {
+    // rates for key 7: 1.0 @10s, 2.0 @30s; probes at 5s/20s/40s →
+    // no version / 1.0 / 2.0 (batch frames run the same state op)
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val rates = Table(Seq((7L, ts(10), 1L, 1.0), (7L, ts(30), 2L, 2.0))
+      .toDF("cur", "rtime", "rseq", "rate"))
+      .createTemporalTableFunction("rtime", "cur", seqColumn = "rseq")
+    assert(rates.payload == "rate")
+    val out = Table(Seq((7L, ts(5), 100L), (7L, ts(20), 101L), (7L, ts(40), 102L))
+      .toDF("cur", "ptime", "oid"))
+      .joinLateralAsOf(rates, "ptime", "cur", "oid", "0 seconds")
+      .toDF.as[(Long, Double)].collect().toMap
+    assert(out == Map(101L -> 1.0, 102L -> 2.0))
+  }
+
+  test("createTemporalTableFunction rejects multi-column payloads") {
+    val e = intercept[IllegalArgumentException] {
+      Table(Seq((7L, 1L, 1.0, "x")).toDF("k", "t", "v", "extra"))
+        .createTemporalTableFunction("t", "k")
+    }
+    assert(e.getMessage.contains("one payload column"))
+  }
 }
