@@ -14,12 +14,14 @@ object TextAnalysis extends QueryModule {
   private val TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
   /** Quality score — logistic over avg word length and stopword ratio
-    * (the q58 formula, shared with the curation pipeline q138). */
+    * (the q58 formula, shared with the curation pipeline q138). Built
+    * entirely from the passed Column, so derived or differently-named
+    * text expressions score correctly. */
   def quality(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val w = split(text, " ")
     val awl = length(regexp_replace(text, " ", "")).cast("double") / size(w)
-    val stopRatio = size(expr("filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to'))"))
-      .cast("double") / size(w)
+    val stops = filter(w, x => x.isInCollection(Seq("the", "a", "of", "and", "to")))
+    val stopRatio = size(stops).cast("double") / size(w)
     round(lit(1.0) / (lit(1.0) + exp(-(lit(0.2) * awl + lit(2.0) * stopRatio - lit(1.0)))), 6)
   }
 
