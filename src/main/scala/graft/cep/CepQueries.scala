@@ -288,6 +288,33 @@ object CepQueries extends QueryModule {
         .orderBy(col("user_id"), col("view_id"))
     },
 
+    // ----- WITHIN in the SQL form (Pattern.within surfaced through
+    // MATCH_RECOGNIZE): adjacent view→purchase pairs only count when
+    // the purchase lands inside one hour of the view — the span bound
+    // evaluated against real event times from the ORDER BY column. -----
+    q("q142_match_within",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+        |    lead(ts) OVER w AS nts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS view_id, nid AS purchase_id
+        |FROM seq WHERE event_type = 'view' AND nt = 'purchase'
+        |  AND nts <= ts + INTERVAL 1 HOUR
+        |ORDER BY view_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES A.event_id AS view_id, B.event_id AS purchase_id
+          |PATTERN (A B)
+          |WITHIN INTERVAL '1' HOUR
+          |DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'"""
+          .stripMargin)
+        .orderBy(col("view_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

@@ -17,8 +17,14 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *      | SKIP TO [FIRST | LAST] <symbol>]
   *     PATTERN (A B+ C? D* E{n} F{n,m} B+? D*? F{n,m}? ...)
+  *     [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *     DEFINE A AS <predicate on A.col>, ...
   *   )
+  *
+  * WITHIN bounds each match's first→last event-time span (reference
+  * Pattern.within surfaced through MATCH_RECOGNIZE,
+  * flink-table .../match/; requires the leading ORDER BY column to be
+  * the event time — timestamp or numeric).
   *
   * AFTER MATCH defaults to SKIP PAST LAST ROW (the SQL-standard and
   * reference default, flink-table .../match/PatternVisitor); SKIP TO
@@ -52,7 +58,8 @@ object MatchRecognize {
       pattern: Seq[(String, Int, Int, Boolean)], // (symbol, minTimes, maxTimes, reluctant)
       define: Map[String, String],
       skip: CEP.AfterMatchSkip,
-      allRows: Boolean)
+      allRows: Boolean,
+      withinUs: Option[Long])
 
   private val aggMeasureRe =
     """(?i)(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
@@ -114,6 +121,15 @@ object MatchRecognize {
         (s, n.toInt, m2.toInt, r != null)
       case other => throw new IllegalArgumentException(s"bad pattern element: $other")
     }
+    val withinUs = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
+      .findFirstMatchIn(clause).map { m =>
+        m.group(1).toLong * (m.group(2).toUpperCase match {
+          case "SECOND" => 1000000L
+          case "MINUTE" => 60000000L
+          case "HOUR" => 3600000000L
+          case "DAY" => 86400000000L
+        })
+      }
     val defineStr = """(?is)DEFINE\s+(.*)\z""".r
       .findFirstMatchIn(clause).map(_.group(1).trim).getOrElse("")
     val define = if (defineStr.isEmpty) Map.empty[String, String]
@@ -122,7 +138,7 @@ object MatchRecognize {
         throw new IllegalArgumentException(s"bad DEFINE: $d"))
       m.group(1) -> m.group(2).trim
     }.toMap
-    Clause(partitionBy, orderBy, measures, pattern, define, skip, allRows)
+    Clause(partitionBy, orderBy, measures, pattern, define, skip, allRows, withinUs)
   }
 
   private def splitTopLevel(s: String): Seq[String] = {
@@ -161,7 +177,26 @@ object MatchRecognize {
         // the first stage carrying the symbol
         CEP.Stage[Row](s"$sym#$i", r => r.getBoolean(symIdx(sym)),
           if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
-      }.toVector, None, c.skip)
+      }.toVector, c.withinUs, c.skip)
+
+    // WITHIN needs real event times: micros from the leading ORDER BY
+    // column (without WITHIN a constant keeps the matcher span-free)
+    val tsOf: Row => Long = c.withinUs match {
+      case None => _ => 0L
+      case Some(_) =>
+        import org.apache.spark.sql.types._
+        val tsIdx = inSchema.fieldIndex(c.orderBy.head)
+        inSchema(tsIdx).dataType match {
+          case TimestampType | TimestampNTZType => r => {
+            val t = r.getAs[java.sql.Timestamp](tsIdx)
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+          }
+          case LongType => r => r.getLong(tsIdx)
+          case IntegerType => r => r.getInt(tsIdx).toLong
+          case other => throw new IllegalArgumentException(
+            s"WITHIN needs a timestamp or numeric leading ORDER BY column, got $other")
+        }
+    }
 
     import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
     def isFractional(dt: org.apache.spark.sql.types.DataType) =
@@ -261,7 +296,7 @@ object MatchRecognize {
         }
       }
       groups.flatMap { case (key, rows) =>
-        val ms = CEP.matchSequence(rows, pattern)(_ => 0L)
+        val ms = CEP.matchSequence(rows, pattern)(tsOf)
         if (c.allRows)
           // MATCH_NUMBER() is per partition, in match order; rows come
           // out stage-by-stage, i.e. in temporal order within a match

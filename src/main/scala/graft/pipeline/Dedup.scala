@@ -210,6 +210,42 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ----- SimHash pairs blocked by SIGNATURE BYTES instead of the
+    // lang block — the q56b comment's scale path made real: each
+    // signature fans out to 4 (byte-position, byte-value) buckets and
+    // a pair is a candidate if it collides in ANY of them (LSH-style
+    // OR-amplification; by pigeonhole every pair with hamming ≤ 3 is
+    // guaranteed caught, higher distances probabilistically — the
+    // explicit recall trade that keeps the pair space linear in the
+    // corpus instead of quadratic per block). -----
+    q("q56c_simhash_byte_blocked",
+      s"""WITH $duckSimhash,
+         |bytes AS (SELECT doc_id, simhash, j, (simhash >> (8*j)) & 255 AS b
+         |          FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           a.simhash AS ha, b.simhash AS hb
+         |         FROM bytes a JOIN bytes b ON a.j = b.j AND a.b = b.b
+         |           AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sh = simhashWithLang(s, dir).select(col("doc_id"), col("simhash"))
+      val bytes = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("b", expr("shiftright(simhash, 8*j) & 255"))
+      val a = bytes.select(col("doc_id").as("doc_a"), col("j"), col("b"),
+        col("simhash").as("ha"))
+      val bb = bytes.select(col("doc_id").as("doc_b"), col("j"), col("b"),
+        col("simhash").as("hb"))
+      a.join(bb, Seq("j", "b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ----- n-gram Jaccard near-dup pairs with (lang, source) blocking
     // (the blocking key is the scale lever: candidates never cross
     // blocks, so the join is a per-block local product) -----

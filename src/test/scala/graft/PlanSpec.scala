@@ -101,6 +101,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "bounded top-k aggregate missing")
   }
 
+  test("q135 k-means IVF stage-2 ranks via the bounded aggregate, no window at all") {
+    val p = plan("q135_ann_ivf_kmeans")
+    // assignment argmin is min(struct(...)) and stage-2 top-k the
+    // bounded aggregate — NO Window operator anywhere in the route
+    assert(!p.contains("Window"),
+      "a window rank crept into the k-means assignment or stage-2 top-k")
+    assert(p.contains("ObjectHashAggregate"), "bounded top-k aggregate missing")
+  }
+
   test("q110 global threshold joins as a broadcast, never a collect") {
     val p = plan("q110_important_parts")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
