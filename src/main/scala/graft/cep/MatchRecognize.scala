@@ -157,27 +157,32 @@ object MatchRecognize {
     out.result()
   }
 
-  def apply(df: DataFrame, clauseSql: String): DataFrame = {
-    val c = parse(clauseSql)
-    // per-symbol predicate columns; `SYM.col` refers to the row itself
-    val withFlags = c.pattern.map(_._1).distinct.foldLeft(df) { (d, sym) =>
+  /** Per-symbol predicate columns; `SYM.col` refers to the row itself. */
+  private def addFlags(df: DataFrame, c: Clause): DataFrame =
+    c.pattern.map(_._1).distinct.foldLeft(df) { (d, sym) =>
       val pred = c.define.get(sym)
         .map(p => expr(p.replaceAll(s"(?i)\\b$sym\\.", "")))
         .getOrElse(lit(true))
       d.withColumn(s"__m_$sym", pred)
     }
+
+  /** Repeated symbols get stage names sym#i; measures resolve across
+    * every stage carrying the symbol. */
+  private def stagesOf(c: Clause, symIdx: Map[String, Int]): Vector[CEP.Stage[Row]] =
+    c.pattern.zipWithIndex.map { case ((sym, mn, mx, rel), i) =>
+      CEP.Stage[Row](s"$sym#$i", r => r.getBoolean(symIdx(sym)),
+        if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
+    }.toVector
+
+  def apply(df: DataFrame, clauseSql: String): DataFrame = {
+    val c = parse(clauseSql)
+    val withFlags = addFlags(df, c)
     val inSchema = withFlags.schema
     val symIdx = c.pattern.map(_._1).distinct
       .map(sym => sym -> inSchema.fieldIndex(s"__m_$sym")).toMap
     val keyIdx = inSchema.fieldIndex(c.partitionBy)
 
-    val pattern = CEP.Pattern[Row](
-      c.pattern.zipWithIndex.map { case ((sym, mn, mx, rel), i) =>
-        // repeated symbols get stage names sym#i; measures resolve to
-        // the first stage carrying the symbol
-        CEP.Stage[Row](s"$sym#$i", r => r.getBoolean(symIdx(sym)),
-          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
-      }.toVector, c.withinUs, c.skip)
+    val pattern = CEP.Pattern[Row](stagesOf(c, symIdx), c.withinUs, c.skip)
 
     // WITHIN needs real event times: micros from the leading ORDER BY
     // column (without WITHIN a constant keeps the matcher span-free)
@@ -198,66 +203,8 @@ object MatchRecognize {
         }
     }
 
-    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
-    def isFractional(dt: org.apache.spark.sql.types.DataType) =
-      dt == DoubleType || dt == FloatType
-    val outSchema = StructType(
-      inSchema(c.partitionBy) +:
-        c.measures.map {
-          case ColMeasure(_, colName, alias) => inSchema(colName).copy(name = alias)
-          case AggMeasure("COUNT", _, _, alias) => StructField(alias, LongType, nullable = false)
-          case AggMeasure("AVG", _, colName, alias) => StructField(alias, DoubleType, nullable = true)
-          case AggMeasure("SUM", _, colName, alias) =>
-            StructField(alias,
-              if (isFractional(inSchema(colName).dataType)) DoubleType else LongType,
-              nullable = true)
-          case AggMeasure(_, _, colName, alias) => // MIN/MAX/FIRST/LAST keep the type
-            inSchema(colName).copy(name = alias)
-        })
-    // all stages carrying a symbol, in pattern order — SQL classifiers
-    // repeated in the pattern are ONE symbol, so measures span them all
-    val stagesOfSym: Map[String, Seq[String]] = c.pattern.map(_._1).distinct.map { sym =>
-      sym -> c.pattern.zipWithIndex.collect {
-        case ((s2, _, _, _), i) if s2 == sym => s"$sym#$i"
-      }
-    }.toMap
-    val measurePlan: Seq[(Measure, Int, Boolean)] = c.measures.map { m =>
-      val idx = if (m.colName == "*") -1 else inSchema.fieldIndex(m.colName)
-      val frac = m.colName != "*" && isFractional(inSchema(m.colName).dataType)
-      (m, idx, frac)
-    }
-
-    def evalMeasure(mm: CEP.Match[Row], plan: (Measure, Int, Boolean)): Any = {
-      val (meas, idx, frac) = plan
-      val rows = stagesOfSym(meas.sym).flatMap(st => mm.stages.getOrElse(st, Nil))
-      def vals = rows.iterator.map(_.get(idx)).filter(_ != null).toSeq
-      meas match {
-        case ColMeasure(_, _, _) => rows.headOption.map(_.get(idx)).orNull
-        case AggMeasure("COUNT", _, "*", _) => rows.size.toLong
-        case AggMeasure("COUNT", _, _, _) => vals.size.toLong
-        case AggMeasure("FIRST", _, _, _) => rows.headOption.map(_.get(idx)).orNull
-        case AggMeasure("LAST", _, _, _) => rows.lastOption.map(_.get(idx)).orNull
-        case AggMeasure("SUM", _, _, _) =>
-          val vs = vals
-          if (vs.isEmpty) null
-          else if (frac) vs.map(_.asInstanceOf[Number].doubleValue).sum
-          else vs.map(_.asInstanceOf[Number].longValue).sum
-        case AggMeasure("AVG", _, _, _) =>
-          val vs = vals
-          if (vs.isEmpty) null
-          else vs.map(_.asInstanceOf[Number].doubleValue).sum / vs.size
-        case AggMeasure(fn @ ("MIN" | "MAX"), _, _, _) =>
-          val vs = vals
-          if (vs.isEmpty) null
-          else {
-            val cmp = (a: Any, b: Any) =>
-              a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
-            vs.reduce((a, b) => if (cmp(a, b) == (fn == "MIN")) a else b)
-          }
-        case AggMeasure(fn, _, _, _) =>
-          throw new IllegalArgumentException(s"unsupported measure function $fn")
-      }
-    }
+    val meas = new Measures(c, inSchema)
+    val outSchema = meas.outSchema
 
     // ALL ROWS PER MATCH: input rows + CLASSIFIER() + MATCH_NUMBER()
     // (restricted: MEASURES are the ONE-ROW form's output — reject the
@@ -309,9 +256,118 @@ object MatchRecognize {
             }
           }
         else ms.iterator.map { m =>
-          Row.fromSeq(key +: measurePlan.map(evalMeasure(m, _)))
+          Row.fromSeq(key +: meas.eval(m))
         }
       }
     }(rowEnc)
+  }
+
+  /** Measure evaluation shared by the batch and streaming forms. */
+  private final class Measures(c: Clause, inSchema: StructType) extends Serializable {
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
+    private def isFractional(dt: DataType) = dt == DoubleType || dt == FloatType
+
+    val outSchema: StructType = StructType(
+      inSchema(c.partitionBy) +:
+        c.measures.map {
+          case ColMeasure(_, colName, alias) => inSchema(colName).copy(name = alias)
+          case AggMeasure("COUNT", _, _, alias) => StructField(alias, LongType, nullable = false)
+          case AggMeasure("AVG", _, colName, alias) => StructField(alias, DoubleType, nullable = true)
+          case AggMeasure("SUM", _, colName, alias) =>
+            StructField(alias,
+              if (isFractional(inSchema(colName).dataType)) DoubleType else LongType,
+              nullable = true)
+          case AggMeasure(_, _, colName, alias) => // MIN/MAX/FIRST/LAST keep the type
+            inSchema(colName).copy(name = alias)
+        })
+
+    // all stages carrying a symbol, in pattern order — SQL classifiers
+    // repeated in the pattern are ONE symbol, so measures span them all
+    private val stagesOfSym: Map[String, Seq[String]] =
+      c.pattern.map(_._1).distinct.map { sym =>
+        sym -> c.pattern.zipWithIndex.collect {
+          case ((s2, _, _, _), i) if s2 == sym => s"$sym#$i"
+        }
+      }.toMap
+    private val plan: Seq[(Measure, Int, Boolean)] = c.measures.map { m =>
+      val idx = if (m.colName == "*") -1 else inSchema.fieldIndex(m.colName)
+      val frac = m.colName != "*" && isFractional(inSchema(m.colName).dataType)
+      (m, idx, frac)
+    }
+
+    def eval(mm: CEP.Match[Row]): Seq[Any] = plan.map(evalOne(mm, _))
+
+    private def evalOne(mm: CEP.Match[Row], p: (Measure, Int, Boolean)): Any = {
+      val (meas, idx, frac) = p
+      val rows = stagesOfSym(meas.sym).flatMap(st => mm.stages.getOrElse(st, Nil))
+      def vals = rows.iterator.map(_.get(idx)).filter(_ != null).toSeq
+      meas match {
+        case ColMeasure(_, _, _) => rows.headOption.map(_.get(idx)).orNull
+        case AggMeasure("COUNT", _, "*", _) => rows.size.toLong
+        case AggMeasure("COUNT", _, _, _) => vals.size.toLong
+        case AggMeasure("FIRST", _, _, _) => rows.headOption.map(_.get(idx)).orNull
+        case AggMeasure("LAST", _, _, _) => rows.lastOption.map(_.get(idx)).orNull
+        case AggMeasure("SUM", _, _, _) =>
+          val vs = vals
+          if (vs.isEmpty) null
+          else if (frac) vs.map(_.asInstanceOf[Number].doubleValue).sum
+          else vs.map(_.asInstanceOf[Number].longValue).sum
+        case AggMeasure("AVG", _, _, _) =>
+          val vs = vals
+          if (vs.isEmpty) null
+          else vs.map(_.asInstanceOf[Number].doubleValue).sum / vs.size
+        case AggMeasure(fn @ ("MIN" | "MAX"), _, _, _) =>
+          val vs = vals
+          if (vs.isEmpty) null
+          else {
+            val cmp = (a: Any, b: Any) =>
+              a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
+            vs.reduce((a, b) => if (cmp(a, b) == (fn == "MIN")) a else b)
+          }
+        case AggMeasure(fn, _, _, _) =>
+          throw new IllegalArgumentException(s"unsupported measure function $fn")
+      }
+    }
+  }
+
+  /** The STREAMING form (the reference's MATCH_RECOGNIZE is
+    * streaming-first — DataStreamMatch translates onto the CEP
+    * operator): the same restricted clause over a WATERMARKED
+    * streaming frame, executed on [[CEP.patternStream]] — per-key
+    * buffer in GroupState, matches emitted exactly once their start
+    * row seals, state bounded by the WITHIN span (which is therefore
+    * required, as is a bigint partition key and the ONE ROW form).
+    * Compose with a memory/file sink downstream. */
+  def stream(df: DataFrame, clauseSql: String): DataFrame = {
+    val c = parse(clauseSql)
+    require(c.withinUs.isDefined,
+      "streaming MATCH_RECOGNIZE requires WITHIN — unbounded patterns cannot seal")
+    require(!c.allRows,
+      "streaming MATCH_RECOGNIZE subset emits the ONE ROW PER MATCH form")
+    val withFlags = addFlags(df, c)
+    val inSchema = withFlags.schema
+    val symIdx = c.pattern.map(_._1).distinct
+      .map(sym => sym -> inSchema.fieldIndex(s"__m_$sym")).toMap
+    val keyIdx = inSchema.fieldIndex(c.partitionBy)
+    require(inSchema(keyIdx).dataType == org.apache.spark.sql.types.LongType,
+      "streaming MATCH_RECOGNIZE requires a BIGINT partition key")
+    val tsIdx = inSchema.fieldIndex(c.orderBy.head)
+    val tieIdx = c.orderBy.drop(1).headOption.map(inSchema.fieldIndex)
+    // patternStream works in epoch millis (watermark comparisons)
+    val pattern = CEP.Pattern[Row](stagesOf(c, symIdx),
+      c.withinUs.map(_ / 1000L), c.skip)
+    val meas = new Measures(c, inSchema)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(meas.outSchema)
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val bufEnc: org.apache.spark.sql.Encoder[Seq[Row]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[Row]]
+    CEP.patternStream[Row, Long, Row](withFlags, pattern,
+      r => r.getAs[Number](keyIdx).longValue,
+      r => r.getAs[java.sql.Timestamp](tsIdx).getTime,
+      r => tieIdx.map(i => r.getAs[Number](i).longValue).getOrElse(0L)) {
+      (k, m) => Row.fromSeq(k +: meas.eval(m))
+    }.toDF()
   }
 }

@@ -460,6 +460,47 @@ object StreamQueries extends QueryModule {
         .orderBy(col("view_id"))
     },
 
+    // ----- STREAMING SQL MATCH_RECOGNIZE (the reference's form is
+    // streaming-first: DataStreamMatch → CEP operator): the same
+    // restricted clause over a watermarked stream, per-key buffer in
+    // GroupState, matches sealed by the watermark, state bounded by
+    // WITHIN. Same oracle as the batch q142 — batch/stream parity is
+    // the hash check. -----
+    q("q143_match_recognize_stream",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+        |    lead(ts) OVER w AS nts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS view_id, nid AS purchase_id
+        |FROM seq WHERE event_type = 'view' AND nt = 'purchase'
+        |  AND nts <= ts + INTERVAL 1 HOUR
+        |ORDER BY view_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, "noise"))
+      val ev = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .unionByName(sentinel.toDF()
+          .toDF("event_id", "ts", "user_id", "event_type"))
+        .withWatermark("ts", "0 seconds")
+      val matched = graft.cep.MatchRecognize.stream(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES A.event_id AS view_id, B.event_id AS purchase_id
+          |PATTERN (A B)
+          |WITHIN INTERVAL '1' HOUR
+          |DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'"""
+          .stripMargin)
+      viaMemorySink(s, matched, "append", "graft_match_stream")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("view_id"))
+    },
+
     // ----- STREAMING event-time temporal (versioned) table join
     // (TemporalRowtimeJoin.scala:1; q73 is the batch as-of of the same
     // semantics): each purchase joins the signup-rate version valid AT
