@@ -78,7 +78,14 @@ object CEP {
       // rest of the pattern complete, trying longer blocks only when
       // shorter ones fail — unlike the greedy default, this
       // backtracks over block sizes.
-      reluctant: Boolean = false)
+      reluctant: Boolean = false,
+      // group pattern (reference pattern/GroupPattern.java,
+      // Pattern.begin(Pattern)): this stage is a quantified
+      // SUB-SEQUENCE — minTimes..maxTimes back-to-back repetitions of
+      // the inner stages; inner stage names collect their events
+      // across repeats. pred/negated/combinations are unused on a
+      // group stage.
+      group: Option[Vector[Stage[T]]] = None)
 
   /** Immutable fluent builder — Pattern.begin("a").where(p)
     * .followedBy("b").where(q).within(1.hour) */
@@ -109,6 +116,18 @@ object CEP {
       copy(stages = stages :+ Stage[T](name, _ => true, Strict, 1, 1))
     def followedBy(name: String): Pattern[T] =
       copy(stages = stages :+ Stage[T](name, _ => true, Relaxed, 1, 1))
+    /** Append a quantified GROUP (reference Pattern.followedBy(Pattern)
+      * / GroupPattern.java): the sub-pattern's stage sequence becomes
+      * one quantifiable unit — `.times(n)` / `.oneOrMore` /
+      * `.optional` on the result repeat the whole group. */
+    def followedBy(sub: Pattern[T]): Pattern[T] =
+      copy(stages = stages :+ Stage[T](s"group#${stages.length}", _ => true,
+        Relaxed, 1, 1, group = Some(sub.stages)))
+    /** Strictly-contiguous group: the first repeat must start at the
+      * very next event (Pattern.next(Pattern)). */
+    def next(sub: Pattern[T]): Pattern[T] =
+      copy(stages = stages :+ Stage[T](s"group#${stages.length}", _ => true,
+        Strict, 1, 1, group = Some(sub.stages)))
     def followedByAny(name: String): Pattern[T] =
       copy(stages = stages :+ Stage[T](name, _ => true, RelaxedAny, 1, 1))
     /** The event directly after the previous stage must NOT match
@@ -151,6 +170,10 @@ object CEP {
   object Pattern {
     def begin[T](name: String): Pattern[T] =
       Pattern(Vector(Stage[T](name, _ => true, Relaxed, 1, 1)), None, NoSkip)
+    /** Begin with a quantified group (Pattern.begin(Pattern)). */
+    def begin[T](sub: Pattern[T]): Pattern[T] =
+      Pattern(Vector(Stage[T]("group#0", _ => true, Relaxed, 1, 1,
+        group = Some(sub.stages))), None, NoSkip)
   }
 
   /** One match: per-stage matched element indices resolved to events. */
@@ -171,25 +194,40 @@ object CEP {
         "(followedByAny/allowCombinations) is unsupported: emitting every " +
         "overlapping completion from one start diverges from the reference's " +
         "skip-strategy prune")
+    pattern.stages.headOption.foreach(h =>
+      require(h.group.isEmpty || h.minTimes >= 1,
+        "an optional group may not lead a pattern (start anchoring)"))
     val out = Vector.newBuilder[Match[T]]
     var blockedBelow = -1 // skip fence: no new match may start at or before this idx
 
-    /** All completions from (stageIdx, pos): deterministic stages
-      * yield at most one continuation; RelaxedAny branches to every
-      * qualifying element; reluctant blocks branch over block sizes
-      * ascending. `ban` is a pending notFollowedBy predicate: no event
-      * in the gap [pos, entry-of-this-stage) may satisfy it. Returns
-      * (per-stage event INDICES, last index) — indices, so skip-to
-      * strategies can place their resume fence. */
-    def expand(stageIdx: Int, pos: Int, firstTs0: Long,
-        acc: List[(String, Seq[Int])],
-        ban: Option[T => Boolean]): Iterator[(List[(String, Seq[Int])], Int)] = {
-      if (stageIdx == pattern.stages.length)
-        return Iterator((acc, pos - 1))
-      val st = pattern.stages(stageIdx)
+    type Acc = List[(String, Seq[Int])]
+    type Completions = Iterator[(Acc, Int)]
+    /** Continuation receives (pos, firstTs, acc, pending ban). */
+    type Cont = (Int, Long, Acc, Option[T => Boolean]) => Completions
+
+    /** All completions of `stages` from (si, pos), feeding each into
+      * `cont`: deterministic stages yield at most one continuation;
+      * RelaxedAny branches to every qualifying element; reluctant
+      * blocks branch over block sizes ascending; GROUP stages repeat
+      * their sub-sequence. `ban` is a pending notFollowedBy predicate:
+      * no event in the gap [pos, entry-of-this-stage) may satisfy it.
+      * `anchor` is true only while expanding the whole pattern's first
+      * stage — it pins that stage's first event to pos (the scan
+      * start), where a mid-pattern relaxed stage may skip forward.
+      * Accs carry per-stage event INDICES so skip-to strategies can
+      * place their resume fence. */
+    def expandSeq(stages: Vector[Stage[T]], si: Int, pos: Int, firstTs0: Long,
+        acc: Acc, ban: Option[T => Boolean], anchor: Boolean,
+        cont: Cont): Completions = {
+      if (si == stages.length)
+        return cont(pos, firstTs0, acc, ban)
+      val st = stages(si)
+      val anchored = anchor && si == 0
       // IterativeCondition context: earlier completed stages by name
+      // (a group's repeated inner names concatenate chronologically)
       lazy val ctx: Map[String, Seq[T]] =
-        acc.map { case (n, is) => n -> is.map(events) }.toMap
+        acc.reverse.groupBy(_._1)
+          .map { case (n, es) => n -> es.flatMap(_._2.map(events)) }
       def ok(e: T): Boolean = st.pred(e) && st.ctxPred.forall(_(e, ctx))
       def inWindow(i: Int, firstTs: Long): Boolean =
         pattern.withinSpan.isEmpty || firstTs < 0 ||
@@ -197,11 +235,45 @@ object CEP {
       def gapClean(from: Int, until: Int): Boolean =
         ban.forall(b => (from until until).forall(j => !b(events(j))))
 
-      if (st.negated) {
+      if (st.group.isDefined) {
+        val sub = st.group.get
+        require(sub.nonEmpty && sub.forall(_.group.isEmpty),
+          "nested group patterns are unsupported")
+        require(!sub.last.negated, "a group may not end negated")
+        require(sub.forall(x => x.contiguity != RelaxedAny
+          && !(x.combinations && x.maxTimes > 1)),
+          "branching stages (followedByAny/allowCombinations) inside a " +
+            "group are unsupported")
+        // one repetition = the sub-sequence run to completion; between
+        // repeats the gap rule is the sub head's own contiguity. A
+        // Strict group pins the FIRST repeat's head to pos.
+        val subHeadStrict = sub.updated(0, sub(0).copy(contiguity = Strict))
+        def repeats(k: Int, pos2: Int, fTs: Long, acc2: Acc,
+            ban2: Option[T => Boolean]): Completions = {
+          lazy val stop =
+            if (k >= st.minTimes)
+              expandSeq(stages, si + 1, pos2, fTs, acc2, ban2, anchor, cont)
+            else Iterator.empty
+          lazy val more =
+            if (k < st.maxTimes && pos2 < events.length)
+              expandSeq(
+                if (k == 0 && st.contiguity == Strict) subHeadStrict else sub,
+                0, pos2, fTs, acc2, ban2, anchor = anchored && k == 0,
+                (p3, f3, a3, b3) =>
+                  // zero-progress prune: an all-optional sub-sequence
+                  // consuming nothing must not repeat forever
+                  if (p3 == pos2) Iterator.empty
+                  else repeats(k + 1, p3, f3, a3, b3))
+            else Iterator.empty
+          // greedy default: prefer MORE repeats; reluctant inverts
+          if (st.reluctant) stop ++ more else more ++ stop
+        }
+        repeats(0, pos, firstTs0, acc, ban)
+      } else if (st.negated) {
         if (st.contiguity == Strict) {
           // notNext: the event directly at pos must not match
           if (pos < events.length && st.pred(events(pos))) Iterator.empty
-          else expand(stageIdx + 1, pos, firstTs0, acc, ban)
+          else expandSeq(stages, si + 1, pos, firstTs0, acc, ban, anchor, cont)
         } else {
           // notFollowedBy: defer — the next positive stage checks the
           // gap (compose if bans stack back-to-back)
@@ -209,7 +281,7 @@ object CEP {
             case Some(prev) => Some((t: T) => prev(t) || st.pred(t))
             case None => Some(st.pred)
           }
-          expand(stageIdx + 1, pos, firstTs0, acc, b)
+          expandSeq(stages, si + 1, pos, firstTs0, acc, b, anchor, cont)
         }
       } else st.contiguity match {
         case RelaxedAny =>
@@ -219,14 +291,14 @@ object CEP {
               && gapClean(pos, i))
             .flatMap { i =>
               val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
-              expand(stageIdx + 1, i + 1, fTs,
-                (st.name -> Seq(i)) :: acc, None)
+              expandSeq(stages, si + 1, i + 1, fTs,
+                (st.name -> Seq(i)) :: acc, None, anchor, cont)
             }
         case _ if st.combinations && st.maxTimes > 1 =>
           // entry element per the stage's contiguity, then every
           // in-order subsequence of qualifying events fills the block
           var entry = pos
-          if (st.contiguity == Relaxed && stageIdx > 0)
+          if (st.contiguity == Relaxed && !anchored)
             while (entry < events.length && !ok(events(entry))) entry += 1
           if (entry >= events.length || !ok(events(entry)) ||
               !inWindow(entry, firstTs0) || !gapClean(pos, entry)) Iterator.empty
@@ -238,10 +310,11 @@ object CEP {
                 .find(j => u(events(j))).getOrElse(events.length)
               case None => events.length
             }
-            def pick(from: Int, taken: Vector[Int]): Iterator[(List[(String, Seq[Int])], Int)] = {
+            def pick(from: Int, taken: Vector[Int]): Completions = {
               val stop =
                 if (taken.size >= st.minTimes)
-                  expand(stageIdx + 1, from, fTs, (st.name -> taken) :: acc, None)
+                  expandSeq(stages, si + 1, from, fTs,
+                    (st.name -> taken) :: acc, None, anchor, cont)
                 else Iterator.empty
               val grow =
                 if (taken.size < st.maxTimes)
@@ -255,7 +328,7 @@ object CEP {
           }
         case _ =>
           var i = pos
-          if (st.contiguity == Relaxed && stageIdx > 0)
+          if (st.contiguity == Relaxed && !anchored)
             while (i < events.length && !ok(events(i))) i += 1
           if (!gapClean(pos, math.min(i, events.length))) Iterator.empty
           else if (st.reluctant && st.maxTimes > st.minTimes) {
@@ -273,11 +346,11 @@ object CEP {
             if (runLen < st.minTimes) Iterator.empty
             else Iterator.range(st.minTimes, runLen + 1).flatMap { k =>
               if (k == 0) // nothing consumed: stage skipped entirely
-                expand(stageIdx + 1, pos, firstTs0, acc, ban)
+                expandSeq(stages, si + 1, pos, firstTs0, acc, ban, anchor, cont)
               else {
                 val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
-                expand(stageIdx + 1, i + k, fTs,
-                  (st.name -> (i until i + k)) :: acc, None)
+                expandSeq(stages, si + 1, i + k, fTs,
+                  (st.name -> (i until i + k)) :: acc, None, anchor, cont)
               }
             }
           } else {
@@ -295,25 +368,35 @@ object CEP {
             if (taken < st.minTimes) Iterator.empty
             else {
               val acc2 = if (taken > 0) (st.name -> buf.result()) :: acc else acc
-              expand(stageIdx + 1, i, firstTs, acc2, None)
+              expandSeq(stages, si + 1, i, firstTs, acc2, None, anchor, cont)
             }
           }
       }
     }
 
+    // start pre-filter: a group head anchors on its sub head's pred
+    val headStage = pattern.stages.head
+    val headPred: T => Boolean = headStage.group match {
+      case Some(sub) =>
+        t => sub.head.pred(t) && sub.head.ctxPred.forall(_(t, Map.empty))
+      case None =>
+        t => headStage.pred(t) && headStage.ctxPred.forall(_(t, Map.empty))
+    }
     var s = 0
     while (s < events.length) {
-      if (s > blockedBelow && pattern.stages.head.pred(events(s))
-          && pattern.stages.head.ctxPred.forall(_(events(s), Map.empty))) {
-        val completions = expand(0, s, -1L, Nil, None)
+      if (s > blockedBelow && headPred(events(s))) {
+        val completions = expandSeq(pattern.stages, 0, s, -1L, Nil, None,
+          anchor = true, (pos, _, acc, _) => Iterator((acc, pos - 1)))
         val branching = pattern.stages.exists(st =>
           st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
         val selected =
           if (branching) completions.toSeq // all non-deterministic matches
           else completions.take(1).toSeq   // earliest completion
         selected.foreach { case (accList, lastIdx) =>
-          out += Match(accList.reverse
-            .map { case (n, is) => n -> is.map(events) }.toMap)
+          // a group's repeated inner stage names concatenate their
+          // events chronologically (unique names are unaffected)
+          out += Match(accList.reverse.groupBy(_._1)
+            .map { case (n, es) => n -> es.flatMap(_._2.map(events)) })
           // skip strategies place the resume fence; max, not
           // assignment: even though completions from one start arrive
           // in order, the fence must never move backward

@@ -219,6 +219,64 @@ class CepSpec extends AnyFunSuite {
     assert(ids(rel.head, "z") == Seq(4L))
   }
 
+  test("group pattern times(2) repeats the whole sub-sequence") {
+    // (a b){2}: two back-to-back a→b pairs; inner names collect
+    // events across repeats (reference GroupPattern.java)
+    val sub = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b")
+    val p = Pattern.begin(sub).times(2)
+    val ms = matchSequence(ev("a b a b a"), p)(_._3)
+    assert(ms.size == 1)
+    assert(ids(ms.head, "a") == Seq(0L, 2L))
+    assert(ids(ms.head, "b") == Seq(1L, 3L))
+  }
+
+  test("group oneOrMore is greedy and a following stage still completes") {
+    // (a b)+ z: greedy takes both pairs, then z; PAST LAST suppresses
+    // the overlapping single-pair match from the second a
+    val sub = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b")
+    val p = Pattern.begin(sub).oneOrMore
+      .followedBy("z").where(_._2 == "z")
+      .afterMatchSkipPastLast
+    val ms = matchSequence(ev("a b a b z"), p)(_._3)
+    assert(ms.size == 1)
+    assert(ids(ms.head, "a") == Seq(0L, 2L) && ids(ms.head, "z") == Seq(4L))
+  }
+
+  test("group quantifier backtracks when greed starves the tail") {
+    // (a b)+ then b: greedy wants both pairs but then no b remains —
+    // it must back off to one pair so the trailing b can match
+    val sub = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b")
+    val p = Pattern.begin(sub).oneOrMore
+      .next("tail").where(_._2 == "a")
+    val ms = matchSequence(ev("a b a b"), p)(_._3)
+    assert(ms.size == 1)
+    // one repeat (a0 b1), tail = a2 strictly next
+    assert(ids(ms.head, "a") == Seq(0L) && ids(ms.head, "tail") == Seq(2L))
+  }
+
+  test("mid-pattern group with relaxed entry skips the gap") {
+    val sub = Pattern.begin[E]("b").where(_._2 == "b")
+      .next("c").where(_._2 == "c")
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy(sub).times(2)
+    val ms = matchSequence(ev("a x b c b c"), p)(_._3)
+    assert(ms.size == 1)
+    assert(ids(ms.head, "b") == Seq(2L, 4L) && ids(ms.head, "c") == Seq(3L, 5L))
+  }
+
+  test("optional group may match zero repeats") {
+    val sub = Pattern.begin[E]("b").where(_._2 == "b")
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy(sub).optional
+      .followedBy("z").where(_._2 == "z")
+    val ms = matchSequence(ev("a z"), p)(_._3)
+    assert(ms.size == 1)
+    assert(!ms.head.stages.contains("b") && ids(ms.head, "z") == Seq(1L))
+  }
+
   test("whereCtx gates quantified blocks against the anchor stage") {
     // block elements must exceed the anchor's id
     val events = IndexedSeq[E](
