@@ -315,6 +315,40 @@ object CepQueries extends QueryModule {
         .orderBy(col("view_id"))
     },
 
+    // ----- SQL grouped quantifier (standard MATCH_RECOGNIZE pattern
+    // grouping; executes on the matcher's GroupPattern stages): TWO
+    // back-to-back view→click pairs. Consecutive-rows semantics +
+    // SKIP PAST LAST = per maximal chain of adjacent (view,click)
+    // pairs, matches pair up the chain's pairs two at a time —
+    // exactly the islands-and-offsets relation the oracle computes. -----
+    q("q144_match_grouped",
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+        |  FROM events),
+        |p AS (SELECT user_id, rn, event_id AS v_id, nid AS c_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pi
+        |      FROM seq WHERE event_type = 'view' AND nt = 'click'),
+        |isl AS (SELECT *, rn - 2 * pi AS grp FROM p),
+        |ord AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp
+        |          ORDER BY rn) - 1 AS off FROM isl)
+        |SELECT a.user_id, a.v_id AS first_view, b.c_id AS last_click
+        |FROM ord a JOIN ord b ON a.user_id = b.user_id AND a.grp = b.grp
+        |  AND b.off = a.off + 1
+        |WHERE a.off % 2 = 0
+        |ORDER BY a.user_id, first_view""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES FIRST(V.event_id) AS first_view, LAST(C.event_id) AS last_click
+          |PATTERN ( (V C){2} )
+          |DEFINE V AS V.event_type = 'view', C AS C.event_type = 'click'"""
+          .stripMargin)
+        .orderBy(col("user_id"), col("first_view"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

@@ -51,11 +51,19 @@ object MatchRecognize {
   final case class AggMeasure(fn: String, sym: String, colName: String, alias: String)
       extends Measure
 
+  /** One PATTERN element: a quantified symbol or a quantified
+    * parenthesized GROUP of symbols (SQL-standard grouping; executes
+    * on the matcher's group stages). */
+  sealed trait PatElem
+  final case class PatSym(sym: String, min: Int, max: Int, rel: Boolean) extends PatElem
+  final case class PatGrp(elems: Seq[PatSym], min: Int, max: Int, rel: Boolean)
+      extends PatElem
+
   final case class Clause(
       partitionBy: String,
       orderBy: Seq[String],
       measures: Seq[Measure],
-      pattern: Seq[(String, Int, Int, Boolean)], // (symbol, minTimes, maxTimes, reluctant)
+      pattern: Seq[PatElem],
       define: Map[String, String],
       skip: CEP.AfterMatchSkip,
       allRows: Boolean,
@@ -106,20 +114,60 @@ object MatchRecognize {
       .getOrElse(CEP.SkipPastLast) // SQL-standard default
     val allRows = """(?is)(ONE|ALL)\s+ROWS?\s+PER\s+MATCH""".r
       .findFirstMatchIn(clause).exists(_.group(1).equalsIgnoreCase("ALL"))
-    val patternStr = """(?is)PATTERN\s*\(\s*(.*?)\s*\)""".r
-      .findFirstMatchIn(clause).map(_.group(1)).getOrElse(
-        throw new IllegalArgumentException("PATTERN required"))
-    // symRe groups: sym, quant(*/+/{..}), n, m, reluctant-?, lone-?
-    val pattern = patternStr.split("\\s+").toSeq.map {
-      case symRe(s, null, _, _, _, null) => (s, 1, 1, false)
-      case symRe(s, null, _, _, _, "?") => (s, 0, 1, false)
-      case symRe(s, "+", _, _, r, _) => (s, 1, Int.MaxValue, r != null)
-      case symRe(s, "*", _, _, r, _) => (s, 0, Int.MaxValue, r != null)
-      case symRe(s, _, n, null, r, _) if n != null => (s, n.toInt, n.toInt, r != null)
+    // balanced-paren PATTERN body (inner groups carry their own parens)
+    val pOpen = """(?is)PATTERN\s*\(""".r.findFirstMatchIn(clause).getOrElse(
+      throw new IllegalArgumentException("PATTERN required")).end
+    val patternStr = {
+      var depth = 1
+      var i = pOpen
+      while (depth > 0 && i < clause.length) {
+        clause.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      require(depth == 0, "unbalanced PATTERN parentheses")
+      clause.substring(pOpen, i - 1).trim
+    }
+    def parseSym(tok: String): PatSym = tok match {
+      // symRe groups: sym, quant(*/+/{..}), n, m, reluctant-?, lone-?
+      case symRe(s, null, _, _, _, null) => PatSym(s, 1, 1, rel = false)
+      case symRe(s, null, _, _, _, "?") => PatSym(s, 0, 1, rel = false)
+      case symRe(s, "+", _, _, r, _) => PatSym(s, 1, Int.MaxValue, r != null)
+      case symRe(s, "*", _, _, r, _) => PatSym(s, 0, Int.MaxValue, r != null)
+      case symRe(s, _, n, null, r, _) if n != null => PatSym(s, n.toInt, n.toInt, r != null)
       case symRe(s, _, n, m2, r, _) if n != null && m2 != null =>
         require(n.toInt <= m2.toInt, s"bad quantifier {$n,$m2}")
-        (s, n.toInt, m2.toInt, r != null)
+        PatSym(s, n.toInt, m2.toInt, r != null)
       case other => throw new IllegalArgumentException(s"bad pattern element: $other")
+    }
+    def parseQuant(q: String): (Int, Int, Boolean) = {
+      val rel = q.endsWith("?") && q != "?"
+      val base = if (rel) q.dropRight(1) else q
+      base match {
+        case "" => (1, 1, false)
+        case "?" => (0, 1, false)
+        case "+" => (1, Int.MaxValue, rel)
+        case "*" => (0, Int.MaxValue, rel)
+        case b =>
+          val m = """\{(\d+)(?:,(\d+))?\}""".r.findFirstMatchIn(b).getOrElse(
+            throw new IllegalArgumentException(s"bad group quantifier: $q"))
+          val n = m.group(1).toInt
+          val mx = Option(m.group(2)).map(_.toInt).getOrElse(n)
+          require(n <= mx, s"bad quantifier $q")
+          (n, mx, rel)
+      }
+    }
+    val tokRe = """\([^()]*\)(?:\*|\+|\{\d+(?:,\d+)?\})?\??|[^\s()]+""".r
+    val pattern: Seq[PatElem] = tokRe.findAllIn(patternStr).toSeq.map { tok =>
+      if (tok.startsWith("(")) {
+        val close = tok.indexOf(')')
+        val inner = tok.substring(1, close).trim
+        val (mn, mx, rel) = parseQuant(tok.substring(close + 1))
+        PatGrp(inner.split("\\s+").toSeq.map(parseSym), mn, mx, rel)
+      } else parseSym(tok)
     }
     val withinUs = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
       .findFirstMatchIn(clause).map { m =>
@@ -157,9 +205,27 @@ object MatchRecognize {
     out.result()
   }
 
+  /** Every symbol occurrence in pattern order (groups flattened). */
+  private def allSyms(c: Clause): Seq[String] = c.pattern.flatMap {
+    case PatSym(s, _, _, _) => Seq(s)
+    case PatGrp(es, _, _, _) => es.map(_.sym)
+  }
+
+  /** (symbol, stage name) per occurrence, in traversal order — the
+    * single source of truth for stage naming, shared by the stage
+    * builder and the measure evaluator. */
+  private def symStages(c: Clause): Seq[(String, String)] = {
+    var n = -1
+    def nm(sym: String): (String, String) = { n += 1; sym -> s"$sym#$n" }
+    c.pattern.flatMap {
+      case PatSym(s, _, _, _) => Seq(nm(s))
+      case PatGrp(es, _, _, _) => es.map(e => nm(e.sym))
+    }
+  }
+
   /** Per-symbol predicate columns; `SYM.col` refers to the row itself. */
   private def addFlags(df: DataFrame, c: Clause): DataFrame =
-    c.pattern.map(_._1).distinct.foldLeft(df) { (d, sym) =>
+    allSyms(c).distinct.foldLeft(df) { (d, sym) =>
       val pred = c.define.get(sym)
         .map(p => expr(p.replaceAll(s"(?i)\\b$sym\\.", "")))
         .getOrElse(lit(true))
@@ -167,18 +233,31 @@ object MatchRecognize {
     }
 
   /** Repeated symbols get stage names sym#i; measures resolve across
-    * every stage carrying the symbol. */
-  private def stagesOf(c: Clause, symIdx: Map[String, Int]): Vector[CEP.Stage[Row]] =
-    c.pattern.zipWithIndex.map { case ((sym, mn, mx, rel), i) =>
-      CEP.Stage[Row](s"$sym#$i", r => r.getBoolean(symIdx(sym)),
-        if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
+    * every stage carrying the symbol. SQL groups compile to matcher
+    * group stages with ALL-STRICT inner contiguity — the standard's
+    * consecutive-rows semantics, back-to-back between repeats. */
+  private def stagesOf(c: Clause, symIdx: Map[String, Int]): Vector[CEP.Stage[Row]] = {
+    val names = symStages(c).iterator
+    c.pattern.zipWithIndex.map {
+      case (PatSym(sym, mn, mx, rel), i) =>
+        CEP.Stage[Row](names.next()._2, r => r.getBoolean(symIdx(sym)),
+          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
+      case (PatGrp(es, mn, mx, rel), i) =>
+        val inner = es.map { e =>
+          CEP.Stage[Row](names.next()._2, r => r.getBoolean(symIdx(e.sym)),
+            CEP.Strict, e.min, e.max, reluctant = e.rel)
+        }.toVector
+        CEP.Stage[Row](s"group#$i", _ => true,
+          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel,
+          group = Some(inner))
     }.toVector
+  }
 
   def apply(df: DataFrame, clauseSql: String): DataFrame = {
     val c = parse(clauseSql)
     val withFlags = addFlags(df, c)
     val inSchema = withFlags.schema
-    val symIdx = c.pattern.map(_._1).distinct
+    val symIdx = allSyms(c).distinct
       .map(sym => sym -> inSchema.fieldIndex(s"__m_$sym")).toMap
     val keyIdx = inSchema.fieldIndex(c.partitionBy)
 
@@ -209,14 +288,20 @@ object MatchRecognize {
     // ALL ROWS PER MATCH: input rows + CLASSIFIER() + MATCH_NUMBER()
     // (restricted: MEASURES are the ONE-ROW form's output — reject the
     // combination instead of silently ignoring one of them)
-    if (c.allRows) require(c.measures.isEmpty,
-      "ALL ROWS PER MATCH subset emits input rows + classifier + match_num; drop MEASURES")
+    if (c.allRows) {
+      require(c.measures.isEmpty,
+        "ALL ROWS PER MATCH subset emits input rows + classifier + match_num; drop MEASURES")
+      // a repeated group interleaves symbols temporally; stage-ordered
+      // emission would reorder rows within the match
+      require(c.pattern.forall(_.isInstanceOf[PatSym]),
+        "ALL ROWS PER MATCH with grouped patterns is unsupported")
+    }
     val baseFields = inSchema.fields.filterNot(_.name.startsWith("__m_")).toSeq
     val allRowsSchema = StructType(baseFields :+
       StructField("classifier", org.apache.spark.sql.types.StringType, nullable = false) :+
       StructField("match_num", org.apache.spark.sql.types.LongType, nullable = false))
     val baseIdx = baseFields.map(f => inSchema.fieldIndex(f.name))
-    val stageNamesInOrder = c.pattern.zipWithIndex.map { case ((sym, _, _, _), i) => s"$sym#$i" }
+    val stageNamesInOrder = symStages(c).map(_._2)
 
     val rowEnc = org.apache.spark.sql.Encoders.row(
       if (c.allRows) allRowsSchema else outSchema)
@@ -282,13 +367,10 @@ object MatchRecognize {
         })
 
     // all stages carrying a symbol, in pattern order — SQL classifiers
-    // repeated in the pattern are ONE symbol, so measures span them all
+    // repeated in the pattern (or inside groups) are ONE symbol, so
+    // measures span them all
     private val stagesOfSym: Map[String, Seq[String]] =
-      c.pattern.map(_._1).distinct.map { sym =>
-        sym -> c.pattern.zipWithIndex.collect {
-          case ((s2, _, _, _), i) if s2 == sym => s"$sym#$i"
-        }
-      }.toMap
+      symStages(c).groupBy(_._1).map { case (sym, es) => sym -> es.map(_._2) }
     private val plan: Seq[(Measure, Int, Boolean)] = c.measures.map { m =>
       val idx = if (m.colName == "*") -1 else inSchema.fieldIndex(m.colName)
       val frac = m.colName != "*" && isFractional(inSchema(m.colName).dataType)
@@ -346,7 +428,7 @@ object MatchRecognize {
       "streaming MATCH_RECOGNIZE subset emits the ONE ROW PER MATCH form")
     val withFlags = addFlags(df, c)
     val inSchema = withFlags.schema
-    val symIdx = c.pattern.map(_._1).distinct
+    val symIdx = allSyms(c).distinct
       .map(sym => sym -> inSchema.fieldIndex(s"__m_$sym")).toMap
     val keyIdx = inSchema.fieldIndex(c.partitionBy)
     require(inSchema(keyIdx).dataType == org.apache.spark.sql.types.LongType,

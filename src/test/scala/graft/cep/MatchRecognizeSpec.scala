@@ -135,6 +135,38 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(run("{1,3}") == List((1, 5, 3L)))  // greedy: 4th row exactly
   }
 
+  test("grouped SQL pattern repeats the sub-sequence consecutively") {
+    // a b a b x a b: (A B){2} matches rows 1-4 only; the second
+    // potential start (row 6's pair) has no second adjacent pair
+    val d = df((1, 1, 1.0, "a"), (1, 2, 1.0, "b"), (1, 3, 1.0, "a"),
+      (1, 4, 1.0, "b"), (1, 5, 1.0, "x"), (1, 6, 1.0, "a"), (1, 7, 1.0, "b"))
+    val out = MatchRecognize(d,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES FIRST(A.seq) AS fa, LAST(B.seq) AS lb, COUNT(A.*) AS na
+        |PATTERN ( (A B){2} )
+        |DEFINE A AS A.tag = 'a', B AS B.tag = 'b'""".stripMargin)
+      .select(col("fa"), col("lb"), col("na")).as[(Int, Int, Long)]
+      .collect().toList
+    assert(out == List((1, 4, 2L)))
+  }
+
+  test("grouped pattern with oneOrMore backtracks for the tail symbol") {
+    // (A B)+ C: greedy wants both pairs but C must directly follow —
+    // here it does, after two pairs
+    val d = df((1, 1, 1.0, "a"), (1, 2, 1.0, "b"), (1, 3, 1.0, "a"),
+      (1, 4, 1.0, "b"), (1, 5, 1.0, "c"))
+    val out = MatchRecognize(d,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES COUNT(A.*) AS na, C.seq AS cs
+        |PATTERN ( (A B)+ C )
+        |DEFINE A AS A.tag = 'a', B AS B.tag = 'b', C AS C.tag = 'c'"""
+        .stripMargin)
+      .select(col("na"), col("cs")).as[(Long, Int)].collect().toList
+    assert(out == List((2L, 5)))
+  }
+
   test("SUM/AVG/MIN/MAX reject the star argument at parse time") {
     val e = intercept[IllegalArgumentException] {
       MatchRecognize(df((1, 1, 1.0, "a")),
