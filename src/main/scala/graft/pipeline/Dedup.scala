@@ -24,6 +24,17 @@ object Dedup extends QueryModule {
   private def duckHash(e: String): String =
     s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
 
+  /** Band b's 32-bit hash = hex slice [8b+1, 8b+8] of a precomputed
+    * md5 digest: the 128-bit digest carries all four band values, so
+    * the shingle stage runs ONE md5 per shingle instead of four (the
+    * dominant cost of the LSH pipeline at any scale). */
+  private[pipeline] def digestSlice(d: Column, b: Int): Column =
+    conv(substring(d, 8 * b + 1, 8), 16, 10).cast("long")
+
+  /** The same digest slice in DuckDB SQL. */
+  private def duckBandHash(e: String, b: Int): String =
+    s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), ${8 * b} + hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
+
   /** Word 3-shingles, distinct, Spark side (0-based array lambda). */
   private val sparkShingles =
     """array_distinct(transform(sequence(0, size(w)-3),
@@ -52,10 +63,10 @@ object Dedup extends QueryModule {
       s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          |sh AS (SELECT doc_id, unnest($duckShingles) AS s FROM words WHERE len(w) >= 3)
          |SELECT doc_id,
-         |  min(${duckHash("'0:'||s")}) AS m0,
-         |  min(${duckHash("'1:'||s")}) AS m1,
-         |  min(${duckHash("'2:'||s")}) AS m2,
-         |  min(${duckHash("'3:'||s")}) AS m3
+         |  min(${duckBandHash("s", 0)}) AS m0,
+         |  min(${duckBandHash("s", 1)}) AS m1,
+         |  min(${duckBandHash("s", 2)}) AS m2,
+         |  min(${duckBandHash("s", 3)}) AS m3
          |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       minhashSignatures(Tables.t(s, dir, "documents")).orderBy(col("doc_id"))
     },
@@ -415,8 +426,8 @@ object Dedup extends QueryModule {
        |shl AS (SELECT doc_id, $duckShingles AS shingles FROM words WHERE len(w) >= 3),
        |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
        |sig AS (SELECT doc_id,
-       |    min(${duckHash("'0:'||s")}) AS m0, min(${duckHash("'1:'||s")}) AS m1,
-       |    min(${duckHash("'2:'||s")}) AS m2, min(${duckHash("'3:'||s")}) AS m3
+       |    min(${duckBandHash("s", 0)}) AS m0, min(${duckBandHash("s", 1)}) AS m1,
+       |    min(${duckBandHash("s", 2)}) AS m2, min(${duckBandHash("s", 3)}) AS m3
        |  FROM sh GROUP BY doc_id),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -436,10 +447,11 @@ object Dedup extends QueryModule {
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(sparkShingles)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("d")) // one digest per shingle
     sh.groupBy(col("doc_id")).agg(
-      min(hexHash(concat(lit("0:"), col("s")))).as("m0"),
-      min(hexHash(concat(lit("1:"), col("s")))).as("m1"),
-      min(hexHash(concat(lit("2:"), col("s")))).as("m2"),
-      min(hexHash(concat(lit("3:"), col("s")))).as("m3"))
+      min(digestSlice(col("d"), 0)).as("m0"),
+      min(digestSlice(col("d"), 1)).as("m1"),
+      min(digestSlice(col("d"), 2)).as("m2"),
+      min(digestSlice(col("d"), 3)).as("m3"))
   }
 }

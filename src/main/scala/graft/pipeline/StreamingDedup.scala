@@ -112,11 +112,13 @@ object StreamingDedup {
       .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
       .withWatermark("ts", "0 seconds")
 
-    // per-row signature: band b's minhash = min over shingles of
-    // md5('b:'||shingle) — array expressions only, streaming-safe
+    // per-row signature: band b's minhash = min over shingles of hex
+    // slice [8b+1, 8b+8] of ONE precomputed md5 digest per shingle
+    // (all four bands from one hash — the batch q51/q52 slice
+    // scheme) — array expressions only, streaming-safe
     def bandMin(b: Int) = expr(
-      s"""array_min(transform(shingles,
-         |  x -> CAST(conv(substring(md5(concat('$b:', x)), 1, 8), 16, 10) AS BIGINT)))"""
+      s"""array_min(transform(digests,
+         |  d -> CAST(conv(substring(d, ${8 * b + 1}, 8), 16, 10) AS BIGINT)))"""
         .stripMargin)
 
     val banded = docs
@@ -127,6 +129,7 @@ object StreamingDedup {
           |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))))""".stripMargin))
       // state carries 64-bit shingle hashes, not the strings
       .withColumn("hs", expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+      .withColumn("digests", expr("transform(shingles, x -> md5(x))"))
       .select(col("ts"), unix_micros(col("ts")).as("tsUs"),
         col("doc_id"), col("hs"),
         posexplode(array((0 to 3).map(bandMin): _*)).as(Seq("band", "bval")))
