@@ -98,8 +98,13 @@ private[graph] trait PregelSupport { self: Graph =>
     val edgeSt = edges.select(struct(edges.columns.map(col).toSeq: _*).as("edge"))
       .localCheckpoint()
 
+    // materialize the initial state ONCE: the vertex set's lineage can
+    // be arbitrarily expensive (e.g. an LSH pair pipeline feeding CC),
+    // and without this it re-evaluates in superstep 1's join AND in
+    // the first halt-check comparison
     var verts = vertices.select(
       attrNames.map(col) ++ stateCols.map { case (n, c) => c.as(n) }: _*)
+      .localCheckpoint()
 
     var converged = false
     var step = 0

@@ -97,7 +97,9 @@ object Dedup extends QueryModule {
           |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
           |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS keep
           |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // one LSH evaluation: edges AND the derived vertex set read this
       val pairs = lshVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       graft.graph.Graph.fromEdges(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .connectedComponents()
@@ -145,6 +147,7 @@ object Dedup extends QueryModule {
         .filter(TextAnalysis.quality(col("text")) >= 0.5)
         .select(col("doc_id"), col("text"))
       val pairs = lshVerifiedPairs(base).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val clusters = graft.graph.Graph.fromEdges(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .connectedComponents()
