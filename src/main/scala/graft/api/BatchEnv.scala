@@ -168,8 +168,12 @@ final class BatchOps[T](val ds: Dataset[T]) {
   def iterateDelta[K: Encoder](workset0: BatchOps[T], maxIter: Int,
       checkpointEvery: Int = 3)(keyOf: T => K)(
       step: (Dataset[T], Dataset[T]) => (Dataset[T], Dataset[T])): BatchOps[T] = {
-    var solution = ds
-    var workset = workset0.ds
+    // materialize both entry frames: every iteration runs actions
+    // (workset emptiness, delta checkpoint), which would otherwise
+    // re-evaluate an expensive input lineage until the first
+    // in-loop checkpoint lands (the Pregel vertex-set lesson)
+    var solution = ds.localCheckpoint()
+    var workset = workset0.ds.localCheckpoint()
     var i = 0
     while (i < maxIter && !workset.isEmpty) {
       val (delta, nextWs) = step(solution, workset)

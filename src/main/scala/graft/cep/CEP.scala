@@ -237,8 +237,7 @@ object CEP {
 
       if (st.group.isDefined) {
         val sub = st.group.get
-        require(sub.nonEmpty && sub.forall(_.group.isEmpty),
-          "nested group patterns are unsupported")
+        require(sub.nonEmpty, "empty group pattern")
         require(!sub.last.negated, "a group may not end negated")
         require(sub.forall(x => x.contiguity != RelaxedAny
           && !(x.combinations && x.maxTimes > 1)),

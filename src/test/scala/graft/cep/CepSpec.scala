@@ -267,6 +267,19 @@ class CepSpec extends AnyFunSuite {
     assert(ids(ms.head, "b") == Seq(2L, 4L) && ids(ms.head, "c") == Seq(3L, 5L))
   }
 
+  test("nested groups compose: ( x (y){2} ){2}") {
+    // inner group (y){2} repeats inside the outer group, which itself
+    // repeats twice — the CPS expansion recurses uniformly
+    val innerY = Pattern.begin[E]("y").where(_._2 == "y")
+    val outer = Pattern.begin[E]("x").where(_._2 == "x")
+      .next(innerY).times(2)
+    val p = Pattern.begin(outer).times(2)
+    val ms = matchSequence(ev("x y y x y y"), p)(_._3)
+    assert(ms.size == 1)
+    assert(ids(ms.head, "x") == Seq(0L, 3L))
+    assert(ids(ms.head, "y") == Seq(1L, 2L, 4L, 5L))
+  }
+
   test("optional group may match zero repeats") {
     val sub = Pattern.begin[E]("b").where(_._2 == "b")
     val p = Pattern.begin[E]("a").where(_._2 == "a")
