@@ -349,6 +349,48 @@ object CepQueries extends QueryModule {
         .orderBy(col("user_id"), col("first_view"))
     },
 
+    // ----- ALL ROWS PER MATCH over a GROUPED pattern: every row of
+    // every (V C){2} match, tagged with its symbol and per-partition
+    // match ordinal, emitted in temporal order (group repeats
+    // interleave V and C, so stage order alone would reorder). -----
+    q("q145_match_grouped_all_rows",
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+        |  FROM events),
+        |p AS (SELECT user_id, rn, event_id AS v_id, nid AS c_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pi
+        |      FROM seq WHERE event_type = 'view' AND nt = 'click'),
+        |isl AS (SELECT *, rn - 2 * pi AS grp FROM p),
+        |ord AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp
+        |          ORDER BY rn) - 1 AS off FROM isl),
+        |m AS (SELECT a.user_id, a.v_id AS v1, a.c_id AS c1,
+        |        b.v_id AS v2, b.c_id AS c2,
+        |        row_number() OVER (PARTITION BY a.user_id ORDER BY a.rn) AS mn
+        |      FROM ord a JOIN ord b ON a.user_id = b.user_id AND a.grp = b.grp
+        |        AND b.off = a.off + 1
+        |      WHERE a.off % 2 = 0)
+        |SELECT user_id, event_id, classifier, CAST(mn AS BIGINT) AS match_num
+        |FROM (
+        |  SELECT user_id, v1 AS event_id, 'V' AS classifier, mn FROM m
+        |  UNION ALL SELECT user_id, c1, 'C', mn FROM m
+        |  UNION ALL SELECT user_id, v2, 'V', mn FROM m
+        |  UNION ALL SELECT user_id, c2, 'C', mn FROM m)
+        |ORDER BY user_id, event_id""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      MatchRecognize(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |ALL ROWS PER MATCH
+          |PATTERN ( (V C){2} )
+          |DEFINE V AS V.event_type = 'view', C AS C.event_type = 'click'"""
+          .stripMargin)
+        .select(col("user_id"), col("event_id"), col("classifier"), col("match_num"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // ----- SQL MATCH_RECOGNIZE surface (DataStreamMatch.scala:65):
     // restricted clause parsed and compiled onto the same matcher -----
     q("q87_match_recognize",

@@ -288,20 +288,31 @@ object MatchRecognize {
     // ALL ROWS PER MATCH: input rows + CLASSIFIER() + MATCH_NUMBER()
     // (restricted: MEASURES are the ONE-ROW form's output — reject the
     // combination instead of silently ignoring one of them)
-    if (c.allRows) {
-      require(c.measures.isEmpty,
-        "ALL ROWS PER MATCH subset emits input rows + classifier + match_num; drop MEASURES")
-      // a repeated group interleaves symbols temporally; stage-ordered
-      // emission would reorder rows within the match
-      require(c.pattern.forall(_.isInstanceOf[PatSym]),
-        "ALL ROWS PER MATCH with grouped patterns is unsupported")
-    }
+    if (c.allRows) require(c.measures.isEmpty,
+      "ALL ROWS PER MATCH subset emits input rows + classifier + match_num; drop MEASURES")
     val baseFields = inSchema.fields.filterNot(_.name.startsWith("__m_")).toSeq
     val allRowsSchema = StructType(baseFields :+
       StructField("classifier", org.apache.spark.sql.types.StringType, nullable = false) :+
       StructField("match_num", org.apache.spark.sql.types.LongType, nullable = false))
     val baseIdx = baseFields.map(f => inSchema.fieldIndex(f.name))
     val stageNamesInOrder = symStages(c).map(_._2)
+    // ALL ROWS emits each match's rows in TEMPORAL order (the ORDER BY
+    // key) — with repeated groups the symbols interleave, so
+    // stage-ordered emission would reorder rows within the match
+    val obIdx = c.orderBy.map(inSchema.fieldIndex)
+    val rowOrd: Ordering[Row] = (x: Row, y: Row) => {
+      var r = 0
+      val it = obIdx.iterator
+      while (r == 0 && it.hasNext) {
+        val i = it.next()
+        val (a, b) = (x.get(i), y.get(i))
+        r = if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+      r
+    }
 
     val rowEnc = org.apache.spark.sql.Encoders.row(
       if (c.allRows) allRowsSchema else outSchema)
@@ -330,14 +341,15 @@ object MatchRecognize {
       groups.flatMap { case (key, rows) =>
         val ms = CEP.matchSequence(rows, pattern)(tsOf)
         if (c.allRows)
-          // MATCH_NUMBER() is per partition, in match order; rows come
-          // out stage-by-stage, i.e. in temporal order within a match
+          // MATCH_NUMBER() is per partition, in match order; each
+          // match's rows sort by the ORDER BY key (grouped patterns
+          // interleave symbols, so stage order alone is not temporal)
           ms.iterator.zipWithIndex.flatMap { case (m, mi) =>
             stageNamesInOrder.iterator.flatMap { st =>
-              m.stages.getOrElse(st, Nil).map { r =>
-                Row.fromSeq(baseIdx.map(r.get) :+
-                  st.takeWhile(_ != '#') :+ (mi + 1).toLong)
-              }
+              m.stages.getOrElse(st, Nil).map(r => (st, r))
+            }.toSeq.sortBy(_._2)(rowOrd).iterator.map { case (st, r) =>
+              Row.fromSeq(baseIdx.map(r.get) :+
+                st.takeWhile(_ != '#') :+ (mi + 1).toLong)
             }
           }
         else ms.iterator.map { m =>
