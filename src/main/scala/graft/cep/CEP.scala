@@ -514,10 +514,9 @@ object CEP {
       implicit bufEnc: Encoder[Seq[T]]): Dataset[R] = {
     require(p.withinSpan.isDefined,
       "patternStream requires within() — unbounded patterns cannot seal")
-    require(p.skip == NoSkip || p.skip == SkipPastLast,
-      "patternStream supports NO_SKIP / SKIP_PAST_LAST; SKIP TO " +
-        "FIRST/LAST fences resume at a row INSIDE the emitted match, " +
-        "which the sealed-prefix eviction here cannot keep — batch only")
+    require(timeoutSelect.isEmpty ||
+      p.skip == NoSkip || p.skip == SkipPastLast,
+      "timed-out partials are defined for NO_SKIP / SKIP_PAST_LAST only")
     require(p.stages.head.minTimes >= 1,
       "patternStream requires a non-optional first stage: a zero-event " +
         "start has no timestamp to seal or fence on")
@@ -533,12 +532,13 @@ object CEP {
         (k: K, it: Iterator[T], state: GroupState[(Long, Long, Seq[T])]) => {
           val (fenceTs, fenceTie, prev) =
             state.getOption.getOrElse((Long.MinValue, Long.MinValue, Seq.empty[T]))
+          val usesFence = p.skip != NoSkip
           def pastFence(e: T): Boolean = {
             val t = tsMillis(e)
             t > fenceTs || (t == fenceTs && tieBreak(e) > fenceTie)
           }
           val buf = (prev ++ it)
-            .filter(e => p.skip != SkipPastLast || pastFence(e))
+            .filter(e => !usesFence || pastFence(e))
             .sortBy(e => (tsMillis(e), tieBreak(e)))
           val wm = state.getCurrentWatermarkMs()
           def isSealed(e: T): Boolean = tsMillis(e) + span < wm
@@ -552,13 +552,34 @@ object CEP {
                 }
             else Seq.empty
           var (nfTs, nfTie) = (fenceTs, fenceTie)
-          if (p.skip == SkipPastLast && out.nonEmpty) {
-            val last = out.flatMap(_.stages.values.flatten)
-              .maxBy(e => (tsMillis(e), tieBreak(e)))
-            nfTs = tsMillis(last); nfTie = tieBreak(last)
+          def advanceFence(ts: Long, tie: Long): Unit =
+            if (ts > nfTs || (ts == nfTs && tie > nfTie)) { nfTs = ts; nfTie = tie }
+          def skipToAdvance(v: String, takeFirst: Boolean): Unit = out.foreach { m =>
+            val rows = m.stages.collect {
+              case (n, es) if n == v || n.takeWhile(_ != '#') == v => es
+            }.flatten
+            require(rows.nonEmpty,
+              s"AFTER MATCH SKIP TO $v: the variable matched no rows")
+            val r = if (takeFirst) rows.minBy(e => (tsMillis(e), tieBreak(e)))
+              else rows.maxBy(e => (tsMillis(e), tieBreak(e)))
+            // fence strictly below the resume row: that row stays
+            // matchable across triggers (rows inside the emitted match
+            // but before it are discarded; a sealed resume row's
+            // matches already emitted this invocation — all rows below
+            // its window have arrived — so eviction stays sound)
+            advanceFence(tsMillis(r), tieBreak(r) - 1)
+          }
+          if (out.nonEmpty) p.skip match {
+            case SkipPastLast =>
+              val last = out.flatMap(_.stages.values.flatten)
+                .maxBy(e => (tsMillis(e), tieBreak(e)))
+              advanceFence(tsMillis(last), tieBreak(last))
+            case SkipToFirst(v) => skipToAdvance(v, takeFirst = true)
+            case SkipToLast(v) => skipToAdvance(v, takeFirst = false)
+            case NoSkip => ()
           }
           val keep = buf.filterNot(isSealed).filter { e =>
-            p.skip != SkipPastLast || {
+            !usesFence || {
               val t = tsMillis(e)
               t > nfTs || (t == nfTs && tieBreak(e) > nfTie)
             }

@@ -156,4 +156,43 @@ class CepStreamSpec extends SparkSpec {
         (2L, "T:cart,view", 200L)))
     } finally q.stop()
   }
+
+  test("streaming SkipToLast fence lets the closing row reopen across batches") {
+    // v c w chain where each w reopens the next link — the links
+    // arrive in SEPARATE batches, so the resume row must survive
+    // sealing + eviction in state
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDF().toDF("user_id", "event_id", "typ", "ts")
+      .withWatermark("ts", "0 seconds").as[Ev]
+    val p = CEP.Pattern.begin[Ev]("v").where(_._3 == "v")
+      .next("c").where(_._3 == "c").oneOrMore
+      .next("w").where(_._3 == "v")
+      .within(30.seconds)
+      .copy(skip = CEP.SkipToLast("w"))
+    val out = CEP.patternStream(events, p,
+      (e: Ev) => e._1, (e: Ev) => e._4.getTime, (e: Ev) => e._2) {
+      (uid, m) => (uid, m.stages("v").head._2, m.stages("w").head._2)
+    }
+    val q = out.writeStream.format("memory")
+      .queryName("graft_cep_skipto").outputMode("append").start()
+    try {
+      // link 1: v100 c101 v102 — v102 is the closing row AND the next
+      // link's opener
+      input.addData((1L, 100L, "v", ts("10:00:00")), (1L, 101L, "c", ts("10:00:02")),
+        (1L, 102L, "v", ts("10:00:04")))
+      q.processAllAvailable()
+      // link 2 arrives later: c103 v104 — v102 must still be in state
+      input.addData((1L, 103L, "c", ts("10:00:06")), (1L, 104L, "v", ts("10:00:08")))
+      q.processAllAvailable()
+      // seal everything
+      input.addData((9L, 900L, "x", ts("10:05:00")))
+      q.processAllAvailable()
+      input.addData((9L, 901L, "x", ts("10:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_cep_skipto")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 102L), (1L, 102L, 104L)))
+    } finally q.stop()
+  }
 }
