@@ -99,6 +99,10 @@ object CEP {
 
     def where(p: T => Boolean): Pattern[T] =
       updLast(s => s.copy(pred = t => s.pred(t) && p(t)))
+    /** Keep only events of runtime class S (Pattern.java subtype) —
+      * ANDs with any existing condition, and the select sees T. */
+    def subtype[S <: T](implicit ct: scala.reflect.ClassTag[S]): Pattern[T] =
+      where(t => ct.runtimeClass.isInstance(t))
     def or(p: T => Boolean): Pattern[T] =
       updLast(s => s.copy(pred = t => s.pred(t) || p(t)))
     /** IterativeCondition: the predicate also receives the events of
@@ -140,6 +144,11 @@ object CEP {
     def notFollowedBy(name: String): Pattern[T] =
       copy(stages = stages :+ Stage[T](name, _ => true, Relaxed, 1, 1, negated = true))
     def times(n: Int): Pattern[T] = updLast(_.copy(minTimes = n, maxTimes = n))
+    /** Between from and to occurrences (Pattern.java times(from, to)). */
+    def times(from: Int, to: Int): Pattern[T] = {
+      require(0 <= from && from <= to, s"bad times($from, $to)")
+      updLast(_.copy(minTimes = from, maxTimes = to))
+    }
     def oneOrMore: Pattern[T] = updLast(_.copy(minTimes = 1, maxTimes = Int.MaxValue))
     /** n or more contiguous occurrences (Pattern.java timesOrMore). */
     def timesOrMore(n: Int): Pattern[T] =

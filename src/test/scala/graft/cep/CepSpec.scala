@@ -267,6 +267,29 @@ class CepSpec extends AnyFunSuite {
     assert(ids(ms.head, "b") == Seq(2L, 4L) && ids(ms.head, "c") == Seq(3L, 5L))
   }
 
+  test("times(from, to) bounds the block to the range") {
+    def p(from: Int, to: Int) = Pattern.begin[E]("a").where(_._2 == "a")
+      .next("es").where(_._2 == "e").times(from, to)
+      .next("z").where(_._2 == "b")
+    // a e e b: the greedy run is 2 e's, inside [1,3] → match
+    val ms = matchSequence(ev("a e e b"), p(1, 3))(_._3)
+    assert(ms.size == 1 && ids(ms.head, "es") == Seq(1L, 2L))
+    // [3,4] demands at least 3 → no match
+    assert(matchSequence(ev("a e e b"), p(3, 4))(_._3).isEmpty)
+    // [1,1] caps the block at one e, z must follow directly → no match
+    assert(matchSequence(ev("a e e b"), p(1, 1))(_._3).isEmpty)
+  }
+
+  test("subtype keeps only events of the requested runtime class") {
+    // events as Any: Longs and Strings interleaved; subtype[String]
+    // restricts the stage to strings
+    val events: IndexedSeq[Any] = IndexedSeq(1L, "x", 2L, "y")
+    val p = CEP.Pattern.begin[Any]("s").subtype[String]
+      .followedBy("t").subtype[String]
+    val ms = matchSequence(events, p)(_ => 0L)
+    assert(ms.head.stages("s") == Seq("x") && ms.head.stages("t") == Seq("y"))
+  }
+
   test("nested groups compose: ( x (y){2} ){2}") {
     // inner group (y){2} repeats inside the outer group, which itself
     // repeats twice — the CPS expansion recurses uniformly
