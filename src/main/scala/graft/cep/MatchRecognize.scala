@@ -52,11 +52,11 @@ object MatchRecognize {
       extends Measure
 
   /** One PATTERN element: a quantified symbol or a quantified
-    * parenthesized GROUP of symbols (SQL-standard grouping; executes
-    * on the matcher's group stages). */
+    * parenthesized GROUP (SQL-standard grouping, nesting allowed;
+    * executes on the matcher's group stages). */
   sealed trait PatElem
   final case class PatSym(sym: String, min: Int, max: Int, rel: Boolean) extends PatElem
-  final case class PatGrp(elems: Seq[PatSym], min: Int, max: Int, rel: Boolean)
+  final case class PatGrp(elems: Seq[PatElem], min: Int, max: Int, rel: Boolean)
       extends PatElem
 
   final case class Clause(
@@ -160,15 +160,44 @@ object MatchRecognize {
           (n, mx, rel)
       }
     }
-    val tokRe = """\([^()]*\)(?:\*|\+|\{\d+(?:,\d+)?\})?\??|[^\s()]+""".r
-    val pattern: Seq[PatElem] = tokRe.findAllIn(patternStr).toSeq.map { tok =>
-      if (tok.startsWith("(")) {
-        val close = tok.indexOf(')')
-        val inner = tok.substring(1, close).trim
-        val (mn, mx, rel) = parseQuant(tok.substring(close + 1))
-        PatGrp(inner.split("\\s+").toSeq.map(parseSym), mn, mx, rel)
-      } else parseSym(tok)
+    // recursive descent over the (possibly nested) group structure
+    def parseElems(str: String): Seq[PatElem] = {
+      val out = Seq.newBuilder[PatElem]
+      var i = 0
+      def tokenEnd(from: Int): Int = {
+        var k = from
+        while (k < str.length && !str.charAt(k).isWhitespace && str.charAt(k) != '(')
+          k += 1
+        k
+      }
+      while (i < str.length) {
+        if (str.charAt(i).isWhitespace) i += 1
+        else if (str.charAt(i) == '(') {
+          var depth = 1
+          var j = i + 1
+          while (depth > 0 && j < str.length) {
+            str.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ => ()
+            }
+            j += 1
+          }
+          require(depth == 0, s"unbalanced group parentheses in: $str")
+          val inner = str.substring(i + 1, j - 1)
+          val qEnd = tokenEnd(j)
+          val (mn, mx, rel) = parseQuant(str.substring(j, qEnd))
+          out += PatGrp(parseElems(inner), mn, mx, rel)
+          i = qEnd
+        } else {
+          val end = tokenEnd(i)
+          out += parseSym(str.substring(i, end))
+          i = end
+        }
+      }
+      out.result()
     }
+    val pattern: Seq[PatElem] = parseElems(patternStr)
     val withinUs = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
       .findFirstMatchIn(clause).map { m =>
         m.group(1).toLong * (m.group(2).toUpperCase match {
@@ -205,10 +234,14 @@ object MatchRecognize {
     out.result()
   }
 
-  /** Every symbol occurrence in pattern order (groups flattened). */
-  private def allSyms(c: Clause): Seq[String] = c.pattern.flatMap {
-    case PatSym(s, _, _, _) => Seq(s)
-    case PatGrp(es, _, _, _) => es.map(_.sym)
+  /** Every symbol occurrence in pattern order (groups flattened,
+    * recursively). */
+  private def allSyms(c: Clause): Seq[String] = {
+    def walk(es: Seq[PatElem]): Seq[String] = es.flatMap {
+      case PatSym(s, _, _, _) => Seq(s)
+      case PatGrp(inner, _, _, _) => walk(inner)
+    }
+    walk(c.pattern)
   }
 
   /** (symbol, stage name) per occurrence, in traversal order — the
@@ -217,10 +250,11 @@ object MatchRecognize {
   private def symStages(c: Clause): Seq[(String, String)] = {
     var n = -1
     def nm(sym: String): (String, String) = { n += 1; sym -> s"$sym#$n" }
-    c.pattern.flatMap {
+    def walk(es: Seq[PatElem]): Seq[(String, String)] = es.flatMap {
       case PatSym(s, _, _, _) => Seq(nm(s))
-      case PatGrp(es, _, _, _) => es.map(e => nm(e.sym))
+      case PatGrp(inner, _, _, _) => walk(inner)
     }
+    walk(c.pattern)
   }
 
   /** Per-symbol predicate columns; `SYM.col` refers to the row itself. */
@@ -238,19 +272,21 @@ object MatchRecognize {
     * consecutive-rows semantics, back-to-back between repeats. */
   private def stagesOf(c: Clause, symIdx: Map[String, Int]): Vector[CEP.Stage[Row]] = {
     val names = symStages(c).iterator
-    c.pattern.zipWithIndex.map {
-      case (PatSym(sym, mn, mx, rel), i) =>
-        CEP.Stage[Row](names.next()._2, r => r.getBoolean(symIdx(sym)),
-          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel)
-      case (PatGrp(es, mn, mx, rel), i) =>
-        val inner = es.map { e =>
-          CEP.Stage[Row](names.next()._2, r => r.getBoolean(symIdx(e.sym)),
-            CEP.Strict, e.min, e.max, reluctant = e.rel)
-        }.toVector
-        CEP.Stage[Row](s"group#$i", _ => true,
-          if (i == 0) CEP.Relaxed else CEP.Strict, mn, mx, reluctant = rel,
-          group = Some(inner))
-    }.toVector
+    var gn = -1
+    def build(es: Seq[PatElem], topLevel: Boolean): Vector[CEP.Stage[Row]] =
+      es.zipWithIndex.map {
+        case (PatSym(sym, mn, mx, rel), i) =>
+          CEP.Stage[Row](names.next()._2, r => r.getBoolean(symIdx(sym)),
+            if (topLevel && i == 0) CEP.Relaxed else CEP.Strict, mn, mx,
+            reluctant = rel)
+        case (PatGrp(inner, mn, mx, rel), i) =>
+          val sub = build(inner, topLevel = false)
+          gn += 1
+          CEP.Stage[Row](s"group#$gn", _ => true,
+            if (topLevel && i == 0) CEP.Relaxed else CEP.Strict, mn, mx,
+            reluctant = rel, group = Some(sub))
+      }.toVector
+    build(c.pattern, topLevel = true)
   }
 
   def apply(df: DataFrame, clauseSql: String): DataFrame = {

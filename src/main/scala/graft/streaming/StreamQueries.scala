@@ -501,6 +501,49 @@ object StreamQueries extends QueryModule {
         .orderBy(col("view_id"))
     },
 
+    // ----- STREAMING MATCH_RECOGNIZE with AFTER MATCH SKIP TO LAST:
+    // the q140 view→click+→view chains on a real stream — the skip-to
+    // resume fence persists across triggers and the closing view of
+    // each emitted match stays in state to reopen the next link.
+    // WITHIN 1 DAY (required for sealing) joins the oracle as the
+    // first→last span bound. -----
+    q("q146_match_skipto_stream",
+      """WITH seq AS (SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS start_id, b.event_id AS end_id
+        |FROM seq a JOIN seq b ON a.user_id = b.user_id AND b.rn > a.rn + 1
+        |WHERE a.event_type = 'view' AND b.event_type = 'view'
+        |  AND b.ts <= a.ts + INTERVAL 1 DAY
+        |  AND NOT EXISTS (SELECT 1 FROM seq m
+        |    WHERE m.user_id = a.user_id AND m.rn > a.rn AND m.rn < b.rn
+        |      AND m.event_type <> 'click')
+        |ORDER BY a.user_id, start_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, "noise"))
+      val ev = streamEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .unionByName(sentinel.toDF()
+          .toDF("event_id", "ts", "user_id", "event_type"))
+        .withWatermark("ts", "0 seconds")
+      val matched = graft.cep.MatchRecognize.stream(ev,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS start_id, W.event_id AS end_id
+          |AFTER MATCH SKIP TO LAST W
+          |PATTERN (V C+ W)
+          |WITHIN INTERVAL '1' DAY
+          |DEFINE V AS V.event_type = 'view', C AS C.event_type = 'click',
+          |       W AS W.event_type = 'view'""".stripMargin)
+      viaMemorySink(s, matched, "append", "graft_match_skipto_stream")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("start_id"))
+    },
+
     // ----- STREAMING event-time temporal (versioned) table join
     // (TemporalRowtimeJoin.scala:1; q73 is the batch as-of of the same
     // semantics): each purchase joins the signup-rate version valid AT

@@ -167,6 +167,22 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out == List((2L, 5)))
   }
 
+  test("nested SQL groups parse and repeat recursively") {
+    // ( A (B){2} ){2}: a b b a b b matches once; the inner (B){2}
+    // nests inside the repeated outer group
+    val d = df((1, 1, 1.0, "a"), (1, 2, 1.0, "b"), (1, 3, 1.0, "b"),
+      (1, 4, 1.0, "a"), (1, 5, 1.0, "b"), (1, 6, 1.0, "b"))
+    val out = MatchRecognize(d,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, LAST(B.seq) AS lb
+        |PATTERN ( ( A (B){2} ){2} )
+        |DEFINE A AS A.tag = 'a', B AS B.tag = 'b'""".stripMargin)
+      .select(col("na"), col("nb"), col("lb")).as[(Long, Long, Int)]
+      .collect().toList
+    assert(out == List((2L, 4L, 6)))
+  }
+
   test("SUM/AVG/MIN/MAX reject the star argument at parse time") {
     val e = intercept[IllegalArgumentException] {
       MatchRecognize(df((1, 1, 1.0, "a")),
