@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assertInClusterExact(out, assigned)
   }
 
+  test("kmeansClusters is partition-count independent (the oracle-replay law)") {
+    // the q135 oracle replays the fit relationally, so the Spark fit
+    // must not depend on physical partitioning: 6-dp rounding makes
+    // centroid averages and distances summation-order free
+    val e = Tables.t(spark, sf, "embeddings")
+    val a = Similarity.kmeansClusters(e.repartition(1), 8, updates = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Similarity.kmeansClusters(e.repartition(17), 8, updates = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("kmeansClusters update really moves assignments off the init") {
     val e = Tables.t(spark, sf, "embeddings")
     val a0 = Similarity.kmeansClusters(e, 8, updates = 0)
