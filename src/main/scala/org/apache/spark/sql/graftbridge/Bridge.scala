@@ -20,4 +20,16 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Stop every active streaming query, then unload all loaded
+    * state-store providers and their maintenance thread. Benchmarks call
+    * this between timed runs so one streaming query's retained providers
+    * (and the GC pressure of their state) don't tax whatever runs next
+    * in the same JVM. Providers re-load lazily on the next streaming
+    * query, so this is safe mid-session.
+    */
+  def resetStreamingState(spark: SparkSession): Unit = {
+    spark.streams.active.foreach(_.stop())
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
 }
