@@ -15,7 +15,9 @@ import scala.concurrent.duration.Duration
   *  - stage contiguity: strict (`next`) / relaxed (`followedBy`);
   *  - quantifiers: `times(n)` (contiguous block), `optional`,
   *    `oneOrMore` (greedy contiguous block);
-  *  - `within(d)`: max first→last event-time span per match;
+  *  - `within(d)`: first→last event-time span per match must be
+  *    STRICTLY less than d (the reference NFA prunes at
+  *    timestamp - startTimestamp >= windowTime, NFA.java:277);
   *  - after-match skip: NO_SKIP (a match may start at every event) or
   *    SKIP_PAST_LAST_EVENT;
   *  - match selection per start event: earliest completion for
@@ -42,8 +44,11 @@ object CEP {
     * (reference flink-cep nfa/aftermatch/SkipToFirstStrategy.java):
     * overlapping matches are allowed from that row on. Throws if the
     * target is the match's own first row — the loop the reference's
-    * strategy also refuses. Matches variables by exact stage name or
-    * by SQL symbol (stage `sym#i`). */
+    * strategy also refuses. A match where the variable matched NO rows
+    * (optional target) falls back to no-skip for that match, the
+    * reference default (SkipToElementStrategy shouldThrowException =
+    * false unless throwExceptionOnMiss). Matches variables by exact
+    * stage name or by SQL symbol (stage `sym#i`). */
   final case class SkipToFirst(sym: String) extends AfterMatchSkip
   /** Resume scanning AT the last row the named variable matched
     * (reference SkipToLastStrategy.java). */
@@ -220,27 +225,32 @@ object CEP {
       * blocks branch over block sizes ascending; GROUP stages repeat
       * their sub-sequence. `ban` is a pending notFollowedBy predicate:
       * no event in the gap [pos, entry-of-this-stage) may satisfy it.
-      * `anchor` is true only while expanding the whole pattern's first
-      * stage — it pins that stage's first event to pos (the scan
-      * start), where a mid-pattern relaxed stage may skip forward.
-      * Accs carry per-stage event INDICES so skip-to strategies can
-      * place their resume fence. */
+      * `anchor` marks a top-level scan-start expansion: while NOTHING
+      * has been consumed yet (firstTs0 < 0 — leading optional stages
+      * may consume zero events), relaxed stages may not skip forward,
+      * so every match's FIRST consumed event is the scan start and the
+      * same match is never re-found from a later start. Accs carry
+      * per-stage event INDICES so skip-to strategies can place their
+      * resume fence. */
     def expandSeq(stages: Vector[Stage[T]], si: Int, pos: Int, firstTs0: Long,
         acc: Acc, ban: Option[T => Boolean], anchor: Boolean,
         cont: Cont): Completions = {
       if (si == stages.length)
         return cont(pos, firstTs0, acc, ban)
       val st = stages(si)
-      val anchored = anchor && si == 0
+      val anchored = anchor && firstTs0 < 0
       // IterativeCondition context: earlier completed stages by name
       // (a group's repeated inner names concatenate chronologically)
       lazy val ctx: Map[String, Seq[T]] =
         acc.reverse.groupBy(_._1)
           .map { case (n, es) => n -> es.flatMap(_._2.map(events)) }
       def ok(e: T): Boolean = st.pred(e) && st.ctxPred.forall(_(e, ctx))
+      // STRICT bound: the reference NFA prunes at
+      // timestamp - startTimestamp >= windowTime (NFA.java:277), so a
+      // match spanning exactly the window is rejected
       def inWindow(i: Int, firstTs: Long): Boolean =
         pattern.withinSpan.isEmpty || firstTs < 0 ||
-          tsOf(events(i)) - firstTs <= pattern.withinSpan.get
+          tsOf(events(i)) - firstTs < pattern.withinSpan.get
       def gapClean(from: Int, until: Int): Boolean =
         ban.forall(b => (from until until).forall(j => !b(events(j))))
 
@@ -266,7 +276,7 @@ object CEP {
             if (k < st.maxTimes && pos2 < events.length)
               expandSeq(
                 if (k == 0 && st.contiguity == Strict) subHeadStrict else sub,
-                0, pos2, fTs, acc2, ban2, anchor = anchored && k == 0,
+                0, pos2, fTs, acc2, ban2, anchor = anchor,
                 (p3, f3, a3, b3) =>
                   // zero-progress prune: an all-optional sub-sequence
                   // consuming nothing must not repeat forever
@@ -293,8 +303,10 @@ object CEP {
         }
       } else st.contiguity match {
         case RelaxedAny =>
-          // branch on every qualifying element at or after pos
-          Iterator.range(pos, events.length)
+          // branch on every qualifying element at or after pos (pinned
+          // to pos itself while the scan start is still unconsumed)
+          Iterator.range(pos, if (anchored) math.min(pos + 1, events.length)
+            else events.length)
             .filter(i => ok(events(i)) && inWindow(i, firstTs0)
               && gapClean(pos, i))
             .flatMap { i =>
@@ -382,14 +394,37 @@ object CEP {
       }
     }
 
-    // start pre-filter: a group head anchors on its sub head's pred
-    val headStage = pattern.stages.head
-    val headPred: T => Boolean = headStage.group match {
-      case Some(sub) =>
-        t => sub.head.pred(t) && sub.head.ctxPred.forall(_(t, Map.empty))
-      case None =>
-        t => headStage.pred(t) && headStage.ctxPred.forall(_(t, Map.empty))
+    // start pre-filter: the predicates of every stage a match could
+    // consume its FIRST event from — the head stage plus, while stages
+    // are skippable (minTimes == 0, or negated: consumes nothing), each
+    // following stage up to and including the first unskippable one.
+    // Group heads recurse into their sub-sequence the same way. An
+    // optional leading symbol — PATTERN ((A? B){2}) — legally starts a
+    // match on its second symbol; anchoring on the head pred alone
+    // silently missed those.
+    def firstPreds(stages: Vector[Stage[T]]): List[T => Boolean] = {
+      var collected = List.empty[T => Boolean]
+      var i = 0
+      var open = true
+      while (open && i < stages.length) {
+        val st = stages(i)
+        if (!st.negated) st.group match {
+          case Some(sub) =>
+            collected = collected ::: firstPreds(sub)
+            // a group consumes nothing only by taking zero repeats
+            // (a zero-consuming repeat is zero-progress-pruned)
+            open = st.minTimes == 0
+          case None =>
+            collected = collected :::
+              List((t: T) => st.pred(t) && st.ctxPred.forall(_(t, Map.empty)))
+            open = st.minTimes == 0
+        }
+        i += 1
+      }
+      collected
     }
+    val headCandidates = firstPreds(pattern.stages)
+    val headPred: T => Boolean = t => headCandidates.exists(_(t))
     var s = 0
     while (s < events.length) {
       if (s > blockedBelow && headPred(events(s))) {
@@ -414,22 +449,25 @@ object CEP {
           pattern.skip match {
             case SkipPastLast =>
               blockedBelow = math.max(blockedBelow, lastIdx)
+            // an empty skip target (the variable matched no rows — an
+            // optional symbol) falls back to no-skip for that match,
+            // the reference default (SkipToElementStrategy with
+            // shouldThrowException = false)
             case SkipToFirst(v) =>
               val is = varIdxs(v)
-              require(is.nonEmpty, s"AFTER MATCH SKIP TO FIRST $v: the " +
-                "variable matched no rows (reference SkipToFirstStrategy " +
-                "refuses the empty target)")
-              require(is.min > s, s"AFTER MATCH SKIP TO FIRST $v targets " +
-                "the match's own first row — the resume loop the reference " +
-                "strategy throws on")
-              blockedBelow = math.max(blockedBelow, is.min - 1)
+              if (is.nonEmpty) {
+                require(is.min > s, s"AFTER MATCH SKIP TO FIRST $v targets " +
+                  "the match's own first row — the resume loop the reference " +
+                  "strategy throws on")
+                blockedBelow = math.max(blockedBelow, is.min - 1)
+              }
             case SkipToLast(v) =>
               val is = varIdxs(v)
-              require(is.nonEmpty, s"AFTER MATCH SKIP TO LAST $v: the " +
-                "variable matched no rows")
-              require(is.max > s, s"AFTER MATCH SKIP TO LAST $v targets " +
-                "the match's own first row")
-              blockedBelow = math.max(blockedBelow, is.max - 1)
+              if (is.nonEmpty) {
+                require(is.max > s, s"AFTER MATCH SKIP TO LAST $v targets " +
+                  "the match's own first row")
+                blockedBelow = math.max(blockedBelow, is.max - 1)
+              }
             case NoSkip => ()
           }
         }
@@ -567,16 +605,18 @@ object CEP {
             val rows = m.stages.collect {
               case (n, es) if n == v || n.takeWhile(_ != '#') == v => es
             }.flatten
-            require(rows.nonEmpty,
-              s"AFTER MATCH SKIP TO $v: the variable matched no rows")
-            val r = if (takeFirst) rows.minBy(e => (tsMillis(e), tieBreak(e)))
-              else rows.maxBy(e => (tsMillis(e), tieBreak(e)))
-            // fence strictly below the resume row: that row stays
-            // matchable across triggers (rows inside the emitted match
-            // but before it are discarded; a sealed resume row's
-            // matches already emitted this invocation — all rows below
-            // its window have arrived — so eviction stays sound)
-            advanceFence(tsMillis(r), tieBreak(r) - 1)
+            // empty target (optional symbol matched no rows): no-skip
+            // for that match, the reference default
+            if (rows.nonEmpty) {
+              val r = if (takeFirst) rows.minBy(e => (tsMillis(e), tieBreak(e)))
+                else rows.maxBy(e => (tsMillis(e), tieBreak(e)))
+              // fence strictly below the resume row: that row stays
+              // matchable across triggers (rows inside the emitted match
+              // but before it are discarded; a sealed resume row's
+              // matches already emitted this invocation — all rows below
+              // its window have arrived — so eviction stays sound)
+              advanceFence(tsMillis(r), tieBreak(r) - 1)
+            }
           }
           if (out.nonEmpty) p.skip match {
             case SkipPastLast =>

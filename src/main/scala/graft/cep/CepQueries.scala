@@ -38,7 +38,7 @@ object CepQueries extends QueryModule {
         |  FROM events v JOIN events p ON v.user_id = p.user_id
         |   AND v.event_type = 'view' AND p.event_type = 'purchase'
         |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        |   AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |   AND p.ts < v.ts + INTERVAL 1 HOUR)
         |SELECT view_id, purchase_id FROM pairs WHERE rn = 1
         |ORDER BY view_id""") { (s, dir) =>
       import s.implicits._
@@ -101,7 +101,7 @@ object CepQueries extends QueryModule {
         |FROM events v JOIN events p ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        | AND p.ts <= v.ts + INTERVAL 1 HOUR
+        | AND p.ts < v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, purchase_id""") { (s, dir) =>
       import s.implicits._
       val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
@@ -122,7 +122,7 @@ object CepQueries extends QueryModule {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND a.event_type = 'error' AND b.event_type = 'error'
         | AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
-        | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        | AND b.ts < a.ts + INTERVAL 30 MINUTE
         |ORDER BY e0, e1""") { (s, dir) =>
       import s.implicits._
       val p = CEP.Pattern.begin[Ev]("errs").where(_._3 == "error")
@@ -149,7 +149,7 @@ object CepQueries extends QueryModule {
         |  FROM events v JOIN events p ON v.user_id = p.user_id
         |   AND v.event_type = 'view' AND p.event_type = 'purchase'
         |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        |   AND p.ts <= v.ts + INTERVAL 1 HOUR),
+        |   AND p.ts < v.ts + INTERVAL 1 HOUR),
         |f AS (SELECT * FROM pairs WHERE rn = 1)
         |SELECT view_id, purchase_id FROM f
         |WHERE NOT EXISTS (
@@ -301,7 +301,7 @@ object CepQueries extends QueryModule {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id AS view_id, nid AS purchase_id
         |FROM seq WHERE event_type = 'view' AND nt = 'purchase'
-        |  AND nts <= ts + INTERVAL 1 HOUR
+        |  AND nts < ts + INTERVAL 1 HOUR
         |ORDER BY view_id""") { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
       MatchRecognize(ev,

@@ -72,7 +72,7 @@ object MatchRecognize {
   private val aggMeasureRe =
     """(?i)(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
   private val measureRe = """(?i)(\w+)\.(\w+)\s+AS\s+(\w+)""".r
-  private val symRe = """(\w+)(?:(\*|\+|\{(\d+)(?:,(\d+))?\})(\?)?|(\?))?""".r
+  private val symRe = """(\w+)(?:(\*|\+|\{(\d+)(?:,(\d+))?\})(\?)?|(\?\??))?""".r
 
   def parse(clause: String): Clause = {
     def section(name: String, endAt: String): Option[String] = {
@@ -132,9 +132,11 @@ object MatchRecognize {
       clause.substring(pOpen, i - 1).trim
     }
     def parseSym(tok: String): PatSym = tok match {
-      // symRe groups: sym, quant(*/+/{..}), n, m, reluctant-?, lone-?
+      // symRe groups: sym, quant(*/+/{..}), n, m, reluctant-?, lone-?/??
       case symRe(s, null, _, _, _, null) => PatSym(s, 1, 1, rel = false)
       case symRe(s, null, _, _, _, "?") => PatSym(s, 0, 1, rel = false)
+      // reluctant optional: try the EMPTY block first (SQL `A??`)
+      case symRe(s, null, _, _, _, "??") => PatSym(s, 0, 1, rel = true)
       case symRe(s, "+", _, _, r, _) => PatSym(s, 1, Int.MaxValue, r != null)
       case symRe(s, "*", _, _, r, _) => PatSym(s, 0, Int.MaxValue, r != null)
       case symRe(s, _, n, null, r, _) if n != null => PatSym(s, n.toInt, n.toInt, r != null)
@@ -148,7 +150,9 @@ object MatchRecognize {
       val base = if (rel) q.dropRight(1) else q
       base match {
         case "" => (1, 1, false)
-        case "?" => (0, 1, false)
+        // rel threads through: '(A B)??' is a RELUCTANT optional group
+        // (zero repeats tried first), not a silently-greedy one
+        case "?" => (0, 1, rel)
         case "+" => (1, Int.MaxValue, rel)
         case "*" => (0, Int.MaxValue, rel)
         case b =>
@@ -482,6 +486,13 @@ object MatchRecognize {
     require(inSchema(keyIdx).dataType == org.apache.spark.sql.types.LongType,
       "streaming MATCH_RECOGNIZE requires a BIGINT partition key")
     val tsIdx = inSchema.fieldIndex(c.orderBy.head)
+    // fail at compile time, not with an executor ClassCastException: the
+    // leading ORDER BY column is compared to the WATERMARK, so unlike the
+    // batch form (which also takes numerics) it must be a real timestamp
+    require(inSchema(tsIdx).dataType == org.apache.spark.sql.types.TimestampType,
+      "streaming MATCH_RECOGNIZE requires a TIMESTAMP leading ORDER BY " +
+        s"column (it is compared to the watermark); got " +
+        s"${inSchema(tsIdx).dataType.simpleString} for '${c.orderBy.head}'")
     val tieIdx = c.orderBy.drop(1).headOption.map(inSchema.fieldIndex)
     // patternStream works in epoch millis (watermark comparisons)
     val pattern = CEP.Pattern[Row](stagesOf(c, symIdx),

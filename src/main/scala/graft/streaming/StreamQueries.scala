@@ -426,7 +426,7 @@ object StreamQueries extends QueryModule {
         |  AND NOT EXISTS (SELECT 1 FROM events p
         |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
         |      AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        |      AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |      AND p.ts < v.ts + INTERVAL 1 HOUR)
         |ORDER BY view_id""") { (s, dir) =>
       import s.implicits._
       import graft.cep.CEP
@@ -475,7 +475,7 @@ object StreamQueries extends QueryModule {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id AS view_id, nid AS purchase_id
         |FROM seq WHERE event_type = 'view' AND nt = 'purchase'
-        |  AND nts <= ts + INTERVAL 1 HOUR
+        |  AND nts < ts + INTERVAL 1 HOUR
         |ORDER BY view_id""") { (s, dir) =>
       import s.implicits._
       implicit val sq = s.sqlContext
@@ -514,7 +514,7 @@ object StreamQueries extends QueryModule {
         |SELECT a.user_id, a.event_id AS start_id, b.event_id AS end_id
         |FROM seq a JOIN seq b ON a.user_id = b.user_id AND b.rn > a.rn + 1
         |WHERE a.event_type = 'view' AND b.event_type = 'view'
-        |  AND b.ts <= a.ts + INTERVAL 1 DAY
+        |  AND b.ts < a.ts + INTERVAL 1 DAY
         |  AND NOT EXISTS (SELECT 1 FROM seq m
         |    WHERE m.user_id = a.user_id AND m.rn > a.rn AND m.rn < b.rn
         |      AND m.event_type <> 'click')

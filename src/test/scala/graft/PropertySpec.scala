@@ -95,10 +95,11 @@ class PropertySpec extends AnyFunSuite {
         val fst = m.stages("a").head
         val snd = m.stages("b").head
         assert(snd._3 > fst._3, "stage order must follow event time")
-        assert(snd._3 - fst._3 <= 30, "within bound violated")
+        // STRICT bound (reference NFA prunes at span >= window)
+        assert(snd._3 - fst._3 < 30, "within bound violated")
       }
       val expected = evs.zipWithIndex.count { case (e, i) =>
-        e._2 == "a" && evs.drop(i + 1).takeWhile(_._3 - e._3 <= 30).exists(_._2 == "a")
+        e._2 == "a" && evs.drop(i + 1).takeWhile(_._3 - e._3 < 30).exists(_._2 == "a")
       }
       assert(ms.size == expected)
     }

@@ -60,6 +60,53 @@ class CepSpec extends AnyFunSuite {
     assert(ms2.size == 1)
   }
 
+  test("within is a STRICT bound: a span equal to the window is pruned") {
+    // reference NFA prunes at timestamp - startTimestamp >= windowTime
+    // (NFA.java:277) — b at ts 20 with within(20) is rejected
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b")
+    val exact = matchSequence(ev("a x b"), p.withinUnits(20))(_._3)
+    assert(exact.isEmpty)
+    val above = matchSequence(ev("a x b"), p.withinUnits(21))(_._3)
+    assert(above.size == 1)
+  }
+
+  test("optional head: matches may start on the first NON-optional stage") {
+    // the scan-start pre-filter must accept events matching any stage
+    // reachable as the first consumed event (leading minTimes == 0)
+    val p = Pattern.begin[E]("opt").where(_._2 == "o").optional
+      .followedBy("b").where(_._2 == "b")
+    val ms = matchSequence(ev("b o b"), p)(_._3)
+    // starts: b@0 (opt empty), o@1 (opt = o, b skips to b@2), b@2
+    assert(ms.map(m => (m.stages.get("opt").map(_.map(_._1)), ids(m, "b"))) ==
+      Seq((None, Seq(0L)), (Some(Seq(1L)), Seq(2L)), (None, Seq(2L))))
+  }
+
+  test("optional leading inner symbol of a group starts on the second symbol") {
+    // PATTERN ((A? B){2}) shape: a match may legally begin on B
+    val sub = Pattern.begin[E]("A").where(_._2 == "a").optional
+      .next("B").where(_._2 == "b")
+    val p = Pattern.begin(sub).times(2)
+    val ms = matchSequence(ev("b a b"), p)(_._3)
+    // repeat 1 = B@0 (A empty), repeat 2 = A@1 B@2
+    assert(ms.size == 1)
+    assert(ids(ms.head, "A") == Seq(1L) && ids(ms.head, "B") == Seq(0L, 2L))
+  }
+
+  test("skip-to with an empty optional target falls back to no-skip") {
+    // reference SkipToElementStrategy default (no throwExceptionOnMiss):
+    // a match where the target variable matched no rows does not move
+    // the fence — and must not fail the job
+    val p = Pattern.begin[E]("v").where(_._2 == "v")
+      .next("w").where(_._2 == "w").optional
+      .followedBy("c").where(_._2 == "c")
+      .copy(skip = SkipToFirst("w"))
+    val ms = matchSequence(ev("v c v w c"), p)(_._3)
+    // v@0: w empty (c@1 directly follows) → no fence; v@2: w@3 c@4 → fence
+    assert(ms.size == 2)
+    assert(!ms.head.stages.contains("w") && ids(ms(1), "w") == Seq(3L))
+  }
+
   test("afterMatchSkipPastLast suppresses overlapping matches") {
     val p = Pattern.begin[E]("e").where(_._2 == "e").times(2).afterMatchSkipPastLast
     val ms = matchSequence(ev("e e e e"), p)(_._3)
