@@ -477,6 +477,107 @@ object CEP {
     out.result()
   }
 
+  private def liftStage[T](s: Stage[T]): Stage[(T, Long)] =
+    Stage(s.name, e => s.pred(e._1), s.contiguity, s.minTimes, s.maxTimes,
+      s.combinations, s.negated,
+      s.untilPred.map(u => (e: (T, Long)) => u(e._1)),
+      s.ctxPred.map(c => (e: (T, Long), m: Map[String, Seq[(T, Long)]]) =>
+        c(e._1, m.map { case (k, v) => k -> v.map(_._1) })),
+      s.reluctant, s.group.map(_.map(liftStage)))
+
+  /** [[matchSequence]] over one key's already time-ordered row
+    * iterator with memory BOUNDED by the within() span — the streaming
+    * path's sealing discipline applied to a batch scan. Rows buffer
+    * only while a match starting at them could still grow (a start
+    * seals once the scan reaches start.ts + span: every possible
+    * member has arrived); the matcher runs on the live buffer each
+    * time it spans 2× the window, emits the sealed-start matches, and
+    * evicts sealed rows. The after-match skip fence carries across
+    * chunk boundaries as a (ts, arrival-index) threshold exactly like
+    * the streaming state fence — only EMITTED (sealed) matches advance
+    * it, and unsealed matches recompute on the next chunk, so the
+    * output equals the unbounded scan's. Without within() this
+    * degrades to the unbounded scan (nothing ever seals mid-stream).
+    * A key whose rows all fall inside one span window still buffers
+    * them all — that bound is semantic, not an implementation limit.
+    */
+  def matchSequenceBounded[T](rows: Iterator[T], pattern: Pattern[T])(
+      tsOf: T => Long): Iterator[Match[T]] = pattern.withinSpan match {
+    case None => matchSequence(rows.toIndexedSeq, pattern)(tsOf).iterator
+    case Some(win) => new scala.collection.AbstractIterator[Match[T]] {
+      // events carry their per-key arrival index: the unique, order-
+      // consistent tie the fence threshold needs at equal timestamps
+      private val lifted = pattern.copy[(T, Long)](
+        stages = pattern.stages.map(liftStage))
+      private def ts(e: (T, Long)): Long = tsOf(e._1)
+      private val in = rows.zipWithIndex.map { case (e, i) => (e, i.toLong) }
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[(T, Long)]
+      private var fenceTs = Long.MinValue
+      private var fenceIdx = Long.MinValue
+      private val usesFence = pattern.skip != NoSkip
+      private var pending: Iterator[Match[T]] = Iterator.empty
+      private var exhausted = false
+
+      private def pastFence(e: (T, Long)): Boolean =
+        ts(e) > fenceTs || (ts(e) == fenceTs && e._2 > fenceIdx)
+
+      /** Match the buffer, keep sealed-start matches, advance the
+        * fence from them, evict sealed rows (mirrors one streaming
+        * trigger with watermark == maxSeen). */
+      private def drain(maxSeen: Long): Iterator[Match[T]] = {
+        def isSealed(e: (T, Long)): Boolean =
+          maxSeen == Long.MaxValue || ts(e) + win <= maxSeen
+        val out = matchSequence(buf.toIndexedSeq, lifted)(ts)
+          .filter(m => isSealed(m.stages.values.flatten.minBy(_._2)))
+        def advance(t: Long, i: Long): Unit =
+          if (t > fenceTs || (t == fenceTs && i > fenceIdx)) {
+            fenceTs = t; fenceIdx = i
+          }
+        def skipTo(v: String, takeFirst: Boolean): Unit = out.foreach { m =>
+          val rs = m.stages.collect {
+            case (n, es) if n == v || n.takeWhile(_ != '#') == v => es
+          }.flatten
+          if (rs.nonEmpty) { // empty target: no-skip for that match
+            val r = if (takeFirst) rs.minBy(_._2) else rs.maxBy(_._2)
+            advance(ts(r), r._2 - 1) // strictly below: resume row stays
+          }
+        }
+        pattern.skip match {
+          case SkipPastLast => out.foreach { m =>
+            val last = m.stages.values.flatten.maxBy(_._2)
+            advance(ts(last), last._2)
+          }
+          case SkipToFirst(v) => skipTo(v, takeFirst = true)
+          case SkipToLast(v) => skipTo(v, takeFirst = false)
+          case NoSkip => ()
+        }
+        buf.filterInPlace(e => !isSealed(e) && (!usesFence || pastFence(e)))
+        out.iterator.map(m =>
+          Match(m.stages.map { case (n, es) => n -> es.map(_._1) }))
+      }
+
+      override def hasNext: Boolean = {
+        while (!pending.hasNext && !exhausted) {
+          if (in.hasNext) {
+            val e = in.next()
+            // 2× window: each drain seals (and evicts) at least one
+            // span's worth, so a row is re-scanned O(1) times
+            if (buf.nonEmpty && win < Long.MaxValue / 2 &&
+                ts(e) - ts(buf.head) >= 2 * win)
+              pending = drain(ts(e))
+            if (!usesFence || pastFence(e)) buf += e
+          } else {
+            exhausted = true
+            pending = drain(Long.MaxValue)
+          }
+        }
+        pending.hasNext
+      }
+      override def next(): Match[T] =
+        if (hasNext) pending.next() else Iterator.empty.next()
+    }
+  }
+
   /** Batch PatternStream: key + event-time sort + match per key. */
   def pattern[T, K: Encoder, R: Encoder](events: Dataset[T], p: Pattern[T],
       keyFn: T => K, tsOf: T => Long, tieBreak: T => Long)(

@@ -363,28 +363,34 @@ object MatchRecognize {
 
     sorted.mapPartitions { (it: Iterator[Row]) =>
       // rows arrive key-contiguous and time-ordered: run the matcher
-      // per key run, materializing only the active key's group
+      // per key run. With WITHIN the per-key buffer is bounded by the
+      // span (matchSequenceBounded — the streaming path's sealing
+      // discipline), so a hot key with millions of rows never
+      // materializes; without WITHIN the full run is semantic state.
       // NOTE: named `in`, not `buffered` — inside the anonymous
       // Iterator subclass an outer val named `buffered` is shadowed by
       // the inherited Iterator.buffered method (self-reference!)
       val in = it.buffered
-      val groups = new Iterator[(Any, Vector[Row])] {
+      val groups = new Iterator[(Any, Iterator[Row])] {
         override def hasNext: Boolean = in.hasNext
-        override def next(): (Any, Vector[Row]) = {
+        override def next(): (Any, Iterator[Row]) = {
           val key = in.head.get(keyIdx)
-          val group = Vector.newBuilder[Row]
-          while (in.hasNext && in.head.get(keyIdx) == key)
-            group += in.next()
-          (key, group.result())
+          (key, new Iterator[Row] {
+            // consumed fully (via flatMap) before the next group starts
+            override def hasNext: Boolean = in.hasNext && in.head.get(keyIdx) == key
+            override def next(): Row = in.next()
+          })
         }
       }
       groups.flatMap { case (key, rows) =>
-        val ms = CEP.matchSequence(rows, pattern)(tsOf)
+        val ms: Iterator[CEP.Match[Row]] =
+          if (c.withinUs.isDefined) CEP.matchSequenceBounded(rows, pattern)(tsOf)
+          else CEP.matchSequence(rows.toIndexedSeq, pattern)(tsOf).iterator
         if (c.allRows)
           // MATCH_NUMBER() is per partition, in match order; each
           // match's rows sort by the ORDER BY key (grouped patterns
           // interleave symbols, so stage order alone is not temporal)
-          ms.iterator.zipWithIndex.flatMap { case (m, mi) =>
+          ms.zipWithIndex.flatMap { case (m, mi) =>
             stageNamesInOrder.iterator.flatMap { st =>
               m.stages.getOrElse(st, Nil).map(r => (st, r))
             }.toSeq.sortBy(_._2)(rowOrd).iterator.map { case (st, r) =>
@@ -392,7 +398,7 @@ object MatchRecognize {
                 st.takeWhile(_ != '#') :+ (mi + 1).toLong)
             }
           }
-        else ms.iterator.map { m =>
+        else ms.map { m =>
           Row.fromSeq(key +: meas.eval(m))
         }
       }

@@ -105,6 +105,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP matchSequenceBounded equals the unbounded scan under every skip") {
+    type E = (Long, String, Long)
+    val r = new Random(41)
+    val skips = Seq[CEP.AfterMatchSkip](CEP.NoSkip, CEP.SkipPastLast,
+      CEP.SkipToFirst("b"), CEP.SkipToLast("b"))
+    for (trial <- 1 to 240) {
+      // ts strictly increasing (i*7 + [0,5)) so sort order == arrival
+      val evs = (0 until r.nextInt(40)).map { i =>
+        (i.toLong, Seq("a", "b", "c", "x")(r.nextInt(4)),
+          i.toLong * 7 + r.nextInt(5))
+      }.toIndexedSeq
+      val p = CEP.Pattern.begin[E]("a").where(_._2 == "a")
+        .followedBy("b").where(_._2 == "b").oneOrMore
+        .followedBy("c").where(_._2 == "c")
+        .withinUnits(30)
+        .copy(skip = skips(trial % skips.length))
+      val unbounded = CEP.matchSequence(evs, p)(_._3).map(_.stages)
+      val bounded =
+        CEP.matchSequenceBounded(evs.iterator, p)(_._3).map(_.stages).toSeq
+      assert(bounded == unbounded)
+    }
+  }
+
   test("CEP whereCtx: earliest completion equals the brute-force reference") {
     type E = (Long, String, Long)
     val r = new Random(29)

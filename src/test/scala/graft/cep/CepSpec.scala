@@ -107,6 +107,20 @@ class CepSpec extends AnyFunSuite {
     assert(!ms.head.stages.contains("w") && ids(ms(1), "w") == Seq(3L))
   }
 
+  test("matchSequenceBounded: a million-row hot key stays bounded under within") {
+    // alternating a b a b ... at ts step 10 with within(15): each a
+    // pairs with its adjacent b only. The live buffer holds just the
+    // rows inside a 2x window (~4), never the whole key run.
+    val n = 1000000
+    val rows = Iterator.range(0, n)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toLong * 10))
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedBy("b").where(_._2 == "b").withinUnits(15)
+    var count = 0L
+    matchSequenceBounded(rows, p)(_._3).foreach(_ => count += 1)
+    assert(count == n / 2)
+  }
+
   test("afterMatchSkipPastLast suppresses overlapping matches") {
     val p = Pattern.begin[E]("e").where(_._2 == "e").times(2).afterMatchSkipPastLast
     val ms = matchSequence(ev("e e e e"), p)(_._3)
