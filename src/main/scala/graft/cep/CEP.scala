@@ -25,7 +25,13 @@ import scala.concurrent.duration.Duration
   *    qualifying continuation) and `allowCombinations` (every
   *    in-order subsequence fills a quantified block) emit ALL
   *    matches, reproducing the reference's shared-buffer
-  *    multi-match semantics (NFA.java, Quantifier.java).
+  *    multi-match semantics (NFA.java, Quantifier.java);
+  *  - branching + a skip strategy composes via the reference's
+  *    prune-after-emit (AfterMatchSkipStrategy.prune): candidates
+  *    emit in (start, completion) order and every emission prunes
+  *    later candidates whose START falls at/before the strategy's
+  *    pruning event — so an emitted match discards its own
+  *    still-pending sibling branches under SKIP_PAST_LAST.
   */
 object CEP {
 
@@ -42,13 +48,14 @@ object CEP {
   case object SkipPastLast extends AfterMatchSkip
   /** Resume scanning AT the first row the named variable matched
     * (reference flink-cep nfa/aftermatch/SkipToFirstStrategy.java):
-    * overlapping matches are allowed from that row on. Throws if the
-    * target is the match's own first row — the loop the reference's
-    * strategy also refuses. A match where the variable matched NO rows
-    * (optional target) falls back to no-skip for that match, the
-    * reference default (SkipToElementStrategy shouldThrowException =
-    * false unless throwExceptionOnMiss). Matches variables by exact
-    * stage name or by SQL symbol (stage `sym#i`). */
+    * overlapping matches are allowed from that row on. Implements the
+    * reference's NON-throwing variant (shouldThrowException = false):
+    * a match where the variable matched NO rows (optional target)
+    * falls back to no-skip for that match, and a target equal to the
+    * match's own first row prunes nothing (the scan cannot loop —
+    * unlike the reference NFA, the start index always advances).
+    * Matches variables by exact stage name or by SQL symbol (stage
+    * `sym#i`). */
   final case class SkipToFirst(sym: String) extends AfterMatchSkip
   /** Resume scanning AT the last row the named variable matched
     * (reference SkipToLastStrategy.java). */
@@ -202,12 +209,6 @@ object CEP {
       "followedByAny supports single-element stages only")
     require(!pattern.stages.last.negated,
       "a pattern may not end in notNext/notFollowedBy (reference NFACompiler rule)")
-    require(pattern.skip == NoSkip || !pattern.stages.exists(st =>
-      st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1)),
-      "an after-match skip strategy with a branching pattern " +
-        "(followedByAny/allowCombinations) is unsupported: emitting every " +
-        "overlapping completion from one start diverges from the reference's " +
-        "skip-strategy prune")
     pattern.stages.headOption.foreach(h =>
       require(h.group.isEmpty || h.minTimes >= 1,
         "an optional group may not lead a pattern (start anchoring)"))
@@ -433,9 +434,20 @@ object CEP {
         val branching = pattern.stages.exists(st =>
           st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
         val selected =
-          if (branching) completions.toSeq // all non-deterministic matches
-          else completions.take(1).toSeq   // earliest completion
-        selected.foreach { case (accList, lastIdx) =>
+          if (branching && pattern.skip != NoSkip)
+            // reference prune-after-emit (AfterMatchSkipStrategy.prune,
+            // NFA.processMatchesAccordingToSkipStrategy): same-start
+            // candidates emit in COMPLETION order — the earliest-
+            // completing branch reaches the completed-matches queue
+            // first — and each emission prunes its later siblings
+            // through the fence re-check below
+            completions.toSeq.sortBy(_._2)
+          else if (branching) completions.toSeq // all non-deterministic matches
+          else completions.take(1).toSeq        // earliest completion
+        // re-check the fence per candidate: an emitted same-start
+        // sibling prunes the rest (reference shouldPrune on the
+        // candidate's START event — all candidates here start at s)
+        selected.foreach { case (accList, lastIdx) => if (s > blockedBelow) {
           // a group's repeated inner stage names concatenate their
           // events chronologically (unique names are unaffected)
           out += Match(accList.reverse.groupBy(_._1)
@@ -449,28 +461,25 @@ object CEP {
           pattern.skip match {
             case SkipPastLast =>
               blockedBelow = math.max(blockedBelow, lastIdx)
-            // an empty skip target (the variable matched no rows — an
-            // optional symbol) falls back to no-skip for that match,
-            // the reference default (SkipToElementStrategy with
-            // shouldThrowException = false)
+            // skip-to implements the reference's NON-throwing variant
+            // (SkipToElementStrategy with shouldThrowException =
+            // false): an empty target (the variable matched no rows —
+            // an optional symbol) falls back to no-skip for that
+            // match, and a pruning event equal to the match's own
+            // first row prunes nothing (strict start < pruningId).
+            // Unlike the reference NFA, the scan index always
+            // advances, so the self-target case cannot loop.
             case SkipToFirst(v) =>
               val is = varIdxs(v)
-              if (is.nonEmpty) {
-                require(is.min > s, s"AFTER MATCH SKIP TO FIRST $v targets " +
-                  "the match's own first row — the resume loop the reference " +
-                  "strategy throws on")
+              if (is.nonEmpty)
                 blockedBelow = math.max(blockedBelow, is.min - 1)
-              }
             case SkipToLast(v) =>
               val is = varIdxs(v)
-              if (is.nonEmpty) {
-                require(is.max > s, s"AFTER MATCH SKIP TO LAST $v targets " +
-                  "the match's own first row")
+              if (is.nonEmpty)
                 blockedBelow = math.max(blockedBelow, is.max - 1)
-              }
             case NoSkip => ()
           }
-        }
+        }}
       }
       s += 1
     }

@@ -113,6 +113,49 @@ object CepQueries extends QueryModule {
         .orderBy(col("view_id"), col("purchase_id"))
     },
 
+    // ----- followedByAny + SKIP_PAST_LAST (reference prune-after-emit,
+    // AfterMatchSkipStrategy.prune over the shared buffer): the first-
+    // emitted branch from each start prunes its sibling branches and
+    // every candidate starting at or before its last event — the
+    // result is the per-user CHAIN of non-overlapping (view, earliest
+    // purchase within the hour) links, which the oracle computes with
+    // a recursive CTE. Contrast q92: the same pattern under NO_SKIP
+    // emits every overlapping pair. -----
+    q("q147_cep_any_skip_prune",
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |pairs AS (
+        |  SELECT v.user_id, v.rn AS vrn, v.event_id AS view_id, min(p.rn) AS prn
+        |  FROM seq v JOIN seq p ON p.user_id = v.user_id AND p.rn > v.rn
+        |    AND p.event_type = 'purchase' AND p.ts < v.ts + INTERVAL 1 HOUR
+        |  WHERE v.event_type = 'view'
+        |  GROUP BY v.user_id, v.rn, v.event_id),
+        |chain AS (
+        |  (SELECT user_id, vrn, view_id, prn FROM
+        |    (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY vrn) AS r
+        |     FROM pairs) WHERE r = 1)
+        |  UNION ALL
+        |  SELECT l.user_id, l.vrn, l.view_id, l.prn
+        |  FROM chain c, LATERAL (
+        |    SELECT * FROM pairs p
+        |    WHERE p.user_id = c.user_id AND p.vrn > c.prn
+        |    ORDER BY p.vrn LIMIT 1) l)
+        |SELECT c.user_id, c.view_id, s.event_id AS purchase_id
+        |FROM chain c JOIN seq s ON s.user_id = c.user_id AND s.rn = c.prn
+        |ORDER BY c.user_id, c.view_id""") { (s, dir) =>
+      import s.implicits._
+      val p = CEP.Pattern.begin[Ev]("view").where(_._3 == "view")
+        .followedByAny("purchase").where(_._3 == "purchase")
+        .withinUnits(1.hour.toMicros)
+        .afterMatchSkipPastLast
+      CEP.pattern(typedEvents(s, dir), p, (e: Ev) => e._1, (e: Ev) => e._4, (e: Ev) => e._2) {
+        (uid, m) => (uid, m.stages("view").head._2, m.stages("purchase").head._2)
+      }.toDF("user_id", "view_id", "purchase_id")
+        .orderBy(col("user_id"), col("view_id"))
+    },
+
     // ----- times(2).allowCombinations (Quantifier.java combinations):
     // the quantified block is ANY in-order subsequence, so every
     // ordered pair of errors within the window matches — the oracle is

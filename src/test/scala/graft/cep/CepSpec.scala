@@ -127,11 +127,39 @@ class CepSpec extends AnyFunSuite {
     assert(ms.map(m => ids(m, "e")) == Seq(Seq(0L, 1), Seq(2L, 3)))
   }
 
-  test("afterMatchSkipPastLast rejects branching patterns (divergent prune)") {
+  test("followedByAny + SKIP_PAST_LAST prunes sibling branches (prune-after-emit)") {
+    // NoSkip emits (a0,b1) and (a0,b2); under SKIP_PAST_LAST the first
+    // emitted branch's last event (b1) prunes every candidate starting
+    // at or before it — including its own sibling (a0,b2) — the
+    // reference AfterMatchSkipStrategy.prune over the shared buffer
+    val p0 = Pattern.begin[E]("a").where(_._2 == "a")
+      .followedByAny("b").where(_._2 == "b")
+    val noSkip = matchSequence(ev("a b b a b"), p0)(_._3)
+    assert(noSkip.map(m => (ids(m, "a").head, ids(m, "b").head)) ==
+      Seq((0L, 1L), (0L, 2L), (0L, 4L), (3L, 4L)))
+    val pruned = matchSequence(ev("a b b a b"), p0.afterMatchSkipPastLast)(_._3)
+    assert(pruned.map(m => (ids(m, "a").head, ids(m, "b").head)) ==
+      Seq((0L, 1L), (3L, 4L)))
+  }
+
+  test("allowCombinations + SKIP_PAST_LAST keeps only non-overlapping blocks") {
+    val p0 = Pattern.begin[E]("e").where(_._2 == "e").times(2).allowCombinations
+    // NoSkip: every in-order pair (0,1) (0,2) (1,2) ...
+    assert(matchSequence(ev("e e e"), p0)(_._3).size == 3)
+    val pruned = matchSequence(ev("e e e e"), p0.afterMatchSkipPastLast)(_._3)
+    assert(pruned.map(m => ids(m, "e")) == Seq(Seq(0L, 1L), Seq(2L, 3L)))
+  }
+
+  test("followedByAny + SKIP TO FIRST of the head emits every branch") {
+    // pruningId == each match's own start and the skip-to prune is
+    // STRICT (start < pruningId), so nothing is discarded — reference
+    // SkipToElementStrategy.shouldPrune semantics
     val p = Pattern.begin[E]("a").where(_._2 == "a")
-      .followedByAny("b").where(_._2 == "b").afterMatchSkipPastLast
-    val e = intercept[IllegalArgumentException] { matchSequence(ev("a b b"), p)(_._3) }
-    assert(e.getMessage.contains("skip strategy with a branching pattern"))
+      .followedByAny("b").where(_._2 == "b")
+      .copy(skip = SkipToFirst("a"))
+    val ms = matchSequence(ev("a b b"), p)(_._3)
+    assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) ==
+      Seq((0L, 1L), (0L, 2L)))
   }
 
   test("longestPartial tolerates optional stages that matched zero events") {

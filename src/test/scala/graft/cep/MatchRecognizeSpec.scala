@@ -111,9 +111,13 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(links("TO FIRST W") == List((1, 3), (3, 5)))
   }
 
-  test("SKIP TO FIRST of the start variable refuses the resume loop") {
-    val e = intercept[Exception] { links("TO FIRST V") }
-    assert(e.getMessage.contains("first row"))
+  test("SKIP TO FIRST of the start variable prunes nothing (non-throwing variant)") {
+    // pruningId == the match's own first row and the skip-to prune is
+    // STRICT (start < pruningId), so no candidate is discarded — the
+    // reference SkipToElementStrategy default (shouldThrowException =
+    // false); the scan cannot loop because the start index always
+    // advances
+    assert(links("TO FIRST V") == List((1, 3), (3, 5)))
   }
 
   test("reluctant quantifier takes the shortest completing block") {
