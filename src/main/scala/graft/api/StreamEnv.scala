@@ -173,6 +173,38 @@ final class StreamOps[T](val ds: Dataset[T]) {
     new StreamOps(ds.map(l => Tagged[T, U](Some(l), None))
       .union(other.ds.map(r => Tagged[T, U](None, Some(r)))))
 
+  /** Windowed stream coGroup (CoGroupedStreams.java — a.coGroup(b)
+    * .where(kA).equalTo(kB).window(...).apply(f)): per (key, tumbling
+    * window) the function receives BOTH sides' complete time-ordered
+    * element lists — including windows where one side is empty, the
+    * outer behavior that distinguishes coGroup from a windowed join.
+    * Internally the tagged union re-exposes event time as a top-level
+    * column and re-assigns the watermark (connect's struct-wrapping
+    * drops event-time metadata — the same reason the reference
+    * requires timestamps assigned before windowing). */
+  def coGroup[U, K: Encoder, R: Encoder](other: StreamOps[U],
+      delay: String = "0 seconds")(
+      thisKey: T => K, otherKey: U => K)(
+      windowMillis: Long, thisTs: T => Long, otherTs: U => Long)(
+      f: (K, Long, Seq[T], Seq[U]) => IterableOnce[R])(implicit
+      te: Encoder[Tagged[T, U]]): Dataset[R] = {
+    implicit val pairE: Encoder[(java.sql.Timestamp, Tagged[T, U])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.TIMESTAMP, te)
+    implicit val stE: Encoder[Seq[(Long, (java.sql.Timestamp, Tagged[T, U]))]] =
+      org.apache.spark.sql.Encoders.kryo[
+        Seq[(Long, (java.sql.Timestamp, Tagged[T, U]))]]
+    val tagged = connect(other).ds
+      .map(tg => (new java.sql.Timestamp(tg.fold(thisTs)(otherTs)), tg))
+      .withWatermark("_1", delay)
+    new StreamOps(tagged)
+      .keyBy(p => p._2.fold(thisKey)(otherKey))
+      .windowApply(windowMillis, _._1.getTime) { (k, ws, elems) =>
+        val (ls, rs) = elems.map(_._2).partition(_.isLeft)
+        f(k, ws, ls.flatMap(_.left), rs.flatMap(_.right))
+      }
+  }
+
   /** countWindowAll (DataStream.java:757): NON-keyed tumbling count
     * windows. Like the reference's AllWindowedStream this is
     * inherently parallelism-1 (all elements route to one key); each

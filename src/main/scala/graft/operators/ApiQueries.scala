@@ -362,6 +362,141 @@ object ApiQueries extends QueryModule {
       Graph.fromEdges(edges).clusteringCoefficient()
         .select(col("id"), col("degree"), round(col("coefficient"), 6).as("coefficient"))
         .orderBy(col("id"))
+    },
+
+    // ----- sortGroup + reduceGroup (UnsortedGrouping.java:271): the
+    // group function sees each customer's orders sorted by
+    // (o_orderdate, o_orderkey); emits the first three order keys in
+    // that order plus the group size -----
+    q("q148_sorted_group_reduce",
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |f AS (SELECT o_custkey,
+        |        string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS first3
+        |      FROM r WHERE rn <= 3 GROUP BY o_custkey),
+        |c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT CAST(c.o_custkey AS BIGINT) AS custkey, f.first3 AS first3, n
+        |FROM c JOIN f ON c.o_custkey = f.o_custkey
+        |ORDER BY custkey""") { (s, dir) =>
+      import s.implicits._
+      val orders = new graft.api.BatchOps(
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"),
+            col("o_orderdate").cast("date"))
+          .as[(Long, Long, java.sql.Date)])
+      orders.groupBy(_._1)
+        .sortedReduceGroup { (a, b) =>
+          val c = a._3.compareTo(b._3)
+          c < 0 || (c == 0 && a._2 < b._2)
+        } { (k, it) =>
+          val v = it.toVector
+          (k, v.take(3).map(_._2).mkString(","), v.size.toLong)
+        }
+        .toDF("custkey", "first3", "n")
+        .orderBy(col("custkey"))
+    },
+
+    // ----- bulk iteration (DataSet.java:1156 iterate): min-label
+    // connected components over the per-region nation CHAIN (each
+    // nation linked to the next by key within its region), run as a
+    // driver-loop fixpoint with a convergence predicate. The chain has
+    // diameter 4, so the label front needs several supersteps — the
+    // loop, not one join, does the work. Fixpoint = the region's
+    // smallest nation key everywhere. -----
+    q("q149_bulk_iteration",
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
+        |FROM nation ORDER BY id""") { (s, dir) =>
+      import s.implicits._
+      val nation = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_regionkey").cast("long").as("r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r")).orderBy(col("id"))
+      val ranked = nation.withColumn("rk", row_number().over(w))
+      val fwd = ranked.as("a").join(ranked.as("b"),
+          col("a.r") === col("b.r") && col("b.rk") === col("a.rk") + 1)
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val und = fwd.union(fwd.select(col("dst"), col("src")))
+        .toDF("src", "dst").localCheckpoint()
+      val labels0 = new graft.api.BatchOps(
+        nation.select(col("id"), col("id").as("label")).as[(Long, Long)])
+      labels0.iterate(10)(
+        step = { cur =>
+          val curDf = cur.toDF("id", "label")
+          val nbr = und.join(curDf, col("src") === col("id"))
+            .select(col("dst").as("id"), col("label"))
+          curDf.union(nbr).groupBy(col("id"))
+            .agg(min(col("label")).as("label")).as[(Long, Long)]
+        },
+        converged = (prev, cur) => cur.except(prev).isEmpty)
+        .ds.toDF("id", "label")
+        .orderBy(col("id"))
+    },
+
+    // ----- delta iteration (DataSet.java:1206 iterateDelta): BFS
+    // distance from each region's smallest nation along the same
+    // chain — the solution set takes keyed deltas, the workset is the
+    // BFS frontier and drains to empty. dist(k-th nation of a region's
+    // chain) = k - 1. -----
+    q("q150_delta_iteration",
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(row_number() OVER (PARTITION BY n_regionkey
+        |                          ORDER BY n_nationkey) - 1 AS BIGINT) AS dist
+        |FROM nation ORDER BY id""") { (s, dir) =>
+      import s.implicits._
+      val nation = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_regionkey").cast("long").as("r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r")).orderBy(col("id"))
+      val ranked = nation.withColumn("rk", row_number().over(w))
+      val fwd = ranked.as("a").join(ranked.as("b"),
+          col("a.r") === col("b.r") && col("b.rk") === col("a.rk") + 1)
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val und = fwd.union(fwd.select(col("dst"), col("src")))
+        .toDF("src", "dst").localCheckpoint()
+      val INF = 1000000L
+      val roots = nation.groupBy(col("r")).agg(min(col("id")).as("id"))
+        .select(col("id"), lit(0L).as("dist"))
+      val sol0 = new graft.api.BatchOps(
+        nation.select(col("id")).join(roots, Seq("id"), "left")
+          .select(col("id"), coalesce(col("dist"), lit(INF)).as("dist"))
+          .as[(Long, Long)])
+      val ws0 = new graft.api.BatchOps(roots.as[(Long, Long)])
+      sol0.iterateDelta(ws0, maxIter = 12)(_._1) { (sol, ws) =>
+        val cand = ws.toDF("wid", "wd")
+          .join(und, col("wid") === col("src"))
+          .select(col("dst").as("id"), (col("wd") + 1).as("d"))
+          .groupBy(col("id")).agg(min(col("d")).as("d"))
+        val improved = cand
+          .join(sol.toDF("sid", "sd"), col("id") === col("sid"))
+          .where(col("d") < col("sd"))
+          .select(col("id"), col("d")).as[(Long, Long)]
+        (improved, improved)
+      }
+        .ds.toDF("id", "dist")
+        .orderBy(col("id"))
+    },
+
+    // ----- label propagation (library/LabelPropagation.java):
+    // synchronous LP on the per-region nation cliques — after one
+    // superstep every vertex holds a near-minimal neighbor label,
+    // after two the region's smallest key dominates every
+    // neighborhood, and the third confirms the fixpoint. -----
+    q("q152_label_propagation",
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
+        |FROM nation ORDER BY id""") { (s, dir) =>
+      val n = Tables.t(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("ak"), col("n_regionkey").as("ar"))
+      val b = n.select(col("n_nationkey").as("bk"), col("n_regionkey").as("br"))
+      val edges = a.join(b, col("ar") === col("br") && col("ak") < col("bk"))
+        .select(col("ak").cast("long").as("src"), col("bk").cast("long").as("dst"))
+      Graph.fromEdges(edges).labelPropagation(3)
+        .orderBy(col("id"))
     }
   )
 }

@@ -841,6 +841,74 @@ object StreamQueries extends QueryModule {
       s.read.parquet(out)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    },
+
+    // ----- windowed stream coGroup (CoGroupedStreams.java): views and
+    // purchases as two typed streams, coGrouped per (user, 1h tumbling
+    // window); both sides' full element lists arrive together, and a
+    // window fires even when one side is empty — the outer behavior a
+    // windowed join lacks. The sentinel rides the LEFT side (user -1)
+    // to seal the final windows. -----
+    q("q151_stream_cogroup",
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS win
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT user_id, win,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS views,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS purchases
+        |FROM e GROUP BY user_id, win
+        |ORDER BY user_id, win""") { (s, dir) =>
+      import s.implicits._
+      import graft.api.StreamOps
+      implicit val sq = s.sqlContext
+      type Ev = (Long, java.sql.Timestamp)
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      sentinel.addData((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      val base = streamEvents(s, dir)
+      def side(t: String) = base.filter(col("event_type") === t)
+        .select(col("user_id").cast("long"), col("ts"))
+      val left = new StreamOps(
+        side("view").unionByName(sentinel.toDF().toDF("user_id", "ts"))
+          .as[(Long, java.sql.Timestamp)])
+      val right = new StreamOps(side("purchase").as[(Long, java.sql.Timestamp)])
+      val cg = left.coGroup(right)((l: Ev) => l._1, (r: Ev) => r._1)(
+        3600 * 1000L, (l: Ev) => l._2.getTime, (r: Ev) => r._2.getTime) {
+        (uid, ws, views, purchases) =>
+          Iterator((uid, ws, views.size.toLong, purchases.size.toLong))
+      }
+      viaMemorySink(s, cg.toDF("user_id", "win", "views", "purchases"),
+          "append", "graft_stream_cogroup")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("win"))
+    },
+
+    // ----- keyed running reduce (KeyedStream.java:690 sum/min/max
+    // family): per-key associative reduce over the stream, per-trigger
+    // emission cadence in complete mode; the final state equals the
+    // total per-key reduce. Long fields keep the fold exact in any
+    // order. -----
+    q("q153_stream_keyed_reduce",
+      """SELECT user_id, CAST(max(event_id) AS BIGINT) AS max_event,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.api.StreamOps
+      type KV = (Long, Long, Long) // (user_id, event_id max, count)
+      val ev = streamEvents(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          lit(1L))
+        .as[(Long, Long, Long)]
+      val reduced = new StreamOps(ev).keyBy(_._1)
+        .reduce((a, b) => (a._1, math.max(a._2, b._2), a._3 + b._3))
+      viaMemorySink(s, reduced.toDF("user_id", "kv"),
+          "complete", "graft_stream_keyed_reduce")
+        .select(col("user_id"), col("kv._2").as("max_event"),
+          col("kv._3").as("n"))
+        .orderBy(col("user_id"))
     }
   )
 }

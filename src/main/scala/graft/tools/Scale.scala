@@ -44,16 +44,29 @@ object Scale {
         }: _*)
 
     val K = 100000000L // replica key shift
+    // doc/vec ids double as event-time SECONDS in the streaming dedup
+    // ops, which fail loudly when an id reaches the year-2100 watermark
+    // sentinel (4.1e9). documents/embeddings are small tables, so a
+    // 1e6 shift keeps replicas distinct while 100x tops out at ~1e8 —
+    // far below the sentinel; the big fact tables keep the wide shift.
+    val D = 1000000L
     // fact tables replicate with shifted keys; dims stay as-is so
     // join fan-in grows like the data (the realistic shape)
     val plans = Map(
       "lineitem" -> Map("l_orderkey" -> K),
       "orders" -> Map("o_orderkey" -> K),
       "events" -> Map("event_id" -> K),
-      "documents" -> Map("doc_id" -> K),
-      "embeddings" -> Map("vec_id" -> K))
+      "documents" -> Map("doc_id" -> D),
+      "embeddings" -> Map("vec_id" -> D))
     for (t <- graft.Tables.names) {
       val df = graft.Tables.t(spark, src, t)
+      plans.get(t).foreach { shifts =>
+        shifts.foreach { case (c, base) =>
+          val mx = df.agg(max(col(c).cast("long"))).head.getLong(0)
+          require(mx < base, s"$t.$c max $mx >= replica shift $base — " +
+            "replicas would collide")
+        }
+      }
       val scaled = plans.get(t).map(replicate(df, _)).getOrElse(df)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale] $t -> ${if (plans.contains(t)) mult + "x" else "1x"}")
