@@ -145,9 +145,15 @@ object StreamingDedup {
             state: GroupState[Seq[Member]]) => {
           val members = (state.getOption.getOrElse(Seq.empty) ++
             it.map(r => (r._4, r._5, r._6, false)))
-            .sortBy(m => (m._1, m._2))
+            .sortBy(m => (m._1, m._2)).toIndexedSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          // horizon candidates are a CONTIGUOUS window of the sorted
+          // buffer, and its lower bound only moves forward as ts
+          // grows — a running pointer makes the scan linear in
+          // (members × window), not quadratic in the batch (the 100×
+          // probe's failure shape for population-heavy buckets)
+          var lo = 0
           val updated = members.zipWithIndex.map { case (m @ (ts, doc, sh, emitted), i) =>
             if (emitted || ts >= wmUs) m
             else {
@@ -156,9 +162,13 @@ object StreamingDedup {
               // within the horizon of THIS doc's own timestamp (the
               // batching-independent form of the windowed trade-off;
               // state eviction in evictAndArm is its corollary)
-              val dup = members.iterator.take(i)
-                .filter(e => horizonSeconds.forall(h => e._1 >= ts - h * 1000000L)
-                  && jaccard(e._3, sh) >= threshold)
+              horizonSeconds.foreach { h =>
+                val minTs = ts - h * 1000000L
+                while (lo < i && members(lo)._1 < minTs) lo += 1
+              }
+              val dup = members.iterator.slice(
+                  if (horizonSeconds.isDefined) lo else 0, i)
+                .filter(e => jaccard(e._3, sh) >= threshold)
                 .map(_._2).minOption
               dup.foreach(d => out += ((doc, d)))
               (ts, doc, sh, true)
@@ -261,14 +271,23 @@ object StreamingDedup {
             it.map { r =>
               val v = r._6.map(_.toDouble).toArray
               (r._4, r._5, v, math.sqrt(v.map(x => x * x).sum), false)
-            }).sortBy(m => (m._1, m._2))
+            }).sortBy(m => (m._1, m._2)).toIndexedSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          // running horizon lower bound — see minhashDedup: turns the
+          // per-member candidate scan from O(batch) into O(window),
+          // which is what keeps population-heavy sign buckets (few
+          // geometry-fixed keys) linear in the corpus
+          var lo = 0
           val updated = members.zipWithIndex.map { case (m @ (ts, id, v, nrm, emitted), i) =>
             if (emitted || ts >= wmUs) m
             else {
-              val dup = members.iterator.take(i)
-                .filter(e => horizonSeconds.forall(h => e._1 >= ts - h * 1000000L))
+              horizonSeconds.foreach { h =>
+                val minTs = ts - h * 1000000L
+                while (lo < i && members(lo)._1 < minTs) lo += 1
+              }
+              val dup = members.iterator.slice(
+                  if (horizonSeconds.isDefined) lo else 0, i)
                 .filter { e =>
                   var dot = 0.0
                   var k = 0
