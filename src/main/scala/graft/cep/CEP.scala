@@ -214,6 +214,8 @@ object CEP {
         "an optional group may not lead a pattern (start anchoring)"))
     val out = Vector.newBuilder[Match[T]]
     var blockedBelow = -1 // skip fence: no new match may start at or before this idx
+    val branchingPat = pattern.stages.exists(st =>
+      st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
 
     type Acc = List[(String, Seq[Int])]
     type Completions = Iterator[(Acc, Int)]
@@ -351,12 +353,22 @@ object CEP {
           var i = pos
           if (st.contiguity == Relaxed && !anchored)
             while (i < events.length && !ok(events(i))) i += 1
-          if (!gapClean(pos, math.min(i, events.length))) Iterator.empty
-          else if (st.reluctant && st.maxTimes > st.minTimes) {
-            // reluctant: measure the maximal qualifying contiguous run
-            // once, then offer block sizes ASCENDING — the caller's
-            // earliest-completion selection takes the SHORTEST block
-            // that lets the rest of the pattern complete
+          if (st.maxTimes > st.minTimes && (st.reluctant || !branchingPat)) {
+            // variable-size block: measure the maximal qualifying
+            // contiguous run once, then BRANCH over block sizes —
+            // DESCENDING for the greedy default (prefer the longest
+            // block, but backtrack when greed starves the tail — the
+            // group stages' repeat behavior, and the reference finds
+            // these matches too), ASCENDING for reluctant (shortest
+            // completing block wins). k == 0 consumes nothing: the
+            // stage is skipped from the ORIGINAL pos with the ban
+            // carried forward — a relaxed optional stage with no
+            // qualifying event ahead no longer swallows the scan to
+            // the end of the buffer. Earliest-completion selection
+            // evaluates the sizes lazily, so completing starts pay
+            // for one size only. (Branching patterns keep the single
+            // greedy continuation for non-reluctant stages so their
+            // every-match set is not multiplied by block sizes.)
             var runLen = 0
             while (i + runLen < events.length && runLen < st.maxTimes
                 && ok(events(i + runLen))
@@ -365,16 +377,23 @@ object CEP {
                   else firstTs0)
                 && !st.untilPred.exists(_(events(i + runLen)))) runLen += 1
             if (runLen < st.minTimes) Iterator.empty
-            else Iterator.range(st.minTimes, runLen + 1).flatMap { k =>
-              if (k == 0) // nothing consumed: stage skipped entirely
-                expandSeq(stages, si + 1, pos, firstTs0, acc, ban, anchor, cont)
-              else {
-                val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
-                expandSeq(stages, si + 1, i + k, fTs,
-                  (st.name -> (i until i + k)) :: acc, None, anchor, cont)
+            else {
+              val sizes =
+                if (st.reluctant) Iterator.range(st.minTimes, runLen + 1)
+                else Iterator.range(runLen, st.minTimes - 1, -1)
+              sizes.flatMap { k =>
+                if (k == 0) // nothing consumed: stage skipped entirely
+                  expandSeq(stages, si + 1, pos, firstTs0, acc, ban, anchor, cont)
+                else if (!gapClean(pos, i)) Iterator.empty
+                else {
+                  val fTs = if (firstTs0 < 0) tsOf(events(i)) else firstTs0
+                  expandSeq(stages, si + 1, i + k, fTs,
+                    (st.name -> (i until i + k)) :: acc, None, anchor, cont)
+                }
               }
             }
-          } else {
+          } else if (!gapClean(pos, math.min(i, events.length))) Iterator.empty
+          else {
             var taken = 0
             var firstTs = firstTs0
             val buf = Vector.newBuilder[Int]
@@ -431,10 +450,8 @@ object CEP {
       if (s > blockedBelow && headPred(events(s))) {
         val completions = expandSeq(pattern.stages, 0, s, -1L, Nil, None,
           anchor = true, (pos, _, acc, _) => Iterator((acc, pos - 1)))
-        val branching = pattern.stages.exists(st =>
-          st.contiguity == RelaxedAny || (st.combinations && st.maxTimes > 1))
         val selected =
-          if (branching && pattern.skip != NoSkip)
+          if (branchingPat && pattern.skip != NoSkip)
             // reference prune-after-emit (AfterMatchSkipStrategy.prune,
             // NFA.processMatchesAccordingToSkipStrategy): same-start
             // candidates emit in COMPLETION order — the earliest-
@@ -442,7 +459,7 @@ object CEP {
             // first — and each emission prunes its later siblings
             // through the fence re-check below
             completions.toSeq.sortBy(_._2)
-          else if (branching) completions.toSeq // all non-deterministic matches
+          else if (branchingPat) completions.toSeq // all non-deterministic matches
           else completions.take(1).toSeq        // earliest completion
         // re-check the fence per candidate: an emitted same-start
         // sibling prunes the rest (reference shouldPrune on the

@@ -107,6 +107,30 @@ class CepSpec extends AnyFunSuite {
     assert(!ms.head.stages.contains("w") && ids(ms(1), "w") == Seq(3L))
   }
 
+  test("relaxed optional stage with no qualifying event ahead is skipped") {
+    // v w? c with no w anywhere: the optional stage must consume
+    // nothing (k == 0 branch) instead of swallowing the scan to the
+    // end of the buffer and starving c
+    val p = Pattern.begin[E]("v").where(_._2 == "v")
+      .followedBy("w").where(_._2 == "w").optional
+      .followedBy("c").where(_._2 == "c")
+    val ms = matchSequence(ev("v x c"), p)(_._3)
+    assert(ms.size == 1)
+    assert(!ms.head.stages.contains("w") && ids(ms.head, "c") == Seq(2L))
+  }
+
+  test("greedy quantified block backtracks when it starves the tail") {
+    // stage 1 accepts e AND b, so the greedy run swallows the final b;
+    // the tail then fails and the block must retry one shorter — the
+    // group-repeat behavior, now on symbol stages too
+    val p = Pattern.begin[E]("run").where(t => t._2 == "e" || t._2 == "b")
+      .oneOrMore
+      .next("b").where(_._2 == "b")
+    val ms = matchSequence(ev("e e b"), p)(_._3)
+    assert(ms.nonEmpty)
+    assert(ids(ms.head, "run") == Seq(0L, 1L) && ids(ms.head, "b") == Seq(2L))
+  }
+
   test("matchSequenceBounded: a million-row hot key stays bounded under within") {
     // alternating a b a b ... at ts step 10 with within(15): each a
     // pairs with its adjacent b only. The live buffer holds just the
