@@ -304,18 +304,27 @@ object RelationalQueries extends QueryModule {
 
     // ----- §2.6 OVER aggregates: running sum / row_number / lag / lead
     // (reference DataStreamOverAggregate.scala; batch-side here) -----
+    // window order carries l_quantity + l_extendedprice as trailing
+    // tie-breakers: the synthetic lineitem is NOT unique on
+    // (l_orderkey, l_linenumber) at every sf (sf0.1 has colliding
+    // pairs), and an engine-dependent tie order flips lag/lead and the
+    // running sum. With every REFERENCED column in the order, tied
+    // rows are identical in the output, so both engines agree.
     q("q16_over_running",
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
          |  CAST(row_number() OVER w AS INTEGER) AS rn,
-         |  CAST(round(sum(CAST(l_extendedprice AS $DEC)) OVER w, 4) AS DOUBLE) AS running_rev,
+         |  CAST(round(sum(CAST(l_extendedprice AS $DEC))
+         |    OVER (w ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_rev,
          |  lag(l_quantity) OVER w AS prev_qty,
          |  lead(l_quantity) OVER w AS next_qty
          |FROM lineitem
          |WINDOW w AS (PARTITION BY l_suppkey
-         |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         |             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+         |                      l_quantity, l_extendedprice)
          |ORDER BY l_suppkey, rn""") { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       Tables.t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).as("rn"),
