@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * the provided sf0.1 — linearity here is the evidence that the
   * operator designs hold at 100 TB.
   *
-  * Usage: Scale <srcSfDir> <outDir> <multiplier>
+  * Usage: Scale <srcSfDir> <outDir> <multiplier> [table,table,...]
+  * With a table list, only those tables are written — a 1000×
+  * documents-only corpus doesn't pay for 600 M lineitem rows.
   */
 object Scale {
   def main(args: Array[String]): Unit = {
     val Array(src, out, multS) = args.take(3)
     val mult = multS.toInt
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set.empty
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,7 +62,7 @@ object Scale {
       "events" -> Map("event_id" -> K),
       "documents" -> Map("doc_id" -> D),
       "embeddings" -> Map("vec_id" -> D))
-    for (t <- graft.Tables.names) {
+    for (t <- graft.Tables.names if only.isEmpty || only.contains(t)) {
       val df = graft.Tables.t(spark, src, t)
       plans.get(t).foreach { shifts =>
         shifts.foreach { case (c, base) =>

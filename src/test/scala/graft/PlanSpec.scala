@@ -129,6 +129,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("q148 sorted group-reduce is one hash shuffle with a pruned scan") {
+    val p = plan("q148_sorted_group_reduce")
+    // one Exchange hashpartitioning on the group key (the final
+    // ORDER BY adds a rangepartitioning, which is fine); the per-group
+    // sort happens inside the partition, never as another shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "sortedReduceGroup must shuffle exactly once, on the group key")
+    assert(!p.contains("o_totalprice"), "unused orders columns not pruned")
+  }
+
   test("q127 year filter becomes a partition filter, not a data filter") {
     val p = plan("q127_partition_pruning")
     assert(p.contains("PartitionFilters: [isnotnull(l_year"),
