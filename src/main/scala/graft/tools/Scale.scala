@@ -27,7 +27,11 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+    def replicate(df0: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      // spread the source rows first: the replica transform (per-word
+      // suffixing at mult=1000 is 50 M string rewrites) inherits the
+      // source partitioning, and the small tables arrive in 1-2 files
+      val df = df0.repartition(32)
       df.crossJoin(spark.range(mult).select(col("id").as("__rep")))
         .select(df.columns.map { c =>
           shifts.get(c) match {
@@ -46,6 +50,7 @@ object Scale {
             case None => col(c)
           }
         }: _*)
+    }
 
     val K = 100000000L // replica key shift
     // doc/vec ids double as event-time SECONDS in the streaming dedup
