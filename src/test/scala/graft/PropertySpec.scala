@@ -150,6 +150,94 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP deterministic matcher: match existence equals a java.util.regex reference") {
+    // Independent differential oracle: every deterministic pattern from
+    // the builder grammar below translates to an anchored regex whose
+    // semantics provably coincide on EXISTENCE of a match starting at a
+    // given row —
+    //   begin block        ->  c{n,m}            (anchored at the start)
+    //   next block         ->  c{n,m}            (no gap)
+    //   followedBy block   ->  [^c]*c{n,m}       (SKIP_TILL_NEXT pins the
+    //                                             block to the FIRST
+    //                                             qualifying event)
+    //   notFollowedBy(b)
+    //     before followedBy c -> [^bc]*c{n,m}    (gap also excludes b)
+    //   optional followedBy -> (?:[^c]*c{1,m})?  (absent group consumes
+    //                                             nothing and no gap)
+    // java.util.regex backtracks block sizes freely, so this directly
+    // cross-checks the matcher's greedy-descending/reluctant-ascending
+    // block branching and k=0 skip-from-original-pos semantics against
+    // an engine that shares no code with it. NoSkip + deterministic
+    // stages => exactly one match per start with a completion, so
+    // match-start sets must be EQUAL.
+    type E = (Long, Char, Long)
+    val r = new Random(211)
+    for (_ <- 1 to 400) {
+      val alphabet = "abc"
+      def quant(head: Boolean): (Int, Int) = r.nextInt(6) match {
+        case 0 | 1 => (1, 1)
+        case 2 => (2, 2)
+        case 3 => (1, 3)
+        case 4 => if (head) (1, 1) else (0, 1)
+        case 5 => (2, 4)
+      }
+      val nStages = 2 + r.nextInt(3)
+      var pat = null.asInstanceOf[CEP.Pattern[E]]
+      val rx = new StringBuilder
+      for (i <- 0 until nStages) {
+        val c = alphabet(r.nextInt(alphabet.length))
+        val (mn, mx) = quant(head = i == 0)
+        val strict = i > 0 && r.nextBoolean()
+        // a ban is only sound before an unconditionally-consuming
+        // relaxed stage: on a skipped optional stage the matcher
+        // carries the ban forward, which the regex form can't express
+        val ban: Option[Char] =
+          if (!strict && i > 0 && mn >= 1 && r.nextInt(4) == 0)
+            Some(alphabet(r.nextInt(alphabet.length)))
+          else None
+        val name = s"s$i"
+        pat =
+          if (i == 0) CEP.Pattern.begin[E](name).where(_._2 == c)
+          else {
+            val withBan = ban match {
+              case Some(b) => pat.notFollowedBy(s"n$i").where(_._2 == b)
+              case None => pat
+            }
+            if (strict) withBan.next(name).where(_._2 == c)
+            else withBan.followedBy(name).where(_._2 == c)
+          }
+        if ((mn, mx) != (1, 1)) {
+          pat = pat.times(mn, mx)
+          if (mx > mn && r.nextBoolean()) pat = pat.reluctant
+        }
+        val gap =
+          if (i == 0 || strict) ""
+          else ban match {
+            case Some(b) => s"[^${(Set(b, c)).mkString}]*"
+            case None => s"[^$c]*"
+          }
+        val block = if ((mn, mx) == (1, 1)) s"$c" else s"$c{$mn,$mx}"
+        rx ++= (if (mn == 0 && gap.nonEmpty) s"(?:$gap$c{1,$mx})?"
+                else if (mn == 0) s"$c{0,$mx}"
+                else s"$gap$block")
+      }
+      val s = List.fill(r.nextInt(30))("abcx"(r.nextInt(4))).mkString
+      val evs = s.zipWithIndex.map { case (ch, i) =>
+        (i.toLong, ch, i.toLong * 10)
+      }.toIndexedSeq
+      val got = CEP.matchSequence(evs, pat)(_._3)
+        .map(_.stages.values.flatten.map(_._1).min).toSet
+      val jre = java.util.regex.Pattern.compile(rx.toString)
+      val want = evs.indices.filter { start =>
+        val m = jre.matcher(s)
+        m.region(start, s.length)
+        m.lookingAt()
+      }.map(_.toLong).toSet
+      assert(got == want,
+        s"pattern /$rx/ on \"$s\": matcher starts $got, regex starts $want")
+    }
+  }
+
   test("sorted_intersect_size_long equals set-intersect cardinality") {
     import graft.functions.SortedIntersectSize
     import org.apache.spark.sql.functions.col
