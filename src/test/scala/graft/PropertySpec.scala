@@ -238,6 +238,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP branching matcher: match existence equals a java.util.regex reference") {
+    // The branching extension of the differential oracle above:
+    // followedByAny (SKIP_TILL_ANY) translates to a free `.*` gap —
+    // the stage may take ANY later qualifying event, not just the
+    // first. Branching patterns emit every completion, so existence
+    // per start is still the regex question. Variable-size blocks in
+    // branching patterns are constrained to RELUCTANT (the matcher's
+    // greedy default deliberately keeps a single continuation there to
+    // preserve the reference's match SET; reluctant blocks branch over
+    // sizes in every mode, which is what existence-equality needs).
+    type E = (Long, Char, Long)
+    val r = new Random(503)
+    for (_ <- 1 to 300) {
+      val alphabet = "abc"
+      val nStages = 2 + r.nextInt(3)
+      var pat = null.asInstanceOf[CEP.Pattern[E]]
+      val rx = new StringBuilder
+      var sawAny = false
+      for (i <- 0 until nStages) {
+        val c = alphabet(r.nextInt(alphabet.length))
+        val kind = if (i == 0) 0 else r.nextInt(3) // 0 relaxed, 1 strict, 2 any
+        if (kind == 2) sawAny = true
+        val name = s"s$i"
+        pat =
+          if (i == 0) CEP.Pattern.begin[E](name).where(_._2 == c)
+          else kind match {
+            case 1 => pat.next(name).where(_._2 == c)
+            case 2 => pat.followedByAny(name).where(_._2 == c)
+            case _ => pat.followedBy(name).where(_._2 == c)
+          }
+        // quantifiers: followedByAny stages are single-element (the
+        // builder's rule); variable blocks are reluctant-only here
+        val (mn, mx) =
+          if (kind == 2) (1, 1)
+          else r.nextInt(4) match {
+            case 0 | 1 => (1, 1)
+            case 2 => (2, 2)
+            case 3 => (1, 3)
+          }
+        if ((mn, mx) != (1, 1)) {
+          pat = pat.times(mn, mx)
+          if (mx > mn) pat = pat.reluctant
+        }
+        val gap = kind match {
+          case _ if i == 0 => ""
+          case 1 => ""
+          case 2 => ".*"
+          case _ => s"[^$c]*"
+        }
+        rx ++= (if ((mn, mx) == (1, 1)) s"$gap$c" else s"$gap$c{$mn,$mx}")
+      }
+      if (sawAny) { // only branching trials exercise this test's claim
+        val s = List.fill(r.nextInt(25))("abcx"(r.nextInt(4))).mkString
+        val evs = s.zipWithIndex.map { case (ch, i) =>
+          (i.toLong, ch, i.toLong * 10)
+        }.toIndexedSeq
+        val got = CEP.matchSequence(evs, pat)(_._3)
+          .map(_.stages.values.flatten.map(_._1).min).toSet
+        val jre = java.util.regex.Pattern.compile(rx.toString, java.util.regex.Pattern.DOTALL)
+        val want = evs.indices.filter { start =>
+          val m = jre.matcher(s)
+          m.region(start, s.length)
+          m.lookingAt()
+        }.map(_.toLong).toSet
+        assert(got == want,
+          s"pattern /$rx/ on \"$s\": matcher starts $got, regex starts $want")
+      }
+    }
+  }
+
   test("sorted_intersect_size_long equals set-intersect cardinality") {
     import graft.functions.SortedIntersectSize
     import org.apache.spark.sql.functions.col
