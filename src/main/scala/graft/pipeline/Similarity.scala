@@ -366,8 +366,13 @@ object Similarity extends QueryModule {
         |           GROUP BY c.a_id, c.b_id, na.nrm, nb.nrm)
         |SELECT b_id AS vec_id, min(a_id) AS dup_of FROM scored
         |WHERE score >= 0.25 GROUP BY b_id ORDER BY vec_id""") { (s, dir) =>
+      // geometry is the operator's deployment knob (nlist-style:
+      // buckets = signTables × 2^signBits must grow ~log2(corpus) —
+      // PLANS.md). The oracle pins 4×2; scaling probes override via
+      // env, which the driver never sets.
       StreamingDedup.embeddingNearDup(s, dir, horizonSeconds = Some(200L),
-        signTables = 4, signBits = 2)
+        signTables = sys.env.get("GRAFT_SIGN_TABLES").map(_.toInt).getOrElse(4),
+        signBits = sys.env.get("GRAFT_SIGN_BITS").map(_.toInt).getOrElse(2))
     },
 
     // ----- IVF-shaped two-stage search: stage 1 routes each probe to
