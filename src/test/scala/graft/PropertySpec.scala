@@ -308,6 +308,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP group patterns: match existence equals a java.util.regex reference") {
+    // Third leg of the differential oracle: quantified GROUP stages
+    // (sub-sequence repeats, reference GroupPattern.java). A group of
+    // inner single-element stages translates repeat-wise —
+    //   followedBy(sub){n,m} -> (?:[^c1]*c1 g2 c2){n,m}
+    //   next(sub){n,m}       -> c1 g2 c2 (?:[^c1]*c1 g2 c2){n-1,m-1}
+    //     (strict groups pin the FIRST repeat to the scan position;
+    //      later repeats re-enter through the inner head's relaxed gap)
+    // where g2 is the second inner stage's own gap ("" strict,
+    // [^c2]* relaxed). The group matcher explores every repeat count,
+    // as does the regex engine. Inner stages stay (1,1) so the
+    // zero-progress prune never fires.
+    type E = (Long, Char, Long)
+    val r = new Random(907)
+    for (_ <- 1 to 300) {
+      val alphabet = "abc"
+      val nStages = 1 + r.nextInt(2) // 1-2 top-level stages
+      var pat = null.asInstanceOf[CEP.Pattern[E]]
+      val rx = new StringBuilder
+      var sawGroup = false
+      for (i <- 0 until nStages) {
+        val isGroup = r.nextInt(2) == 0 || (i == nStages - 1 && !sawGroup)
+        if (!isGroup) {
+          val c = alphabet(r.nextInt(alphabet.length))
+          val strict = i > 0 && r.nextBoolean()
+          pat =
+            if (i == 0) CEP.Pattern.begin[E](s"s$i").where(_._2 == c)
+            else if (strict) pat.next(s"s$i").where(_._2 == c)
+            else pat.followedBy(s"s$i").where(_._2 == c)
+          rx ++= (if (i == 0 || strict) s"$c" else s"[^$c]*$c")
+        } else {
+          sawGroup = true
+          val c1 = alphabet(r.nextInt(alphabet.length))
+          val c2 = alphabet(r.nextInt(alphabet.length))
+          val inner2strict = r.nextBoolean()
+          val sub = {
+            val b = CEP.Pattern.begin[E](s"g${i}a").where(_._2 == c1)
+            if (inner2strict) b.next(s"g${i}b").where(_._2 == c2)
+            else b.followedBy(s"g${i}b").where(_._2 == c2)
+          }
+          val strictGroup = i > 0 && r.nextBoolean()
+          pat =
+            if (i == 0) CEP.Pattern.begin[E](sub)
+            else if (strictGroup) pat.next(sub)
+            else pat.followedBy(sub)
+          val (mn, mx) = Seq((1, 1), (1, 2), (2, 2), (1, 3))(r.nextInt(4))
+          if ((mn, mx) != (1, 1)) pat = pat.times(mn, mx)
+          val g2 = if (inner2strict) "" else s"[^$c2]*"
+          val rep = s"[^$c1]*$c1$g2$c2"
+          val first = s"$c1$g2$c2"
+          rx ++= (if (i == 0 || strictGroup)
+            // anchored/strict: first repeat has no entry gap
+            s"$first(?:$rep){${mn - 1},${mx - 1}}"
+          else s"(?:$rep){$mn,$mx}")
+        }
+      }
+      val s = List.fill(r.nextInt(25))("abcx"(r.nextInt(4))).mkString
+      val evs = s.zipWithIndex.map { case (ch, i) =>
+        (i.toLong, ch, i.toLong * 10)
+      }.toIndexedSeq
+      val got = CEP.matchSequence(evs, pat)(_._3)
+        .map(_.stages.values.flatten.map(_._1).min).toSet
+      val jre = java.util.regex.Pattern.compile(rx.toString)
+      val want = evs.indices.filter { start =>
+        val m = jre.matcher(s)
+        m.region(start, s.length)
+        m.lookingAt()
+      }.map(_.toLong).toSet
+      assert(got == want,
+        s"pattern /$rx/ on \"$s\": matcher starts $got, regex starts $want")
+    }
+  }
+
   test("sorted_intersect_size_long equals set-intersect cardinality") {
     import graft.functions.SortedIntersectSize
     import org.apache.spark.sql.functions.col
