@@ -215,6 +215,23 @@ class CepSpec extends AnyFunSuite {
     assert(ms.map(m => (ids(m, "a").head, ids(m, "b").head)) == Seq((3L, 5L)))
   }
 
+  test("notNext with a predicate overlapping the next stage rejects the shared event") {
+    // the reference NOT state checks the banned predicate on the very
+    // event the following stage then consumes: when both predicates
+    // hold (here: any event counts as "bad", b also matches "b"), the
+    // match must be rejected — the ban is NOT vacuous just because the
+    // next stage wants the same position
+    val p = Pattern.begin[E]("a").where(_._2 == "a")
+      .notNext("bad").where(t => t._2 == "b" || t._2 == "x")
+      .next("b").where(_._2 == "b")
+    assert(matchSequence(ev("a b"), p)(_._3).isEmpty)
+    // disjoint ban at that position still matches
+    val p2 = Pattern.begin[E]("a").where(_._2 == "a")
+      .notNext("bad").where(_._2 == "x")
+      .next("b").where(_._2 == "b")
+    assert(matchSequence(ev("a b"), p2)(_._3).size == 1)
+  }
+
   test("notFollowedBy bans the gap before the next stage") {
     val p = Pattern.begin[E]("a").where(_._2 == "a")
       .notFollowedBy("bad").where(_._2 == "x")
