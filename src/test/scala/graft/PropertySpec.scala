@@ -381,6 +381,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP until(): block truncation equals a java.util.regex reference") {
+    // Fourth leg: quantified blocks with CLASS predicates (char in
+    // {c1, c2}) and until(c2). The matcher stops the block at the
+    // first until event (not consumed), so the effective block body is
+    // the class MINUS the until char — but gap entry pinning still
+    // uses the FULL class (an until-char event is a qualifying event,
+    // so a relaxed gap cannot skip it):
+    //   followedBy [c1c2]{n,m} until c2  ->  [^c1c2]*[c1]{n,m}
+    // This separates the two roles a predicate char can play (entry
+    // anchor vs block member), which single-char predicates never do.
+    type E = (Long, Char, Long)
+    val r = new Random(1301)
+    for (_ <- 1 to 300) {
+      val alphabet = "abc"
+      val c1 = alphabet(r.nextInt(3))
+      val c2 = alphabet((alphabet.indexOf(c1) + 1 + r.nextInt(2)) % 3)
+      val (mn, mx) = Seq((1, 2), (1, 3), (2, 3))(r.nextInt(3))
+      val head = alphabet(r.nextInt(3))
+      val tail = alphabet(r.nextInt(3))
+      val tailStrict = r.nextBoolean()
+      var pat = CEP.Pattern.begin[E]("h").where(_._2 == head)
+        .followedBy("blk").where(t => t._2 == c1 || t._2 == c2)
+        .times(mn, mx).until(_._2 == c2)
+      pat = if (tailStrict) pat.next("t").where(_._2 == tail)
+        else pat.followedBy("t").where(_._2 == tail)
+      val gapT = if (tailStrict) "" else s"[^$tail]*"
+      val rx = s"$head[^$c1$c2]*[$c1]{$mn,$mx}$gapT$tail"
+      val s = List.fill(r.nextInt(28))("abcx"(r.nextInt(4))).mkString
+      val evs = s.zipWithIndex.map { case (ch, i) =>
+        (i.toLong, ch, i.toLong * 10)
+      }.toIndexedSeq
+      val got = CEP.matchSequence(evs, pat)(_._3)
+        .map(_.stages.values.flatten.map(_._1).min).toSet
+      val jre = java.util.regex.Pattern.compile(rx)
+      val want = evs.indices.filter { start =>
+        val m = jre.matcher(s)
+        m.region(start, s.length)
+        m.lookingAt()
+      }.map(_.toLong).toSet
+      assert(got == want,
+        s"pattern /$rx/ on \"$s\": matcher starts $got, regex starts $want")
+    }
+  }
+
   test("sorted_intersect_size_long equals set-intersect cardinality") {
     import graft.functions.SortedIntersectSize
     import org.apache.spark.sql.functions.col
