@@ -15,18 +15,24 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver's events.parquet stores ts as TIMESTAMP(NANOS),
-      // which Spark's TimestampType (µs) refuses outright; read the
-      // raw int64 nanos and integer-divide to µs (the data is
-      // µs-aligned, so this is lossless — verified against DuckDB's
-      // TIMESTAMP_NS cast). Re-written copies (tools.Scale) already
-      // store µs and pass through unchanged.
+      // The driver's events.parquet has shipped ts three ways across
+      // testdata generations: TIMESTAMP(NANOS) (refused by Spark's
+      // µs TimestampType — read as raw int64 nanos and divide; the
+      // data is µs-aligned so this is lossless), TIMESTAMP_NTZ(µs)
+      // (naive µs — cast through the UTC session zone, which every
+      // entry point pins, reproducing the same instants), and plain
+      // TIMESTAMP(µs) in tools.Scale rewrites (passthrough). All
+      // downstream code sees one type: TimestampType, µs, UTC.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so queries can exercise the

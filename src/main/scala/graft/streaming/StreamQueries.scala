@@ -37,9 +37,15 @@ object StreamQueries extends QueryModule {
         s.readStream.schema(raw).parquet(s"$dir/events.parquet")
       else s.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else st
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive µs generation: cast through the pinned-UTC session
+        // zone so watermarks/event-time see TimestampType as before
+        st.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => st
+    }
   }
 
   /** Run a streaming DF to completion into a memory sink; return the
