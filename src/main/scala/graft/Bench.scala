@@ -47,7 +47,10 @@ object Bench {
     // the LLM-data-pipeline flagships, tracked longitudinally
     "q133_dedup_clusters",
     "q136_stream_dedup_minhash",
-    "q138_curation_keeplist")
+    "q138_curation_keeplist",
+    // r8 text-curation additions (the two shuffle-bearing ones)
+    "q155_decontamination",
+    "q157_crossdoc_ngram_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5,13 +5,56 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis for data-pipeline curation: token counting
   * (whitespace + BPE-ish regex), quality scoring (length/punctuation/
-  * stopword ratios → logistic score), and n-gram-heuristic language
-  * ID. Pure per-row Catalyst expressions — no shuffle at all, so the
-  * stage is a map over the corpus at any scale.
+  * stopword ratios → logistic score), n-gram-heuristic language ID,
+  * PII redaction, benchmark decontamination, within-doc repetition
+  * filtering, and corpus-level n-gram duplication scoring.
+  *
+  * The per-row stages (stats, redaction, repetition) are pure
+  * Catalyst expressions — a map over the corpus at any scale. The
+  * corpus-level stages shuffle only small derived frames: the
+  * decontamination semi-join broadcasts the (small) eval-set n-gram
+  * table so the corpus is never shuffled, and duplication scoring
+  * shuffles 8-byte gram hashes with map-side partial aggregation.
   */
 object TextAnalysis extends QueryModule {
 
   private val TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  // ----- cross-engine regexes (Java regex on the Spark side, RE2 in
+  // DuckDB — this subset parses and matches identically in both) -----
+  private val EMAIL_RE = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val SSN_RE = """\b\d{3}-\d{2}-\d{4}\b"""
+  private val PHONE_RE = """\b\d{3}-\d{3}-\d{4}\b"""
+  private val IP_RE = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Redact PII in-place: emails, SSNs, phones, IPs → bracketed
+    * category tokens. Library surface for pipeline users; the order
+    * fixes ambiguity (an SSN never survives to be half-eaten by the
+    * phone pattern). Pure codegen'd regexes — map-only at any scale. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      EMAIL_RE, "[EMAIL]"),
+      SSN_RE, "[SSN]"),
+      PHONE_RE, "[PHONE]"),
+      IP_RE, "[IP]")
+
+  /** First 8 hex chars of md5 as a long — the shared cross-engine
+    * hash (same contract as Dedup); at 100 TB widen the slice to the
+    * full digest, the plan shape is unchanged. */
+  private def hexHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def duckHash(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
+
+  /** Distinct word 3-grams on a `w` array column (0-based Spark). */
+  private val sparkGrams3 =
+    """array_distinct(transform(sequence(0, size(w)-3),
+      |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))""".stripMargin
+
+  /** Same in DuckDB (1-based). */
+  private val duckGrams3 =
+    "list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
 
   /** Quality score — logistic over avg word length and stopword ratio
     * (the q58 formula, shared with the curation pipeline q138). Built
@@ -106,6 +149,227 @@ object TextAnalysis extends QueryModule {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- PII redaction: scrub emails / phones / SSNs / IPs before
+    // a corpus ships to training. The synthetic corpus carries no PII,
+    // so each doc first gets deterministic PII derived from its own
+    // doc_id (both engines derive identically); the operator under
+    // test is the redaction itself — per-category match counts plus
+    // the hash of the scrubbed text. Pure per-row regexes, no
+    // shuffle: a map over the corpus at any scale. -----
+    q("q154_pii_redaction",
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         |         || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || lpad(((doc_id*7) % 1000)::VARCHAR, 3, '0')
+         |         || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         |         || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR
+         |         || '.0.' || ((doc_id*3) % 256)::VARCHAR ELSE '' END AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(dirty, '$EMAIL_RE')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(dirty, '$PHONE_RE')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(dirty, '$SSN_RE')) AS INTEGER) AS n_ssn,
+         |  CAST(len(regexp_extract_all(dirty, '$IP_RE')) AS INTEGER) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+         |      '$EMAIL_RE', '[EMAIL]', 'g'),
+         |      '$SSN_RE', '[SSN]', 'g'),
+         |      '$PHONE_RE', '[PHONE]', 'g'),
+         |      '$IP_RE', '[IP]', 'g')) AS clean_hash
+         |FROM d ORDER BY doc_id""") { (s, dir) =>
+      val id = col("doc_id")
+      def pad(c: org.apache.spark.sql.Column, n: Int) = lpad(c.cast("string"), n, "0")
+      val dirty = concat(
+        col("text"), lit(" contact user"), id.cast("string"), lit("@example.com"),
+        when(id % 3 === 0, concat(lit(" call 555-"), pad(id % 1000, 3),
+          lit("-"), pad(id % 10000, 4))).otherwise(""),
+        when(id % 5 === 0, concat(lit(" ssn "), pad((id * 7) % 1000, 3),
+          lit("-"), pad(id % 100, 2), lit("-"), pad(id % 10000, 4))).otherwise(""),
+        when(id % 7 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+          lit(".0."), ((id * 3) % 256).cast("string"))).otherwise(""))
+      def n(re: String) = size(regexp_extract_all(col("dirty"), lit(re), lit(0)))
+      Tables.t(s, dir, "documents")
+        .select(id, dirty.as("dirty"))
+        .select(id,
+          n(EMAIL_RE).as("n_email"), n(PHONE_RE).as("n_phone"),
+          n(SSN_RE).as("n_ssn"), n(IP_RE).as("n_ip"),
+          md5(redactPii(col("dirty"))).as("clean_hash"))
+        .orderBy(id)
+    },
+
+    // ----- benchmark decontamination: flag training docs sharing any
+    // word n-gram with a held-out eval set (doc_id % 97 = 0 here; in
+    // production the eval suites). The eval-set n-gram table is tiny
+    // relative to the corpus, so it is broadcast — the corpus is never
+    // shuffled, scanned once, and the only aggregation is the
+    // map-side-combinable per-doc hit count. n=3 on this 31-word
+    // synthetic vocabulary ≈ the discriminating power of the 8–13-gram
+    // checks used on natural text. -----
+    q("q155_decontamination",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
+         |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+         |       FROM g WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, CAST(tr.n_grams AS INTEGER) AS n_grams,
+         |  count(*) AS n_shared,
+         |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY tr.doc_id, tr.n_grams
+         |ORDER BY doc_id""") { (s, dir) =>
+      // explode(expr) directly — NEVER explode a pre-projected array
+      // column: InferFiltersFromGenerate turns that into size()/
+      // isnotnull() filters carrying the whole gram expression,
+      // re-evaluated per row in an interpreted Filter (7× — PLANS.md
+      // r8). Grams are distinct per doc, so n_grams = the post-join
+      // row count per doc under a LEFT join against the eval set.
+      val gramRows = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(sparkGrams3)).as("g"))
+      val ev = gramRows.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      gramRows.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_shared"))
+        .filter(col("n_shared") >= 1)
+        .select(col("doc_id"), col("ng").cast("int").as("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("ng"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- within-doc repetition filter: duplicate-bigram/-trigram
+    // fraction and top-word mass flag boilerplate/looping generations.
+    // Array expressions only — zero shuffle. The top-word scan is
+    // O(distinct·len) per doc; documents are bounded (n_chars ≤ a few
+    // KB here), and at 100 TB the stage stays embarrassingly
+    // parallel. -----
+    q("q156_repetition_filter",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])))::DOUBLE
+        |      / (len(w) - 1) AS dup2,
+        |  1.0 - len(list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])))::DOUBLE
+        |      / (len(w) - 2) AS dup3,
+        |  list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE
+        |      / len(w) AS topw
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT doc_id, round(dup2, 6) AS dup2_frac, round(dup3, 6) AS dup3_frac,
+        |  round(topw, 6) AS top_word_ratio,
+        |  CAST(CASE WHEN dup2 > 0.06 OR topw > 0.2 THEN 1 ELSE 0 END AS INTEGER) AS repetitive
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      val dup2 = lit(1.0) -
+        size(array_distinct(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")))
+          .cast("double") / (size(col("w")) - 1)
+      val dup3 = lit(1.0) -
+        size(array_distinct(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+          .cast("double") / (size(col("w")) - 2)
+      val topw = expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+        .cast("double") / size(col("w"))
+      Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), dup2.as("dup2"), dup3.as("dup3"), topw.as("topw"))
+        .select(col("doc_id"),
+          round(col("dup2"), 6).as("dup2_frac"),
+          round(col("dup3"), 6).as("dup3_frac"),
+          round(col("topw"), 6).as("top_word_ratio"),
+          when(col("dup2") > 0.06 || col("topw") > 0.2, 1).otherwise(0).as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- corpus-level n-gram duplication score: per doc, the
+    // fraction of its distinct 3-grams that occur in ≥2 documents —
+    // the standard "duplicated n-gram fraction" corpus-QC signal.
+    // Grams shuffle as 8-byte md5-slice hashes (never strings); the
+    // doc-frequency groupBy partially aggregates map-side, and the
+    // join back is hash-partitioned on the same key so the df frame
+    // is not re-shuffled. Hash collisions merge grams identically in
+    // both engines (oracle replays the slice); widen the slice for a
+    // 100 TB corpus. -----
+    q("q157_crossdoc_ngram_dup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
+         |e AS (SELECT doc_id, len(grams) AS n_grams, ${duckHash("unnest(grams)")} AS gh FROM g),
+         |df AS (SELECT gh, count(*) AS df FROM e GROUP BY gh)
+         |SELECT e.doc_id, CAST(e.n_grams AS INTEGER) AS n_grams,
+         |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
+         |  round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / e.n_grams, 6) AS dup_frac
+         |FROM e JOIN df USING (gh)
+         |GROUP BY e.doc_id, e.n_grams
+         |ORDER BY doc_id""") { (s, dir) =>
+      // explode(expr) inline (see q155 note); per-doc distinct grams
+      // mean n_grams = the per-doc row count after the df join (the
+      // join never drops rows), so no array size is carried around
+      val e = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(sparkGrams3)).as("g"))
+        .select(col("doc_id"), hexHash(col("g")).as("gh"))
+      val df = e.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      e.join(df, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).as("ndup"))
+        .select(col("doc_id"), col("ng").cast("int").as("n_grams"),
+          col("ndup").cast("int").as("n_dup"),
+          round(col("ndup").cast("double") / col("ng"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- decontamination AT INGEST: the same eval-overlap check on
+    // a document STREAM. The eval suite is static (batch side,
+    // broadcast); arriving docs explode to n-grams, join the broadcast
+    // table, and the running per-doc hit counts live in the complete-
+    // mode aggregation — the q47 stream-static shape. The streamed
+    // corpus is shuffled only for its per-doc count; identical result
+    // to batch q155, so it shares the oracle. -----
+    q("q158_stream_decontam",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
+         |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+         |       FROM g WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, CAST(tr.n_grams AS INTEGER) AS n_grams,
+         |  count(*) AS n_shared,
+         |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY tr.doc_id, tr.n_grams
+         |ORDER BY doc_id""") { (s, dir) =>
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val evalGrams = Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(explode(expr(sparkGrams3)).as("g")).distinct()
+        .withColumn("hit", lit(1))
+      val stream =
+        (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+        else s.readStream.schema(raw)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      val hits = stream
+        .filter(col("doc_id") % 97 =!= 0)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(sparkGrams3)).as("g"))
+        .join(broadcast(evalGrams), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_shared"))
+      s.catalog.dropTempView("graft_stream_decontam")
+      val query = hits.writeStream.format("memory")
+        .queryName("graft_stream_decontam").outputMode("complete").start()
+      query.processAllAvailable()
+      query.stop()
+      s.table("graft_stream_decontam")
+        .filter(col("n_shared") >= 1)
+        .select(col("doc_id"), col("ng").cast("int").as("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("ng"), 6).as("contamination"))
         .orderBy(col("doc_id"))
     }
   )

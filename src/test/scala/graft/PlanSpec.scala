@@ -144,4 +144,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(l_year"),
       "partitioned read should prune directories via PartitionFilters")
   }
+
+  test("q155 decontamination broadcasts the eval n-grams, never shuffles the corpus join") {
+    val p = plan("q155_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-set n-gram table must broadcast — the corpus side is never shuffled for the join")
+    assert(!p.contains("SortMergeJoin"))
+    // corpus side: exactly one hash exchange (per-doc hit-count agg);
+    // the only other one is the eval-side distinct feeding the
+    // broadcast build, which shuffles eval grams only
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      "corpus must shuffle exactly once (final per-doc agg)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "unexpected extra shuffle beyond per-doc agg + eval distinct")
+  }
+
+  test("q157 duplication score shuffles 8-byte gram hashes, not gram strings") {
+    val p = plan("q157_crossdoc_ngram_dup")
+    // df groupBy and join both key on the long-typed hash `gh`; the
+    // gram string must not survive into any exchange
+    assert("Exchange hashpartitioning\\(gh".r.findAllIn(p).nonEmpty,
+      "doc-frequency aggregation must be keyed on the hashed gram")
+    assert(!"Exchange hashpartitioning\\(g[#,]".r.findAllIn(p).nonEmpty,
+      "raw gram strings must never reach an exchange")
+  }
 }

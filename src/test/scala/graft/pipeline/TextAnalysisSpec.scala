@@ -32,4 +32,71 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(q("a") > q("b"))
   }
+
+  test("redactPii scrubs every category and leaves clean text alone") {
+    val dirty = "reach me at jo.na+1@corp.example.org or 555-867-5309, " +
+      "ssn 123-45-6789, host 192.168.0.1 says hi"
+    val out = Seq(dirty, "no pii here at all")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(out.head ==
+      "reach me at [EMAIL] or [PHONE], ssn [SSN], host [IP] says hi")
+    assert(out(1) == "no pii here at all")
+  }
+
+  test("redactPii: an SSN is never half-eaten by the phone pattern") {
+    // 3-2-4 must redact as SSN even when a 3-3-4 phone sits adjacent
+    val out = Seq("a 123-45-6789 b 123-456-7890 c")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].collect().head
+    assert(out == "a [SSN] b [PHONE] c")
+  }
+
+  test("redactPii property: seeded random injections redact exactly, and are idempotent") {
+    val r = new scala.util.Random(7)
+    def word = (1 to (r.nextInt(7) + 1)).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    def digits(n: Int) = (1 to n).map(_ => r.nextInt(10)).mkString
+    // each case: a word list where some positions are PII snippets with
+    // a known expected token — the oracle is the construction itself
+    val cases = (1 to 60).map { _ =>
+      val pieces = (1 to (r.nextInt(12) + 3)).map { _ =>
+        r.nextInt(6) match {
+          case 0 => (s"$word.$word@$word.${Seq("com", "org", "io")(r.nextInt(3))}", "[EMAIL]")
+          case 1 => (s"${digits(3)}-${digits(3)}-${digits(4)}", "[PHONE]")
+          case 2 => (s"${digits(3)}-${digits(2)}-${digits(4)}", "[SSN]")
+          case 3 => (s"${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}", "[IP]")
+          case _ => { val w = word; (w, w) }
+        }
+      }
+      (pieces.map(_._1).mkString(" "), pieces.map(_._2).mkString(" "))
+    }
+    val out = cases.toDF("dirty", "expected")
+      .select(col("expected"), TextAnalysis.redactPii(col("dirty")).as("once"))
+      .select(col("expected"), col("once"), TextAnalysis.redactPii(col("once")).as("twice"))
+      .as[(String, String, String)].collect()
+    out.foreach { case (expected, once, twice) =>
+      assert(once == expected, "redaction must replace exactly the injected snippets")
+      assert(twice == once, "redaction must be idempotent")
+    }
+  }
+
+  test("q156 repetition metrics on a hand-computed looping doc") {
+    // "x y x y x y": words=6, bigrams=5 {x y, y x}→distinct 2 → dup2 = 3/5
+    // trigrams=4 {x y x, y x y}→2 → dup3 = 2/4; top word 3/6
+    val out = Seq((0L, "x y x y x y"), (1L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    // the same expressions the QueryDef builds (which reads parquet)
+    val w = split(col("text"), " ")
+    val m = out.withColumn("w", w)
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")))
+          .cast("double") / (size(col("w")) - 1)).as("dup2"),
+        (expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+          .cast("double") / size(col("w"))).as("topw"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(m(0L)._1 - 0.6) < 1e-9)
+    assert(math.abs(m(0L)._2 - 0.5) < 1e-9)
+    assert(m(1L)._1 == 0.0)
+  }
 }
