@@ -371,6 +371,42 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("ng").cast("int").as("n_grams"), col("n_shared"),
           round(col("n_shared").cast("double") / col("ng"), 6).as("contamination"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- quota sampling for training-mix balancing: cap each
+    // (language, length-band) stratum at k docs, ranked by content
+    // hash so the subsample is deterministic, reproducible across
+    // engines/cluster sizes, and unbiased w.r.t. arrival order. One
+    // shuffle on the stratum key. The window sort is per-stratum; at
+    // 100 TB with huge strata, exploit the rank key being a UNIFORM
+    // hash: a per-stratum threshold at quantile quota/total (via
+    // approx_percentile over one pass) turns the cap into a map-only
+    // filter — same selection up to hash-boundary ties. -----
+    q("q159_quota_sample",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) > 0 THEN 'en'
+        |       ELSE 'unknown' END AS lang,
+        |  CAST(len(w) // 20 AS INTEGER) AS len_band, md5(text) AS h FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang, len_band
+        |                                   ORDER BY h, doc_id) AS rn FROM g)
+        |SELECT doc_id, lang, len_band, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 30 ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lang = when(
+        expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))") > 0, "en")
+        .otherwise("unknown")
+      Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), lang.as("lang"),
+          expr("CAST(size(w) div 20 AS INT)").as("len_band"),
+          md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"), col("len_band"))
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= 30)
+        .select(col("doc_id"), col("lang"), col("len_band"), col("rn"))
+        .orderBy(col("doc_id"))
     }
   )
 }
