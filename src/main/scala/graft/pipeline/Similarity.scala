@@ -115,9 +115,13 @@ object Similarity extends QueryModule {
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"))
+    // posexplode the cast INLINE: a pre-projected `ev` here trips
+    // InferFiltersFromGenerate, which re-evaluates the transform in
+    // an interpreted filter pushed below the join (PLANS.md r8)
     def update(assigned: DataFrame): DataFrame =
-      assigned.join(ed, "vec_id")
-        .select(col("cluster"), posexplode(col("ev")))
+      assigned.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("cluster"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
         .groupBy(col("cluster"), col("pos"))
         .agg(round(avg(col("col")), 6).as("c"))
         .groupBy(col("cluster"))
