@@ -47,6 +47,11 @@ object TextAnalysis extends QueryModule {
   private def duckHash(e: String): String =
     s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
 
+  /** State rows in the final progress of the last q158 run —
+    * TextAnalysisSpec's probe that the append-mode windowed agg
+    * really evicts sealed per-doc groups (bounded ingest state). */
+  @volatile private[pipeline] var lastStateRows: Long = -1L
+
   /** Distinct word 3-grams on a `w` array column (0-based Spark). */
   private val sparkGrams3 =
     """array_distinct(transform(sequence(0, size(w)-3),
@@ -324,11 +329,18 @@ object TextAnalysis extends QueryModule {
 
     // ----- decontamination AT INGEST: the same eval-overlap check on
     // a document STREAM. The eval suite is static (batch side,
-    // broadcast); arriving docs explode to n-grams, join the broadcast
-    // table, and the running per-doc hit counts live in the complete-
-    // mode aggregation — the q47 stream-static shape. The streamed
-    // corpus is shuffled only for its per-doc count; identical result
-    // to batch q155, so it shares the oracle. -----
+    // broadcast); arriving docs explode to n-grams, left-join the
+    // broadcast table, and per-doc counts finalize in an APPEND-mode
+    // event-time-windowed aggregation: a doc's grams all carry its
+    // own timestamp, so its (1s-window, doc) group seals as soon as
+    // the watermark passes it and is EVICTED from state — bounded
+    // state on an unbounded ingest stream, unlike a complete-mode
+    // running aggregate whose state grows with every doc ever seen.
+    // The far-future sentinel (StreamingDedup's discipline: it must
+    // survive every pushed-down filter — id ≡ 35 mod 97, 3 words —
+    // and, being the max timestamp, never seals itself) drives the
+    // watermark past the last real document. Identical result to
+    // batch q155, so it shares the oracle. -----
     q("q158_stream_decontam",
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
@@ -341,6 +353,8 @@ object TextAnalysis extends QueryModule {
          |FROM tr JOIN ev USING (g)
          |GROUP BY tr.doc_id, tr.n_grams
          |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
       val raw = s.read.parquet(s"$dir/documents.parquet").schema
       val evalGrams = Tables.t(s, dir, "documents")
         .filter(col("doc_id") % 97 === 0)
@@ -348,23 +362,34 @@ object TextAnalysis extends QueryModule {
         .filter(size(col("w")) >= 3)
         .select(explode(expr(sparkGrams3)).as("g")).distinct()
         .withColumn("hit", lit(1))
+      val sentinel = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      sentinel.addData((4102444800L, "zsentinela zsentinelb zsentinelc"))
       val stream =
         (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
           s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
         else s.readStream.schema(raw)
           .option("pathGlobFilter", "documents.parquet").parquet(dir))
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val hits = stream
+        .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+        .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+        .withWatermark("ts", "0 seconds")
         .filter(col("doc_id") % 97 =!= 0)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(sparkGrams3)).as("g"))
+        .select(col("doc_id"), col("ts"), explode(expr(sparkGrams3)).as("g"))
         .join(broadcast(evalGrams), Seq("g"), "left")
-        .groupBy(col("doc_id"))
+        .groupBy(window(col("ts"), "1 second"), col("doc_id"))
         .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_shared"))
+        .drop("window")
       s.catalog.dropTempView("graft_stream_decontam")
       val query = hits.writeStream.format("memory")
-        .queryName("graft_stream_decontam").outputMode("complete").start()
+        .queryName("graft_stream_decontam").outputMode("append").start()
       query.processAllAvailable()
+      lastStateRows = Option(query.lastProgress)
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+        .getOrElse(-1L)
       query.stop()
       s.table("graft_stream_decontam")
         .filter(col("n_shared") >= 1)
