@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for data-pipeline curation: token counting
@@ -60,6 +61,56 @@ object TextAnalysis extends QueryModule {
   /** Same in DuckDB (1-based). */
   private val duckGrams3 =
     "list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
+
+  /** The shared decontamination oracle: q155 (broadcast exact set),
+    * q158 (streaming ingest), and q160 (bloom prefilter) all compute
+    * exactly this relation. */
+  private val decontamOracle =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
+       |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+       |       FROM g WHERE doc_id % 97 <> 0)
+       |SELECT tr.doc_id, CAST(tr.n_grams AS INTEGER) AS n_grams,
+       |  count(*) AS n_shared,
+       |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
+       |FROM tr JOIN ev USING (g)
+       |GROUP BY tr.doc_id, tr.n_grams
+       |ORDER BY doc_id""".stripMargin
+
+  /** One row per (doc, distinct word 3-gram) — explode is fed the
+    * expression INLINE (see the q155 note). */
+  private def gramRows(s: SparkSession, dir: String) =
+    Tables.t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(sparkGrams3)).as("g"))
+
+  /** Decontamination with a bloom PREFILTER: the scale path for eval
+    * suites whose exact n-gram set outgrows a broadcast hash table.
+    * The bloom (KBs, `bits` total) ships as a scalar subquery; the
+    * corpus probes it map-side and only bloom-surviving grams reach
+    * the exact verify join (which AQE sizes — broadcast here, a
+    * shuffle join of two post-filter small sides at 100 TB). Bloom
+    * FPs are removed by the exact join and FNs cannot happen, so the
+    * result equals q155 for ANY sizing — the spec runs it with a
+    * deliberately undersized, FP-heavy sketch. */
+  private[pipeline] def decontamBloom(s: SparkSession, dir: String,
+      items: Long, bits: Long): DataFrame = {
+    import graft.functions.Bloom
+    val grams = gramRows(s, dir)
+    val ev = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val bloom = ev.agg(Bloom.bloomAgg(xxhash64(col("g")), items, bits).as("bf"))
+    val tr = grams.filter(col("doc_id") % 97 =!= 0)
+    val totals = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val shared = tr.filter(Bloom.mightContain(bloom, xxhash64(col("g"))))
+      .join(ev, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, "doc_id")
+      .select(col("doc_id"), col("ng").cast("int").as("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("ng"), 6).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Quality score — logistic over avg word length and stopword ratio
     * (the q58 formula, shared with the curation pipeline q138). Built
@@ -214,31 +265,17 @@ object TextAnalysis extends QueryModule {
     // map-side-combinable per-doc hit count. n=3 on this 31-word
     // synthetic vocabulary ≈ the discriminating power of the 8–13-gram
     // checks used on natural text. -----
-    q("q155_decontamination",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
-         |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
-         |       FROM g WHERE doc_id % 97 <> 0)
-         |SELECT tr.doc_id, CAST(tr.n_grams AS INTEGER) AS n_grams,
-         |  count(*) AS n_shared,
-         |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
-         |FROM tr JOIN ev USING (g)
-         |GROUP BY tr.doc_id, tr.n_grams
-         |ORDER BY doc_id""") { (s, dir) =>
+    q("q155_decontamination", decontamOracle) { (s, dir) =>
       // explode(expr) directly — NEVER explode a pre-projected array
       // column: InferFiltersFromGenerate turns that into size()/
       // isnotnull() filters carrying the whole gram expression,
       // re-evaluated per row in an interpreted Filter (7× — PLANS.md
       // r8). Grams are distinct per doc, so n_grams = the post-join
       // row count per doc under a LEFT join against the eval set.
-      val gramRows = Tables.t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(sparkGrams3)).as("g"))
-      val ev = gramRows.filter(col("doc_id") % 97 === 0)
+      val grams = gramRows(s, dir)
+      val ev = grams.filter(col("doc_id") % 97 === 0)
         .select(col("g")).distinct().withColumn("hit", lit(1))
-      gramRows.filter(col("doc_id") % 97 =!= 0)
+      grams.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(ev), Seq("g"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_shared"))
@@ -341,18 +378,7 @@ object TextAnalysis extends QueryModule {
     // and, being the max timestamp, never seals itself) drives the
     // watermark past the last real document. Identical result to
     // batch q155, so it shares the oracle. -----
-    q("q158_stream_decontam",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
-         |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
-         |       FROM g WHERE doc_id % 97 <> 0)
-         |SELECT tr.doc_id, CAST(tr.n_grams AS INTEGER) AS n_grams,
-         |  count(*) AS n_shared,
-         |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
-         |FROM tr JOIN ev USING (g)
-         |GROUP BY tr.doc_id, tr.n_grams
-         |ORDER BY doc_id""") { (s, dir) =>
+    q("q158_stream_decontam", decontamOracle) { (s, dir) =>
       import s.implicits._
       implicit val sq = s.sqlContext
       val raw = s.read.parquet(s"$dir/documents.parquet").schema
@@ -432,6 +458,13 @@ object TextAnalysis extends QueryModule {
         .filter(col("rn") <= 30)
         .select(col("doc_id"), col("lang"), col("len_band"), col("rn"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- decontamination with a BLOOM prefilter (see decontamBloom
+    // above): ~8 bits/item ≈ 2% FP; exactness restored by the verify
+    // join, so the oracle is q155's. -----
+    q("q160_decontam_bloom", decontamOracle) { (s, dir) =>
+      decontamBloom(s, dir, items = 1000000L, bits = 8000000L)
     }
   )
 }

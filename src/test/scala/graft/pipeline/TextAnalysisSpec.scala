@@ -96,6 +96,22 @@ class TextAnalysisSpec extends SparkSpec {
         s"for ${b.size} docs — sealed groups are not being evicted")
   }
 
+  test("q160 bloom prefilter is exact even with a deliberately FP-heavy sketch") {
+    import graft.Registry
+    val exact = Registry.all.find(_.name == "q155_decontamination").get
+      .fn(spark, sf).collect().map(_.toSeq).toSeq
+    // 64 bits for thousands of grams — nearly every probe is a false
+    // positive; the verify join must still reduce to the exact result
+    val fpHeavy = TextAnalysis.decontamBloom(spark, sf, items = 8L, bits = 64L)
+      .collect().map(_.toSeq).toSeq
+    assert(fpHeavy == exact,
+      "bloom false positives must never leak into the decontamination result")
+    // and the production sizing agrees too
+    val sized = Registry.all.find(_.name == "q160_decontam_bloom").get
+      .fn(spark, sf).collect().map(_.toSeq).toSeq
+    assert(sized == exact)
+  }
+
   test("q156 repetition metrics on a hand-computed looping doc") {
     // "x y x y x y": words=6, bigrams=5 {x y, y x}→distinct 2 → dup2 = 3/5
     // trigrams=4 {x y x, y x y}→2 → dup3 = 2/4; top word 3/6
