@@ -159,6 +159,15 @@ class PlanSpec extends SparkSpec {
       "unexpected extra shuffle beyond per-doc agg + eval distinct")
   }
 
+  test("q160 bloom probe runs map-side (filter present, corpus shuffles only per-doc)") {
+    val p = plan("q160_decontam_bloom")
+    assert(p.contains("might_contain"), "bloom membership probe missing from the plan")
+    // corpus-side exchanges: the two per-doc aggs (totals + shared);
+    // eval-side distinct is the only other hash exchange
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size <= 2,
+      "corpus must shuffle only for the per-doc aggregations")
+  }
+
   test("q157 duplication score shuffles 8-byte gram hashes, not gram strings") {
     val p = plan("q157_crossdoc_ngram_dup")
     // df groupBy and join both key on the long-typed hash `gh`; the
