@@ -465,6 +465,59 @@ object TextAnalysis extends QueryModule {
     // join, so the oracle is q155's. -----
     q("q160_decontam_bloom", decontamOracle) { (s, dir) =>
       decontamBloom(s, dir, items = 1000000L, bits = 8000000L)
+    },
+
+    // ----- curation gate AT INGEST: quality score + repetition
+    // metrics + PII scrub verdict per arriving document — the
+    // streaming sibling of the batch q138 keep-list's quality stage.
+    // Every column is a pure expression, so the stream op is
+    // STATELESS (no watermark, no aggregation, nothing to seal):
+    // the gate runs at any ingest rate with zero state, the shape a
+    // 100 TB/day pipeline wants for its first pass. -----
+    q("q161_stream_curation_gate",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(
+        |    0.2 * (length(replace(text, ' ', ''))::DOUBLE / len(w))
+        |    + 2.0 * (len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(w))
+        |    - 1.0))), 6) AS quality,
+        |  1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])))::DOUBLE
+        |      / (len(w) - 1) AS dup2,
+        |  list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE
+        |      / len(w) AS topw,
+        |  md5(text) AS clean_hash
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT doc_id, quality, round(dup2, 6) AS dup2_frac, clean_hash,
+        |  CAST(CASE WHEN quality > 0.5 AND dup2 <= 0.06 AND topw <= 0.2
+        |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream =
+        (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+        else s.readStream.schema(raw)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      val dup2 = lit(1.0) -
+        size(array_distinct(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")))
+          .cast("double") / (size(col("w")) - 1)
+      val topw = expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+        .cast("double") / size(col("w"))
+      val gated = stream
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), quality(col("text")).as("quality"),
+          dup2.as("dup2"), topw.as("topw"),
+          md5(redactPii(col("text"))).as("clean_hash"))
+        .select(col("doc_id"), col("quality"), round(col("dup2"), 6).as("dup2_frac"),
+          col("clean_hash"),
+          when(col("quality") > 0.5 && col("dup2") <= 0.06 && col("topw") <= 0.2, 1)
+            .otherwise(0).as("keep"))
+      s.catalog.dropTempView("graft_stream_gate")
+      val query = gated.writeStream.format("memory")
+        .queryName("graft_stream_gate").outputMode("append").start()
+      query.processAllAvailable()
+      query.stop()
+      s.table("graft_stream_gate").orderBy(col("doc_id"))
     }
   )
 }
