@@ -427,36 +427,44 @@ object TextAnalysis extends QueryModule {
     // ----- quota sampling for training-mix balancing: cap each
     // (language, length-band) stratum at k docs, ranked by content
     // hash so the subsample is deterministic, reproducible across
-    // engines/cluster sizes, and unbiased w.r.t. arrival order. One
-    // shuffle on the stratum key. The window sort is per-stratum; at
-    // 100 TB with huge strata, exploit the rank key being a UNIFORM
-    // hash: a per-stratum threshold at quantile quota/total (via
-    // approx_percentile over one pass) turns the cap into a map-only
-    // filter — same selection up to hash-boundary ties. -----
+    // engines/cluster sizes, and unbiased w.r.t. arrival order.
+    // Executed with the bounded TopK AGGREGATE, not a window: the
+    // window form range-shuffles and sorts every candidate row per
+    // stratum, while the aggregate keeps ≤ k rows of state per task
+    // (map-side combine) — the exchange carries strata × k rows, not
+    // the corpus. Rank key = the first 13 md5 hex chars as a 52-bit
+    // int (exact in the aggregate's double score; both engines rank
+    // by the SAME 52-bit key + doc_id, so even slice collisions
+    // agree). PlanSpec: no Window in the plan. -----
     q("q159_quota_sample",
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,
         |  CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) > 0 THEN 'en'
         |       ELSE 'unknown' END AS lang,
-        |  CAST(len(w) // 20 AS INTEGER) AS len_band, md5(text) AS h FROM t),
+        |  CAST(len(w) // 20 AS INTEGER) AS len_band,
+        |  CAST(list_sum(list_transform(range(1, 14),
+        |    hx -> (strpos('0123456789abcdef', substr(md5(text), hx, 1))-1)
+        |          * (2**(4*(13-hx))))) AS BIGINT) AS h52 FROM t),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang, len_band
-        |                                   ORDER BY h, doc_id) AS rn FROM g)
+        |                                   ORDER BY h52, doc_id) AS rn FROM g)
         |SELECT doc_id, lang, len_band, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 30 ORDER BY doc_id""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TopK
       val lang = when(
         expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))") > 0, "en")
         .otherwise("unknown")
+      val h52 = conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
       Tables.t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), lang.as("lang"),
           expr("CAST(size(w) div 20 AS INT)").as("len_band"),
-          md5(col("text")).as("h"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang"), col("len_band"))
-            .orderBy(col("h"), col("doc_id"))))
-        .filter(col("rn") <= 30)
-        .select(col("doc_id"), col("lang"), col("len_band"), col("rn"))
+          h52.as("h52"))
+        .groupBy(col("lang"), col("len_band"))
+        // TopK orders score DESC — negate the 52-bit key for ASC
+        .agg(TopK.topK(30)(-col("h52").cast("double"), col("doc_id")).as("top"))
+        .select(col("lang"), col("len_band"), posexplode(col("top")))
+        .select(col("col.id").as("doc_id"), col("lang"), col("len_band"),
+          (col("pos") + 1).cast("int").as("rn"))
         .orderBy(col("doc_id"))
     },
 

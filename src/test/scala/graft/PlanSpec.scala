@@ -159,6 +159,13 @@ class PlanSpec extends SparkSpec {
       "unexpected extra shuffle beyond per-doc agg + eval distinct")
   }
 
+  test("q159 quota sample ranks via the bounded aggregate, never a window sort") {
+    val p = plan("q159_quota_sample")
+    assert(!p.contains("Window"), "per-stratum top-k regressed to a window sort")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size == 1,
+      "one stratum-keyed exchange carrying k-bounded buffers")
+  }
+
   test("q160 bloom probe runs map-side (filter present, corpus shuffles only per-doc)") {
     val p = plan("q160_decontam_bloom")
     assert(p.contains("might_contain"), "bloom membership probe missing from the plan")
