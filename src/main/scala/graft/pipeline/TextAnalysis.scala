@@ -526,6 +526,34 @@ object TextAnalysis extends QueryModule {
       query.processAllAvailable()
       query.stop()
       s.table("graft_stream_gate").orderBy(col("doc_id"))
+    },
+
+    // ----- embedding QC: per-vector dimension / L2 norm / zero- and
+    // NaN-detection — the validation pass an embedding ingest runs
+    // before vectors enter dedup or ANN (a wrong-dim or zero vector
+    // poisons cosine math silently). Pure expressions over the
+    // vector, no shuffle; the norm left-folds in array order with
+    // every element cast to double first, so both engines sum in the
+    // same order at the same precision. -----
+    q("q162_embedding_qc",
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+        |  CAST(CASE WHEN list_sum(list_transform(embedding,
+        |       x -> CASE WHEN x = 0 THEN 0 ELSE 1 END)) = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_zero,
+        |  CAST(CASE WHEN len(list_filter(embedding, x -> isnan(x::DOUBLE))) > 0
+        |       THEN 1 ELSE 0 END AS INTEGER) AS has_nan,
+        |  CAST(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END AS INTEGER) AS dim_ok
+        |FROM embeddings ORDER BY vec_id""") { (s, dir) =>
+      Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
+            6).as("l2_norm"),
+          when(expr("size(filter(embedding, x -> x != 0F))") === 0, 1).otherwise(0).as("is_zero"),
+          when(expr("size(filter(embedding, x -> isnan(CAST(x AS DOUBLE))))") > 0, 1).otherwise(0).as("has_nan"),
+          when(size(col("embedding")) === 64, 1).otherwise(0).as("dim_ok"))
+        .orderBy(col("vec_id"))
     }
   )
 }
