@@ -554,6 +554,40 @@ object TextAnalysis extends QueryModule {
           when(expr("size(filter(embedding, x -> isnan(CAST(x AS DOUBLE))))") > 0, 1).otherwise(0).as("has_nan"),
           when(size(col("embedding")) === 64, 1).otherwise(0).as("dim_ok"))
         .orderBy(col("vec_id"))
+    },
+
+    // ----- sequence packing: assign documents to fixed-token-budget
+    // training sequences. Deterministic distributed shape: docs shard
+    // by id hash, pack within their shard in id order via a running
+    // token cumsum (one shuffle on the shard key; each shard's window
+    // is independent, so parallelism = #shards at any corpus size,
+    // and the assignment is reproducible across engines and cluster
+    // layouts — no greedy global state). A doc belongs to the
+    // sequence in which it STARTS (concatenation-style packing);
+    // offset = its start position inside that sequence. Budget 512
+    // proxy-tokens here; at a real 4k/8k context the same plan
+    // holds. -----
+    q("q163_sequence_packing",
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |           CAST(doc_id % 8 AS INTEGER) AS shard FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST((cum - n_tok) // 512 AS INTEGER) AS seq_id,
+        |  CAST((cum - n_tok) % 512 AS INTEGER) AS seq_offset
+        |FROM c ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"),
+          (col("doc_id") % 8).cast("int").as("shard"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          ((col("cum") - col("n_tok")) / 512).cast("int").as("seq_id"),
+          ((col("cum") - col("n_tok")) % 512).cast("int").as("seq_offset"))
+        .orderBy(col("doc_id"))
     }
   )
 }
