@@ -132,6 +132,45 @@ object TextAnalysis extends QueryModule {
       |          / len(string_split(text, ' ')))
       |    - 1.0))), 6)""".stripMargin
 
+  /** Pack documents into fixed-token-budget training sequences —
+    * the parameterized library surface behind q163.
+    *
+    * Shape: docs shard by `doc_id % nShards`, then pack WITHIN their
+    * shard in doc_id order via a running token cumsum — one shuffle
+    * on the shard key, one per-shard window. Each shard packs
+    * independently of every other shard (no cross-shard state), so
+    * parallelism = nShards at any corpus size and the assignment is
+    * reproducible across engines and cluster layouts; a spec pins
+    * that per-shard independence. A doc belongs to the sequence in
+    * which it STARTS (concatenation-style packing); `seq_offset` is
+    * its start position inside that sequence.
+    *
+    * At 100 TB: pick nShards ≈ cluster cores (the default uses the
+    * input's partition count) — per-shard window state is one
+    * running long, so shards can be as coarse as memory allows, and
+    * more shards only changes WHICH sequence a doc lands in, never
+    * the per-shard packing math.
+    *
+    * @param docs        frame with `doc_id` (non-negative id) and `text`
+    * @param tokenBudget tokens per packed sequence (e.g. 4096)
+    * @param nShards     shard count; <= 0 → the input's parallelism
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Int, nShards: Int = 0): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    import org.apache.spark.sql.expressions.Window
+    val shards = if (nShards > 0) nShards else docs.rdd.getNumPartitions.max(1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        (col("doc_id") % shards).cast("int").as("shard"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / tokenBudget).cast("int").as("seq_id"),
+        ((col("cum") - col("n_tok")) % tokenBudget).cast("int").as("seq_offset"))
+  }
+
   override def queries: Seq[QueryDef] = Seq(
 
     q("q58_text_stats",
@@ -576,17 +615,9 @@ object TextAnalysis extends QueryModule {
         |  CAST((cum - n_tok) // 512 AS INTEGER) AS seq_id,
         |  CAST((cum - n_tok) % 512 AS INTEGER) AS seq_offset
         |FROM c ORDER BY doc_id""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_tok"),
-          (col("doc_id") % 8).cast("int").as("shard"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("shard"), col("n_tok"),
-          ((col("cum") - col("n_tok")) / 512).cast("int").as("seq_id"),
-          ((col("cum") - col("n_tok")) % 512).cast("int").as("seq_offset"))
+      // oracle pin: shards fixed at 8, budget 512 proxy-tokens; the
+      // parameterized surface is packSequences above
+      packSequences(Tables.t(s, dir, "documents"), tokenBudget = 512, nShards = 8)
         .orderBy(col("doc_id"))
     }
   )

@@ -112,6 +112,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sized == exact)
   }
 
+  test("packSequences: per-shard packing is shard-count invariant") {
+    import graft.Tables
+    // docs that land in shard 3 of an 8-way run, packed as part of the
+    // full corpus, must get the same (n_tok, seq_id, seq_offset) as
+    // the same docs packed ALONE in a 1-way run — i.e. a shard's
+    // packing depends only on its own docs, never on shard count or
+    // on what the other shards hold.
+    val docs = Tables.t(spark, sf, "documents")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tok", "seq_id", "seq_offset")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val full8 = toMap(TextAnalysis.packSequences(docs, 512, nShards = 8)
+      .where(col("shard") === 3))
+    val alone = toMap(TextAnalysis.packSequences(
+      docs.where(col("doc_id") % 8 === 3), 512, nShards = 1))
+    assert(full8.nonEmpty, "shard 3 must be non-empty at sf0.001")
+    assert(alone == full8,
+      "packing of a shard's docs must be independent of the shard count")
+    // default shard count (input parallelism) runs and packs every doc
+    val dflt = TextAnalysis.packSequences(docs, 512)
+    assert(dflt.count() == docs.count())
+    // every offset respects the budget, and seq_ids are dense per shard
+    val bad = dflt.where(col("seq_offset") < 0 || col("seq_offset") >= 512).count()
+    assert(bad == 0, "seq_offset must lie in [0, tokenBudget)")
+  }
+
   test("q156 repetition metrics on a hand-computed looping doc") {
     // "x y x y x y": words=6, bigrams=5 {x y, y x}→distinct 2 → dup2 = 3/5
     // trigrams=4 {x y x, y x y}→2 → dup3 = 2/4; top word 3/6
