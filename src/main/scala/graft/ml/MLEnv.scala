@@ -60,13 +60,30 @@ object MLEnv {
     * reference crosses the DataSet too); the distance rows build
     * distributed via crossJoin + groupByKey, one row in memory per key
     * at a time. `featuresCol` is Array[Double|Float].
+    *
+    * SCALE BOUND: the algorithm is Θ(n²) in points — pairs, shuffle
+    * bytes, and per-key distance rows all grow quadratically, and
+    * (unlike the dedup/ANN family) there is no exact blocked
+    * decomposition: every point's perplexity fit reads its FULL
+    * distance row. It is an outlier scorer for samples, not corpora.
+    * `maxPoints` (default 100k ≈ 10^10 pairs, the practical single-
+    * job ceiling) makes that explicit: the call fails fast with
+    * guidance instead of launching an infeasible shuffle. For larger
+    * inputs, score a uniform sample (`df.sample`) or pre-block by a
+    * coarse cluster key and run SOS per block — both change the
+    * estimator's semantics, which is why neither happens implicitly.
     * Returns (id, outlier_probability). */
   def sos(df: DataFrame, idCol: String, featuresCol: String,
       perplexity: Double = 4.5, maxIterations: Int = 100,
-      tolerance: Double = 1e-5): DataFrame = {
+      tolerance: Double = 1e-5, maxPoints: Int = 100000): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     import org.apache.spark.sql.functions._
+    val n = df.count()
+    require(n <= maxPoints,
+      s"SOS is all-pairs (Theta(n^2)): $n points exceeds maxPoints=" +
+        s"$maxPoints (~${n * n} pairs). Score a sample (df.sample), " +
+        "pre-block by a cluster key, or raise maxPoints deliberately.")
     val a = df.select(col(idCol).cast("long").as("i"), col(featuresCol).as("fa"))
     val b = df.select(col(idCol).cast("long").as("j"), col(featuresCol).as("fb"))
     val dist = expr(

@@ -43,4 +43,16 @@ class MLEnvSpec extends SparkSpec {
     assert(probs(5L) > 0.9)                       // the outlier
     assert(probs.filter(_._1 != 5L).values.forall(_ < probs(5L)))
   }
+
+  test("SOS refuses inputs above maxPoints with actionable guidance") {
+    val pts = (0L until 50L).map(i => (i, Array(i.toDouble, 0.0)))
+      .toDF("id", "features")
+    val e = intercept[IllegalArgumentException] {
+      MLEnv.sos(pts, "id", "features", maxPoints = 10)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    assert(e.getMessage.contains("df.sample"))
+    // and an explicit raise admits the same input
+    assert(MLEnv.sos(pts, "id", "features", maxPoints = 50).count() == 50)
+  }
 }
