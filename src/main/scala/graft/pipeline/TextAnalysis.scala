@@ -26,12 +26,27 @@ object TextAnalysis extends QueryModule {
   private val EMAIL_RE = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val SSN_RE = """\b\d{3}-\d{2}-\d{4}\b"""
   private val PHONE_RE = """\b\d{3}-\d{3}-\d{4}\b"""
-  private val IP_RE = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val OCTET = """(?:25[0-5]|2[0-4]\d|1?\d?\d)"""
+  private val IP_RE = s"""\\b$OCTET\\.$OCTET\\.$OCTET\\.$OCTET\\b"""
 
   /** Redact PII in-place: emails, SSNs, phones, IPs → bracketed
-    * category tokens. Library surface for pipeline users; the order
-    * fixes ambiguity (an SSN never survives to be half-eaten by the
-    * phone pattern). Pure codegen'd regexes — map-only at any scale. */
+    * category tokens. The order fixes ambiguity (an SSN never
+    * survives to be half-eaten by the phone pattern). Pure codegen'd
+    * regexes — map-only at any scale.
+    *
+    * COVERAGE: this is the cross-engine-parity subset (each pattern
+    * parses and matches identically under Java regex and DuckDB's
+    * RE2, which is what makes q154 oracle-checkable), NOT a
+    * production PII scrubber. Covered: plain emails; US SSNs
+    * (3-2-4 hyphenated); US phones in the hyphenated 3-3-4 form
+    * ONLY (no parentheses, dots, spaces, or +country prefixes);
+    * IPv4 with range-checked octets 0-255 (so `999.1.2.3` in prose
+    * survives; a version string that IS a syntactically valid IPv4,
+    * like `1.2.3.4`, is still redacted — indistinguishable by
+    * regex). Not covered: IPv6, IBANs, credit cards, names,
+    * addresses. A production pipeline should layer a dedicated
+    * scrubber; this surface exists so redaction COST and plan shape
+    * (pure map, zero shuffle) are measured honestly in the bench. */
   def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
       EMAIL_RE, "[EMAIL]"),
@@ -48,10 +63,10 @@ object TextAnalysis extends QueryModule {
   private def duckHash(e: String): String =
     s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
 
-  /** State rows in the final progress of the last q158 run —
-    * TextAnalysisSpec's probe that the append-mode windowed agg
-    * really evicts sealed per-doc groups (bounded ingest state). */
-  @volatile private[pipeline] var lastStateRows: Long = -1L
+  /** Watermark sentinel for q158: 2100-01-01T00:00Z as epoch seconds.
+    * Guarded at run time against testdata drift (max doc_id must stay
+    * below it, and it must dodge the eval-split residue). */
+  private val SentinelId = 4102444800L
 
   /** Distinct word 3-grams on a `w` array column (0-based Spark). */
   private val sparkGrams3 =
@@ -169,6 +184,72 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("shard"), col("n_tok"),
         ((col("cum") - col("n_tok")) / tokenBudget).cast("int").as("seq_id"),
         ((col("cum") - col("n_tok")) % tokenBudget).cast("int").as("seq_offset"))
+  }
+
+  /** q158's engine: streaming decontamination with append-mode
+    * windowed aggregation (see the q158 comment at the `queries`
+    * entry). Returns (result, stateRows) where stateRows is the
+    * state-operator row count from the query's final progress — the
+    * spec's probe that sealed (window, doc) groups really are
+    * EVICTED (≤ 1 live row: only the never-sealing sentinel's).
+    * Returning it here, from the run that produced it, avoids any
+    * shared mutable state between concurrent runs. */
+  private[pipeline] def decontamStream(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = Tables.t(s, dir, "documents")
+    // sentinel guards against testdata drift: it must stay the max
+    // timestamp (else real windows stop sealing) and must dodge the
+    // eval-split residue filter. max(doc_id) prices as a parquet
+    // footer-stats scan, not a data read.
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId < SentinelId,
+      s"watermark sentinel $SentinelId no longer exceeds max doc_id " +
+        s"$maxId — the regenerated testdata outgrew the sentinel epoch")
+    require(SentinelId % 97 != 0,
+      "sentinel id collides with the eval-split residue (id % 97 == 0)")
+    val evalGrams = docs
+      .filter(col("doc_id") % 97 === 0)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr(sparkGrams3)).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    sentinel.addData((SentinelId, "zsentinela zsentinelb zsentinelc"))
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val hits = stream
+      .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+      .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+      .withWatermark("ts", "0 seconds")
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("ts"), explode(expr(sparkGrams3)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_shared"))
+      .drop("window")
+    s.catalog.dropTempView("graft_stream_decontam")
+    val query = hits.writeStream.format("memory")
+      .queryName("graft_stream_decontam").outputMode("append").start()
+    query.processAllAvailable()
+    val stateRows = Option(query.lastProgress)
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+      .getOrElse(-1L)
+    query.stop()
+    val out = s.table("graft_stream_decontam")
+      .filter(col("n_shared") >= 1)
+      .select(col("doc_id"), col("ng").cast("int").as("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("ng"), 6).as("contamination"))
+      .orderBy(col("doc_id"))
+    (out, stateRows)
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -418,49 +499,7 @@ object TextAnalysis extends QueryModule {
     // watermark past the last real document. Identical result to
     // batch q155, so it shares the oracle. -----
     q("q158_stream_decontam", decontamOracle) { (s, dir) =>
-      import s.implicits._
-      implicit val sq = s.sqlContext
-      val raw = s.read.parquet(s"$dir/documents.parquet").schema
-      val evalGrams = Tables.t(s, dir, "documents")
-        .filter(col("doc_id") % 97 === 0)
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        .select(explode(expr(sparkGrams3)).as("g")).distinct()
-        .withColumn("hit", lit(1))
-      val sentinel = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      sentinel.addData((4102444800L, "zsentinela zsentinelb zsentinelc"))
-      val stream =
-        (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
-          s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
-        else s.readStream.schema(raw)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir))
-          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val hits = stream
-        .unionByName(sentinel.toDF().toDF("doc_id", "text"))
-        .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
-        .withWatermark("ts", "0 seconds")
-        .filter(col("doc_id") % 97 =!= 0)
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("ts"), explode(expr(sparkGrams3)).as("g"))
-        .join(broadcast(evalGrams), Seq("g"), "left")
-        .groupBy(window(col("ts"), "1 second"), col("doc_id"))
-        .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_shared"))
-        .drop("window")
-      s.catalog.dropTempView("graft_stream_decontam")
-      val query = hits.writeStream.format("memory")
-        .queryName("graft_stream_decontam").outputMode("append").start()
-      query.processAllAvailable()
-      lastStateRows = Option(query.lastProgress)
-        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
-        .getOrElse(-1L)
-      query.stop()
-      s.table("graft_stream_decontam")
-        .filter(col("n_shared") >= 1)
-        .select(col("doc_id"), col("ng").cast("int").as("n_grams"), col("n_shared"),
-          round(col("n_shared").cast("double") / col("ng"), 6).as("contamination"))
-        .orderBy(col("doc_id"))
+      decontamStream(s, dir)._1
     },
 
     // ----- quota sampling for training-mix balancing: cap each

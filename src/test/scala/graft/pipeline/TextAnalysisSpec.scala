@@ -82,17 +82,17 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("q158 append-mode ingest decontamination keeps bounded state") {
     import graft.Registry
-    val q158 = Registry.all.find(_.name == "q158_stream_decontam").get
+    val (streamDf, stateRows) = TextAnalysis.decontamStream(spark, sf)
     val q155 = Registry.all.find(_.name == "q155_decontamination").get
-    val a = q158.fn(spark, sf).collect().map(_.toSeq).toSeq
+    val a = streamDf.collect().map(_.toSeq).toSeq
     val b = q155.fn(spark, sf).collect().map(_.toSeq).toSeq
     assert(a == b, "streaming decontamination must equal the batch result")
     // sealed (window, doc) groups are evicted as the watermark passes;
     // only the never-sealing sentinel's group may remain live. A
     // complete-mode running aggregate would hold one row per doc.
-    assert(TextAnalysis.lastStateRows >= 0, "no streaming progress captured")
-    assert(TextAnalysis.lastStateRows <= 1,
-      s"append windowed agg left ${TextAnalysis.lastStateRows} state rows " +
+    assert(stateRows >= 0, "no streaming progress captured")
+    assert(stateRows <= 1,
+      s"append windowed agg left $stateRows state rows " +
         s"for ${b.size} docs — sealed groups are not being evicted")
   }
 
