@@ -27,7 +27,20 @@ object Bloom {
 
   /** Membership probe against a 1-row bloom frame (one binary
     * column), attached as a scalar subquery — the form
-    * might_contain requires. */
+    * might_contain requires.
+    *
+    * CONTRACT — the returned Column is SINGLE-USE PER QUERY: it
+    * embeds `bloomFrame`'s analyzed plan (with its original exprIds)
+    * verbatim inside a ScalarSubquery. Using one returned Column in
+    * two places of the same query, calling this twice with the same
+    * bloomFrame into one query, or self-joining the probed frame
+    * against the bloom's SOURCE frame can surface duplicate-exprId
+    * analysis failures (the analyzer's relation dedup does not
+    * rewrite through this hand-built subquery). For multiple probes
+    * in one query, call bloomAgg again to derive an independent
+    * bloomFrame per probe — the sketch build is a kilobyte-scale
+    * aggregate, so the extra build is noise. Current call sites
+    * (q160 + BloomSpec) are all single-use and spec-covered. */
   def mightContain(bloomFrame: DataFrame, hashed: Column): Column =
     Bridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomFrame
