@@ -18,13 +18,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var dumped = 0
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    // Key-count guard (r07 lesson): an erroring query leaves NO row in
+    // the correctness artifact, so a shrunken key set must fail LOUDLY
+    // here instead of silently thinning the artifact — in r07 a
+    // testdata dtype drift made 11 queries vanish unnoticed. Full runs
+    // must dump every registered query; the guard prints a machine-
+    // grepable line and exits non-zero on any miss.
+    if (only.isEmpty) {
+      val expected = SparkEntry.queries.size
+      println(s"[verify] dumped $dumped/$expected queries" +
+        (if (failed.nonEmpty) s"; FAILED: ${failed.mkString(",")}" else ""))
+      if (dumped != expected) {
+        System.err.println(s"[verify] KEY-COUNT GUARD: only $dumped of " +
+          s"$expected registered queries produced output — the " +
+          s"correctness artifact would silently shrink. Failing loudly.")
+        spark.stop()
+        sys.exit(2)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
