@@ -108,6 +108,72 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // ----- INCREMENTAL dedup: today's crawl (delta) against the
+    // standing corpus — the daily-ingest case, where re-running the
+    // corpus self-join (q52/q133) would redo work that can never
+    // produce new pairs. The plan only joins delta bands against
+    // corpus bands: candidates are delta × corpus, NEVER corpus ×
+    // corpus, so per-ingest cost is O(delta × bucket overlap) no
+    // matter how large the standing corpus grows. In production the
+    // corpus band/shingle tables are the persisted dedup INDEX
+    // (computed once at corpus build, appended as deltas commit);
+    // here both derive from the documents table with delta = doc_id
+    // ≡ 9 (mod 10). Verified matches aggregate per delta doc into
+    // (n_dups, keeper, is_new) — the admit/reject verdict an ingest
+    // pipeline acts on. -----
+    q("q166_incremental_dedup",
+      duckPairsCtes(recursive = false).split("cand AS")(0) +
+        s"""sd AS (SELECT * FROM sig WHERE doc_id % 10 = 9),
+          |sc AS (SELECT * FROM sig WHERE doc_id % 10 != 9),
+          |cand AS (
+          |  SELECT DISTINCT d.doc_id AS doc_n, c.doc_id AS doc_o
+          |  FROM sd d JOIN sc c
+          |    ON d.m0 = c.m0 OR d.m1 = c.m1 OR d.m2 = c.m2 OR d.m3 = c.m3),
+          |ver AS (
+          |  SELECT doc_n, doc_o FROM cand
+          |  JOIN shl x ON cand.doc_n = x.doc_id
+          |  JOIN shl y ON cand.doc_o = y.doc_id
+          |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+          |      / len(list_distinct(x.shingles || y.shingles)) >= 0.1),
+          |agg AS (SELECT doc_n, count(*) AS n_dups, min(doc_o) AS keeper
+          |        FROM ver GROUP BY doc_n)
+          |SELECT d.doc_id, coalesce(agg.n_dups, 0) AS n_dups, agg.keeper,
+          |  coalesce(agg.n_dups, 0) = 0 AS is_new
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+          |LEFT JOIN agg ON agg.doc_n = d.doc_id
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 10 === 9)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      def shlOf(d: DataFrame) = d
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+      def bandsOf(d: DataFrame) = minhashSignatures(d)
+        .select(col("doc_id"),
+          posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
+            .as(Seq("band", "bval")))
+      val cand = bandsOf(delta)
+        .select(col("doc_id").as("doc_n"), col("band"), col("bval"))
+        .join(bandsOf(corpus)
+          .select(col("doc_id").as("doc_o"), col("band"), col("bval")),
+          Seq("band", "bval"))
+        .select(col("doc_n"), col("doc_o")).distinct()
+      val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
+        size(array_distinct(concat(col("x_sh"), col("y_sh"))))
+      val agg = cand
+        .join(shlOf(delta).select(col("doc_id").as("doc_n"), col("shingles").as("x_sh")), "doc_n")
+        .join(shlOf(corpus).select(col("doc_id").as("doc_o"), col("shingles").as("y_sh")), "doc_o")
+        .filter(jacc >= 0.1)
+        .groupBy(col("doc_n"))
+        .agg(count(lit(1)).as("nd"), min(col("doc_o")).as("keeper"))
+      delta.select(col("doc_id"))
+        .join(agg.withColumnRenamed("doc_n", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nd"), lit(0L)).as("n_dups"),
+          col("keeper"), (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----- the CURATION PIPELINE end-to-end, as one declarative plan:
     // quality-filter the corpus (q58's score), near-dedup the
     // survivors (LSH pairs -> Pregel components -> canonical keep,

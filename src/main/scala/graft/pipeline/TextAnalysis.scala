@@ -658,6 +658,37 @@ object TextAnalysis extends QueryModule {
       // parameterized surface is packSequences above
       packSequences(Tables.t(s, dir, "documents"), tokenBudget = 512, nShards = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // ----- quality-weighted mixture sampling: accept each doc with
+    // probability sqrt(quality) — the temperature-flattening trick a
+    // training-mix pipeline uses to up/down-weight sources without a
+    // global sampler. The acceptance draw is DETERMINISTIC: u = the
+    // doc's 52-bit content hash scaled to [0,1) (exact in a double,
+    // identical in both engines), so the subsample is reproducible
+    // across engines, cluster sizes, and reruns — and it is MAP-ONLY:
+    // no shuffle, no state, no driver randomness, the first-pass
+    // shape at any corpus size. Changing the exponent (or making it
+    // per-source) retunes the mixture without changing the plan. -----
+    q("q165_weighted_mixture_sample",
+      s"""WITH m AS (SELECT doc_id, $duckQuality AS quality,
+         |  CAST(list_sum(list_transform(range(1, 14),
+         |    hx -> (strpos('0123456789abcdef', substr(md5(text), hx, 1))-1)
+         |          * (2**(4*(13-hx))))) AS BIGINT) AS h52
+         |  FROM documents)
+         |SELECT doc_id, quality, round(sqrt(quality), 6) AS weight,
+         |  round(h52 / 4503599627370496.0, 6) AS u
+         |FROM m WHERE h52 / 4503599627370496.0 < sqrt(quality)
+         |ORDER BY doc_id""") { (s, dir) =>
+      val h52 = conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), quality(col("text")).as("quality"),
+          (h52 / lit(4503599627370496.0)).as("u")) // / 2^52: exact
+        .filter(col("u") < sqrt(col("quality")))
+        .select(col("doc_id"), col("quality"),
+          round(sqrt(col("quality")), 6).as("weight"),
+          round(col("u"), 6).as("u"))
+        .orderBy(col("doc_id"))
     }
   )
 }

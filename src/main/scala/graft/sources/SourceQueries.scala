@@ -25,6 +25,31 @@ object SourceQueries extends QueryModule {
         .orderBy(col("n_nationkey"))
     },
 
+    // ----- JDBC sink + partitioned-source round-trip (flink-jdbc
+    // JDBCOutputFormat.java:41 / JDBCInputFormat.java:101 with the
+    // NumericBetweenParametersProvider split strategy): nation is
+    // written into an EMBEDDED Derby (the engine the reference's own
+    // JDBCTestBase.java:38 tests against — in-JVM, no server), then
+    // read back as a 4-way ranged parallel scan. Identity result
+    // proves the full write-batch → ranged-read path; the sources
+    // .Jdbc scaladoc carries the 100 TB sizing model. -----
+    q("q164_jdbc_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      import graft.sources.Jdbc
+      val url = "jdbc:derby:memory:graftq164;create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val n = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Jdbc.write(n, url, "nation_rt",
+        org.apache.spark.sql.SaveMode.Overwrite, props)
+      Jdbc.readPartitioned(s, url, "nation_rt", "n_nationkey",
+          lower = 0L, upper = 24L, numPartitions = 4, props = props)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // ----- ORC sink + source round-trip (OrcTableSource /
     // OrcRowInputFormat, flink-orc): columnar scan with predicate
     // pushdown comes native from Spark's ORC reader; the pushed

@@ -184,4 +184,17 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(g[#,]".r.findAllIn(p).nonEmpty,
       "raw gram strings must never reach an exchange")
   }
+
+  test("q165 weighted mixture sample is map-only: no exchange before the sort") {
+    val p = plan("q165_weighted_mixture_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the acceptance filter must not shuffle — it is a pure map")
+    assert(!p.contains("Join"), "no join belongs in a per-doc sampler")
+  }
+
+  test("q166 incremental dedup joins delta bands to corpus bands with equi joins only") {
+    val p = plan("q166_incremental_dedup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "candidate generation regressed to a non-equi join")
+  }
 }
