@@ -50,7 +50,9 @@ object Bench {
     "q138_curation_keeplist",
     // r8 text-curation additions (the two shuffle-bearing ones)
     "q155_decontamination",
-    "q157_crossdoc_ngram_dup")
+    "q157_crossdoc_ngram_dup",
+    // r9: the incremental-ingest dedup flagship
+    "q166_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Exactly-once streaming JDBC sink (reference TwoPhaseCommitSinkFunction
+  * .java:76 — the checkpoint-aligned transactional sink behind the
+  * Kafka EXACTLY_ONCE producer).
+  *
+  * Spark's idiom for the same guarantee is NOT a distributed
+  * transaction (no coordinator spans executors) but an IDEMPOTENT
+  * per-epoch commit: Structured Streaming replays a failed epoch with
+  * the SAME batchId over the SAME checkpointed offsets, so a sink
+  * that (1) stamps every row with its batchId and (2) scrubs that
+  * batchId's rows before (re)inserting converges to exactly-once
+  * delivery under any crash/replay schedule — the delete is the
+  * "abort of the uncommitted transaction", the completed append is
+  * the "commit", and the checkpoint advancing is the coordinator.
+  * This trades the reference's prepared-transaction window for a
+  * replay-scrub window with the same end-to-end semantics.
+  *
+  * Scale notes: the scrub is `DELETE WHERE batch_id = ?` — index
+  * batch_id at the target (one range delete, normally a no-op); the
+  * append is Spark's batched-insert JDBC write, one connection per
+  * partition. State carried between epochs: none (the database and
+  * the checkpoint are the state). Spec-verified against embedded
+  * Derby including replay and crash-mid-append simulations.
+  */
+object ExactlyOnceJdbc {
+
+  /** One idempotent epoch commit — safe to call any number of times
+    * with the same (batch, batchId). */
+  def commitBatch(batch: DataFrame, batchId: Long, url: String,
+      table: String, props: Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // scrub partial leftovers of a failed attempt of THIS epoch
+      val tables = conn.getMetaData.getTables(
+        null, null, table.toUpperCase, null)
+      val exists = tables.next()
+      tables.close()
+      if (exists) {
+        val st = conn.createStatement()
+        // Spark's JDBC writer creates columns with quoted (case-
+        // sensitive) identifiers — the scrub must quote to match
+        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        st.close()
+      }
+    } finally conn.close()
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** Attach the exactly-once sink to a streaming frame. The
+    * checkpoint directory is what makes replays carry the same
+    * batchId — without it the idempotency key is meaningless. */
+  def sink(df: DataFrame, url: String, table: String,
+      checkpointDir: String, props: Properties = new Properties): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        commitBatch(b, id, url, table, props))
+      .start()
+}
