@@ -162,6 +162,56 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public paper): cluster the corpus embeddings
+    * with k-means, compare cosine similarity ONLY within each
+    * cluster, and drop every vector that has a lower-id near-twin
+    * (cosine ≥ tau) in its cluster. Output is the full corpus
+    * annotated with (cluster, dup_of, kept) — the keep-list a
+    * training-mix builder consumes.
+    *
+    * Single-pass variant: a vector is dropped when ANY lower-id
+    * cluster-mate is within tau (the paper's per-group
+    * keep-one-representative with id-ordered determinism). The
+    * clusters make this scale: the pair space is Σ|c|² — with
+    * k ≈ N/targetClusterSize it is N·targetClusterSize, linear in the
+    * corpus, never the all-pairs N². Plan shape: one k-means fit
+    * (centroids broadcast — see [[kmeansClusters]]; at 100 TB you fit
+    * on a sample and run the assign-only `updates = 0` pass), one
+    * hash-partition self-join on the cluster key, one left join back.
+    * The assignment is localCheckpoint'd so the three consumers
+    * (both self-join sides + the annotate join) don't re-run Lloyd's.
+    */
+  def semDedup(s: SparkSession, dir: String, k: Int = 8, updates: Int = 2,
+      tau: Double = 0.25): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val clustered = kmeansClusters(e, k, updates)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        normExpr("embedding").as("nrm"))
+      .localCheckpoint()
+    val a = clustered.select(col("vec_id").as("a_id"),
+      col("cluster").as("a_cluster"), col("embedding").as("qv"),
+      col("nrm").as("a_nrm"))
+    val b = clustered.select(col("vec_id").as("b_id"),
+      col("cluster").as("b_cluster"), col("embedding").as("ev"),
+      col("nrm").as("b_nrm"))
+    val dot = expr(
+      """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val dups = a.join(b, col("a_cluster") === col("b_cluster")
+        && col("a_id") < col("b_id"))
+      .withColumn("score", round(dot / (col("a_nrm") * col("b_nrm")), 6))
+      .filter(col("score") >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    clustered.join(dups, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).cast("int").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The same IVF plan with MLlib's KMeans doing the fit (the
     * interop path a production user would take; `model.transform` is
     * the nearest-centroid assignment). Not SQL-oracle-checkable —
@@ -197,6 +247,43 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** DuckDB replay of the deterministic Lloyd's fit in
+    * [[kmeansClusters]] (k=8, 2 updates): init = first 8 vectors,
+    * 6-dp rounding each step, ties to lowest cluster id. Ends in
+    * `a3(vec_id, cluster)` — the exact assignment the Spark side
+    * computes. Shared by q135 (IVF routing) and q167 (SemDeDup). */
+  private val duckLloydCtes: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |                unnest(range(len(embedding))) AS i FROM e),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+      |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM flat WHERE vec_id < 8),
+      |d1 AS (SELECT f.vec_id, c.cluster,
+      |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+      |       FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cluster FROM (
+      |         SELECT vec_id, cluster, row_number() OVER (
+      |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d1)
+      |       WHERE rk = 1),
+      |c1 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
+      |       FROM a1 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT f.vec_id, c.cluster,
+      |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+      |       FROM flat f JOIN c1 c ON c.i = f.i GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cluster FROM (
+      |         SELECT vec_id, cluster, row_number() OVER (
+      |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d2)
+      |       WHERE rk = 1),
+      |c2 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
+      |       FROM a2 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+      |d3 AS (SELECT f.vec_id, c.cluster,
+      |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+      |       FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, cluster FROM (
+      |         SELECT vec_id, cluster, row_number() OVER (
+      |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d3)
+      |       WHERE rk = 1)""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
 
     // ----- IVF with a real k-means fit, fully oracle-checked: the
@@ -205,36 +292,7 @@ object Similarity extends QueryModule {
     // replayed step-by-step in DuckDB, so fit + routing + stage-2
     // top-k all hash-match. -----
     q("q135_ann_ivf_kmeans",
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-        |                unnest(range(len(embedding))) AS i FROM e),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
-        |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM flat WHERE vec_id < 8),
-        |d1 AS (SELECT f.vec_id, c.cluster,
-        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
-        |       FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cluster FROM (
-        |         SELECT vec_id, cluster, row_number() OVER (
-        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d1)
-        |       WHERE rk = 1),
-        |c1 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
-        |       FROM a1 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
-        |d2 AS (SELECT f.vec_id, c.cluster,
-        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
-        |       FROM flat f JOIN c1 c ON c.i = f.i GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cluster FROM (
-        |         SELECT vec_id, cluster, row_number() OVER (
-        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d2)
-        |       WHERE rk = 1),
-        |c2 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
-        |       FROM a2 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
-        |d3 AS (SELECT f.vec_id, c.cluster,
-        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
-        |       FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
-        |a3 AS (SELECT vec_id, cluster FROM (
-        |         SELECT vec_id, cluster, row_number() OVER (
-        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d3)
-        |       WHERE rk = 1),
+      s"""WITH $duckLloydCtes,
         |scored AS (
         |  SELECT p.vec_id AS query_id, b.vec_id AS vec_id,
         |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
@@ -250,6 +308,29 @@ object Similarity extends QueryModule {
         |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id, rn""") { (s, dir) => ivfKMeans(s, dir) },
+
+    // ----- SemDeDup: k-means clusters bound the cosine pair space,
+    // every vector with a lower-id near-twin (cosine ≥ 0.25) in its
+    // cluster is dropped. The oracle replays the identical Lloyd's
+    // fit, so cluster assignment, pair scores, and the keep-list all
+    // hash-match. -----
+    q("q167_semdedup",
+      s"""WITH $duckLloydCtes,
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM a3 a JOIN a3 b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = a.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+        |dups AS (SELECT b_id, min(a_id) AS dup_of FROM pairs
+        |         WHERE score >= 0.25 GROUP BY b_id)
+        |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster, d.dup_of,
+        |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM a3 a LEFT JOIN dups d ON d.b_id = a.vec_id
+        |ORDER BY a.vec_id""") { (s, dir) => semDedup(s, dir) },
 
     q("q56_ann_bruteforce",
       duckCos("a.vec_id < 10", "a.vec_id <> b.vec_id")) { (s, dir) =>
