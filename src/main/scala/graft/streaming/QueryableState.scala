@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Analog of the reference's queryable state (KeyedStream.java:1004
+  * `asQueryableState`, flink-queryable-state QueryableStateClient
+  * .java:81): a keyed streaming aggregation whose per-key state is
+  * continuously published as a named snapshot table that clients can
+  * point-query BY KEY WHILE THE JOB RUNS, independently of the
+  * stream's own sinks.
+  *
+  * Spark has no external state-query RPC, so the state is served from
+  * a complete-mode memory sink: every trigger atomically replaces the
+  * snapshot with the latest committed per-key state (same read
+  * semantics as the reference — a client sees some recent consistent
+  * state, never a torn one; the reference likewise serves whatever
+  * the TM's state backend holds at request time).
+  *
+  * Scale: the snapshot holds one row per KEY (not per event), i.e.
+  * exactly the queryable state itself; the reference holds the same
+  * state in task-manager heap/RocksDB. When key cardinality outgrows
+  * one process, keep the identical stream and swap the memory sink
+  * for a `foreachBatch` KV upsert (the checkpoint-aligned idempotent
+  * pattern in [[graft.streaming.ExactlyOnceJdbc]]) — the query-side
+  * API then points at the external store; nothing upstream changes.
+  */
+final class QueryableStateStore private[streaming] (
+    spark: SparkSession, val name: String, query: StreamingQuery) {
+
+  /** Block until every available input is reflected in the state. */
+  def processAllAvailable(): Unit = query.processAllAvailable()
+
+  /** Latest committed full state snapshot (one row per key). */
+  def snapshot(): DataFrame = spark.table(name)
+
+  /** Point lookup — QueryableStateClient.getKvState analog. */
+  def get(keyCol: String, key: Any): Option[Row] =
+    snapshot().filter(col(keyCol) === key).collect().headOption
+
+  def stop(): Unit = {
+    query.stop()
+    spark.catalog.dropTempView(name)
+  }
+}
+
+object QueryableState {
+
+  /** Start serving `keyedAgg` (a streaming aggregation, one row per
+    * key) as queryable state under `name`. The caller owns the
+    * returned handle's lifecycle, like the reference's
+    * QueryableStateStream. */
+  def asQueryableState(spark: SparkSession, name: String,
+      keyedAgg: DataFrame): QueryableStateStore = {
+    spark.catalog.dropTempView(name)
+    val q = keyedAgg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    new QueryableStateStore(spark, name, q)
+  }
+}

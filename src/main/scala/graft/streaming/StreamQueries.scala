@@ -915,6 +915,31 @@ object StreamQueries extends QueryModule {
         .select(col("user_id"), col("kv._2").as("max_event"),
           col("kv._3").as("n"))
         .orderBy(col("user_id"))
+    },
+
+    // ----- queryable state (KeyedStream.asQueryableState +
+    // QueryableStateClient): per-key aggregate served as a
+    // continuously-updated snapshot table, point-queryable by key
+    // while the stream runs (QueryableStateSpec exercises the
+    // mid-stream get(); here the drained final state is verified
+    // against the batch aggregate). -----
+    q("q168_queryable_state",
+      """SELECT user_id, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS decimal(18,4))), 4) AS DOUBLE) AS sum_value,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      val state = streamEvents(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"),
+          max(col("ts")).as("last_ts"))
+      val store = QueryableState.asQueryableState(s, "graft_qstate", state)
+      store.processAllAvailable()
+      val out = store.snapshot().orderBy(col("user_id")).cache()
+      out.count() // materialize before the serving query stops
+      store.stop()
+      out
     }
   )
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The queryable-state contract the reference exposes through
+  * QueryableStateClient: point lookups by key against LIVE state —
+  * queries issued mid-stream observe the state committed so far, a
+  * later query observes the updated state, and unknown keys miss.
+  */
+class QueryableStateSpec extends SparkSpec {
+
+  test("mid-stream point lookups see committed state, then its update") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val state = in.toDF().toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    val store = QueryableState.asQueryableState(spark, "qstate_spec", state)
+    try {
+      in.addData((1L, 1.5), (1L, 2.0), (2L, 10.0))
+      store.processAllAvailable()
+      val r1 = store.get("k", 1L).get
+      assert(r1.getAs[Long]("n") == 2 && r1.getAs[Double]("sum_v") == 3.5)
+      assert(store.get("k", 99L).isEmpty, "unknown key must miss")
+
+      // state advances: a second batch updates key 1 and adds key 3
+      in.addData((1L, 0.5), (3L, 7.0))
+      store.processAllAvailable()
+      val r2 = store.get("k", 1L).get
+      assert(r2.getAs[Long]("n") == 3 && r2.getAs[Double]("sum_v") == 4.0)
+      assert(store.get("k", 3L).get.getAs[Long]("n") == 1)
+      assert(store.snapshot().count() == 3, "one state row per key")
+    } finally store.stop()
+  }
+}
