@@ -689,6 +689,45 @@ object TextAnalysis extends QueryModule {
           round(sqrt(col("quality")), 6).as("weight"),
           round(col("u"), 6).as("u"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- text normalization: NFC unicode composition (the codegen'd
+    // graft.functions.NormalizeUnicode expression) + control-char
+    // strip + whitespace-run collapse — the canonical first pass of a
+    // curation pipeline: without it the same grapheme in composed and
+    // decomposed form defeats exact dedup, MinHash shingles and
+    // tokenizer vocab lookups. The synthetic corpus is ASCII, so each
+    // doc is first dirtied deterministically (every 'e' decomposed to
+    // e+U+0301, a tab/BEL/double-space tail appended) identically in
+    // both engines; the operator under test is the cleanup. Pure
+    // map — no shuffle at any corpus size; DuckDB's nfc_normalize
+    // replays the composition for the oracle. -----
+    q("q169_text_normalize",
+      """WITH d AS (SELECT doc_id,
+        |  regexp_replace(text, 'e', 'e' || chr(769), 'g')
+        |    || chr(9) || chr(7) || ' cafe' || chr(769) || '  fin' AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS clean_text
+        |  FROM d)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(dirty) AS INTEGER) AS n_in,
+        |  CAST(length(clean_text) AS INTEGER) AS n_out
+        |FROM n ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.NormalizeUnicode
+      val dirty = concat(regexp_replace(col("text"), "e", "e\u0301"),
+        lit("\t\u0007 cafe\u0301  fin"))
+      Tables.t(s, dir, "documents")
+        .withColumn("dirty", dirty)
+        .withColumn("clean_text", trim(regexp_replace(regexp_replace(
+          NormalizeUnicode.nfc(col("dirty")),
+          "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""), "[ \t]+", " ")))
+        .select(col("doc_id"), col("clean_text"),
+          length(col("dirty")).cast("int").as("n_in"),
+          length(col("clean_text")).cast("int").as("n_out"))
+        .orderBy(col("doc_id"))
     }
   )
 }
