@@ -728,6 +728,77 @@ object TextAnalysis extends QueryModule {
           length(col("dirty")).cast("int").as("n_in"),
           length(col("clean_text")).cast("int").as("n_out"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- exact duplicated-substring REMOVAL (the span-cutting dedup
+    // of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better", relationalized at word granularity): any word
+    // 5-gram appearing in ≥2 distinct docs marks its positions; runs
+    // of marked positions merge into spans (gaps-and-islands over the
+    // sorted position array); spans are cut from the text. Unlike
+    // doc-level dedup (q50/q133) this removes boilerplate INSIDE
+    // otherwise-unique docs. Scale shape = q157's: grams travel as
+    // 8-byte hashes with map-side combine; the duplicated-gram set is
+    // small and AQE broadcasts it for the join-back; covered-position
+    // sets stay per-doc arrays (no corpus-wide state). The map-only
+    // gram scan is recomputed for the join-back rather than cached —
+    // at 100 TB recomputing a scan beats materializing it. 32-bit
+    // hash slice = the shared Dedup contract; widen to the full
+    // digest at corpus scale, same plan. -----
+    q("q170_substring_dedup",
+      s"""WITH w AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(range(1, len(w)-5+2)) AS p, w
+         |      FROM w WHERE len(w) >= 5),
+         |hh AS (SELECT doc_id, p,
+         |         ${duckHash("array_to_string(w[p:p+4], ' ')")} AS h FROM g),
+         |dup AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |st AS (SELECT DISTINCT doc_id, p FROM hh JOIN dup USING (h)),
+         |cv AS (SELECT DISTINCT doc_id, p + o AS pos FROM st
+         |       CROSS JOIN (SELECT unnest(range(5)) AS o) t),
+         |pd AS (SELECT doc_id, list_sort(list(pos)) AS cov FROM cv GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  CAST(len(w.w) AS INTEGER) AS n_words,
+         |  CAST(coalesce(len(pd.cov), 0) AS INTEGER) AS n_cut,
+         |  CAST(CASE WHEN pd.cov IS NULL THEN 0
+         |       ELSE len(list_filter(range(1, len(pd.cov)+1),
+         |                i -> i = 1 OR pd.cov[i] != pd.cov[i-1] + 1)) END AS INTEGER)
+         |    AS n_spans,
+         |  CASE WHEN pd.cov IS NULL THEN w.text
+         |       ELSE coalesce(array_to_string(list_filter(list_transform(
+         |         range(1, len(w.w)+1),
+         |         i -> CASE WHEN list_contains(pd.cov, i) THEN NULL ELSE w.w[i] END),
+         |         x -> x IS NOT NULL), ' '), '') END AS clean_text
+         |FROM w LEFT JOIN pd ON pd.doc_id = w.doc_id
+         |ORDER BY w.doc_id""") { (s, dir) =>
+      val K = 5
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+      val grams = docs.filter(size(col("w")) >= K)
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(0, size(w)-$K)")).as("p"))
+        .select(col("doc_id"), col("p"),
+          hexHash(concat_ws(" ", expr(s"slice(w, p+1, $K)"))).as("h"))
+      val dup = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val cov = grams.join(dup, "h")
+        .select(col("doc_id"), col("p")).distinct()
+        .select(col("doc_id"), explode(expr(s"sequence(p, p+$K-1)")).as("pos"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("pos"))).as("cov"))
+      docs.join(cov, Seq("doc_id"), "left")
+        .withColumn("cov", coalesce(col("cov"), typedLit(Seq.empty[Int])))
+        .select(col("doc_id"),
+          size(col("w")).as("n_words"),
+          size(col("cov")).as("n_cut"),
+          expr("""IF(size(cov) = 0, 0, size(filter(sequence(0, size(cov)-1),
+                 |  i -> IF(i = 0, true,
+                 |          element_at(cov, i+1) != element_at(cov, i) + 1))))"""
+            .stripMargin).as("n_spans"),
+          expr("""array_join(filter(transform(sequence(0, size(w)-1),
+                 |  q -> IF(array_contains(cov, q), NULL, element_at(w, q+1))),
+                 |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }
