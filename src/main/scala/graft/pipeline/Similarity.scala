@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.functions.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -21,13 +21,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity extends QueryModule {
 
-  /** cosine(a, b) in pure Catalyst higher-order functions. */
-  private val cosExpr =
-    """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-      | / (sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-      |    * sqrt(aggregate(ev, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
-      .stripMargin
+  import graft.functions.VecMath
+
+  /** cosine(qv, ev) — fused folds, bit-identical to the former
+    * higher-order-function composite (same IEEE order). */
+  private def cosCol: Column =
+    VecMath.vec_dot(col("qv"), col("ev")) /
+      (VecMath.vec_norm(col("qv")) * VecMath.vec_norm(col("ev")))
 
   /** DuckDB oracle fragment: exact-double cosine via zipped unnests. */
   private def duckCos(qFilter: String, joinCond: String): String =
@@ -56,9 +56,7 @@ object Similarity extends QueryModule {
   /** sqrt(Σx²) — computed ONCE per vector before the probe×corpus
     * join; inside the score expression it would re-run per candidate
     * pair (probes× for corpus rows, |corpus|× for probe rows). */
-  private def normExpr(c: String) =
-    expr(s"""sqrt(aggregate($c, CAST(0 AS DOUBLE),
-            |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin)
+  private def normExpr(c: String) = VecMath.vec_norm(col(c))
 
   private def topk(s: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
@@ -77,9 +75,7 @@ object Similarity extends QueryModule {
     // Same double math as the one-expression cosine (dot / (√·√)), so
     // the rounded scores are bit-identical to the oracle's.
     joined
-      .withColumn("score", round(expr(
-        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
         / (col("q_nrm") * col("e_nrm")), 6))
       .groupBy(col("query_id"))
       .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
@@ -109,9 +105,7 @@ object Similarity extends QueryModule {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
     def assign(cent: DataFrame): DataFrame =
       ed.crossJoin(broadcast(cent))
-        .withColumn("dist", round(expr(
-          """aggregate(zip_with(ev, cv, (x, c) -> (x - c) * (x - c)),
-            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6))
+        .withColumn("dist", round(VecMath.vec_sq_dist(col("ev"), col("cv")), 6))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"))
@@ -150,9 +144,7 @@ object Similarity extends QueryModule {
         normExpr("embedding").as("e_nrm"))
       .join(broadcast(probes), col("cluster") === col("q_cluster")
         && col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(expr(
-        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
         / (col("q_nrm") * col("e_nrm")), 6))
       .groupBy(col("query_id"))
       .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
@@ -197,9 +189,7 @@ object Similarity extends QueryModule {
     val b = clustered.select(col("vec_id").as("b_id"),
       col("cluster").as("b_cluster"), col("embedding").as("ev"),
       col("nrm").as("b_nrm"))
-    val dot = expr(
-      """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val dot = VecMath.vec_dot(col("qv"), col("ev"))
     val dups = a.join(b, col("a_cluster") === col("b_cluster")
         && col("a_id") < col("b_id"))
       .withColumn("score", round(dot / (col("a_nrm") * col("b_nrm")), 6))
@@ -235,9 +225,7 @@ object Similarity extends QueryModule {
         normExpr("embedding").as("e_nrm"))
       .join(broadcast(probes), col("cluster") === col("q_cluster")
         && col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(expr(
-        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
         / (col("q_nrm") * col("e_nrm")), 6))
       .groupBy(col("query_id"))
       .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
@@ -330,7 +318,16 @@ object Similarity extends QueryModule {
         |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster, d.dup_of,
         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
         |FROM a3 a LEFT JOIN dups d ON d.b_id = a.vec_id
-        |ORDER BY a.vec_id""") { (s, dir) => semDedup(s, dir) },
+        |ORDER BY a.vec_id""") { (s, dir) =>
+      // k/updates are the operator's deployment knobs (k ≈ N /
+      // targetClusterSize keeps the pair space linear; updates=0 is
+      // the fit-on-sample-then-assign 100 TB shape). The oracle pins
+      // 8/2; scale probes override via env, which the driver never
+      // sets.
+      semDedup(s, dir,
+        k = sys.env.get("GRAFT_SEMDEDUP_K").map(_.toInt).getOrElse(8),
+        updates = sys.env.get("GRAFT_SEMDEDUP_UPDATES").map(_.toInt).getOrElse(2))
+    },
 
     q("q56_ann_bruteforce",
       duckCos("a.vec_id < 10", "a.vec_id <> b.vec_id")) { (s, dir) =>
@@ -369,17 +366,12 @@ object Similarity extends QueryModule {
       // norms are computed ONCE per row before the join — inside the
       // join condition they would re-run per candidate pair (|block|×)
       val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-        col("embedding"),
-        expr("""sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
-               |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin)
-          .as("nrm"))
+        col("embedding"), VecMath.vec_norm(col("embedding")).as("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("label"),
         col("embedding").as("qv"), col("nrm").as("a_nrm"))
       val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
         col("embedding").as("ev"), col("nrm").as("b_nrm"))
-      val dot = expr(
-        """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      val dot = VecMath.vec_dot(col("qv"), col("ev"))
       a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
         .withColumn("score", round(dot / (col("a_nrm") * col("b_nrm")), 6))
         .filter(col("score") >= 0.25)
@@ -509,7 +501,7 @@ object Similarity extends QueryModule {
       val wRoute = Window.partitionBy(col("query_id"))
         .orderBy(col("rep_score").desc, col("rep_label"))
       val routed = queries.crossJoin(broadcast(reps))
-        .withColumn("rep_score", round(expr(cosExpr), 6))
+        .withColumn("rep_score", round(cosCol, 6))
         .withColumn("rk", row_number().over(wRoute))
         .filter(col("rk") === 1)
         .select(col("query_id"), col("qv"), col("q_nrm"), col("rep_label"))
@@ -523,9 +515,7 @@ object Similarity extends QueryModule {
           normExpr("embedding").as("e_nrm"))
         .join(broadcast(routed), col("label") === col("rep_label")
           && col("vec_id") =!= col("query_id"))
-        .withColumn("score", round(expr(
-          """aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
           / (col("q_nrm") * col("e_nrm")), 6))
         .groupBy(col("query_id"))
         .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))

@@ -222,7 +222,10 @@ object StreamingDedup {
     // never compared.
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Int, Seq[Float])]
-    sentinel.addData((SentinelSec, -1, Seq(1.0f)))
+    // full-dim dummy vector: the fused vec_dot (unlike the old
+    // null-padding composite) requires length parity for the bucket
+    // projection; which bucket the sentinel lands in stays irrelevant
+    sentinel.addData((SentinelSec, -1, Seq.fill(64)(1.0f)))
     val fileVecs =
       (if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
         s.readStream.schema(raw).parquet(s"$dir/embeddings.parquet")
@@ -237,12 +240,21 @@ object StreamingDedup {
 
     // hyperplane j's component for dim i is ±1 by md5 parity; the
     // bucket of table t packs signBits rounded-dot signs into an int.
-    // Pure per-row expressions — streaming-safe, oracle-replayable.
-    def signBit(j: Int): Column = when(round(expr(
-      s"""aggregate(transform(embedding, (x, i) ->
-         |  CAST(x AS DOUBLE) * (CASE WHEN substring(md5(concat('$j:', CAST(i AS STRING))), 1, 1)
-         |    IN ('0','2','4','6','8','a','c','e') THEN 1.0D ELSE -1.0D END)),
-         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6) >= 0, 1)
+    // The hyperplane is DATA-INDEPENDENT, so it is computed once on
+    // the driver (same md5, bit-identical signs — the oracle replays
+    // the same parity in SQL) and shipped as a literal array: the
+    // former inline expression re-ran dim×signTables×signBits md5
+    // digests per ROW. The dot itself is the fused zero-alloc
+    // VecMath fold. Streaming-safe, per-row, oracle-replayable.
+    val dim = 64 // embeddings table contract (q162 asserts dim_ok)
+    def hyperplane(j: Int): Seq[Double] = (0 until dim).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0 // first hex digit even
+    }
+    def signBit(j: Int): Column = when(
+      round(graft.functions.VecMath.vec_dot(col("embedding"),
+        typedlit(hyperplane(j))), 6) >= 0, 1)
       .otherwise(0)
     def bucketFor(t: Int): Column =
       (0 until signBits).map(b => signBit(t * signBits + b) * lit(1 << b))

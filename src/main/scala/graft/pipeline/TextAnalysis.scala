@@ -625,9 +625,8 @@ object TextAnalysis extends QueryModule {
       Tables.t(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(sqrt(expr(
-            "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
-            6).as("l2_norm"),
+          round(graft.functions.VecMath.vec_norm(col("embedding")), 6)
+            .as("l2_norm"),
           when(expr("size(filter(embedding, x -> x != 0F))") === 0, 1).otherwise(0).as("is_zero"),
           when(expr("size(filter(embedding, x -> isnan(CAST(x AS DOUBLE))))") > 0, 1).otherwise(0).as("has_nan"),
           when(size(col("embedding")) === 64, 1).otherwise(0).as("dim_ok"))
