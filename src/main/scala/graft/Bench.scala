@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * "regressions" on untouched queries traced back to exactly that —
   * while the steady-state median tracks plan cost, which is what
   * scales to a real cluster.
+  *
+  * METHOD CHANGE (r9): queries evaluate through the `noop` write sink
+  * instead of `count()`. count() legally pruned any work feeding only
+  * cardinality-preserving joins (q166's dedup subtree, q170's span
+  * cutting) — those "timings" measured an id scan. The noop sink
+  * forces every column. The one-time count↔noop parity table is in
+  * PLANS.md; r8-and-earlier artifacts are count-based.
   */
 object Bench {
 
@@ -52,7 +59,11 @@ object Bench {
     "q155_decontamination",
     "q157_crossdoc_ngram_dup",
     // r9: the incremental-ingest dedup flagship
-    "q166_incremental_dedup")
+    "q166_incremental_dedup",
+    // r9 additions: semantic dedup, normalization, span-cut dedup
+    "q167_semdedup",
+    "q169_text_normalize",
+    "q170_substring_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,7 +94,17 @@ object Bench {
     val results = defs.map { d =>
       val times = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
-        try d.fn(spark, sfDir).count()
+        // noop sink = FULL evaluation of every column. count() let
+        // Catalyst legally eliminate work that feeds only
+        // cardinality-preserving joins (q166/q170 measured a doc_id
+        // scan — the r9 PLANS lesson); a write sink can't be pruned.
+        // SPARK_GRAFT_BENCH_COUNT=1 restores the old method for
+        // parity runs.
+        try {
+          if (sys.env.contains("SPARK_GRAFT_BENCH_COUNT"))
+            d.fn(spark, sfDir).count()
+          else d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: $e") }
         val dt = (System.nanoTime() - t0) / 1e9
         Bridge.resetStreamingState(spark)

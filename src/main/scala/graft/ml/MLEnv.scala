@@ -86,11 +86,9 @@ object MLEnv {
         "pre-block by a cluster key, or raise maxPoints deliberately.")
     val a = df.select(col(idCol).cast("long").as("i"), col(featuresCol).as("fa"))
     val b = df.select(col(idCol).cast("long").as("j"), col(featuresCol).as("fb"))
-    val dist = expr(
-      """sqrt(aggregate(
-        |  zip_with(fa, fb, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin)
+    // fused zero-alloc fold (same IEEE order as the former
+    // zip_with+aggregate composite — see graft.functions.VecMath)
+    val dist = sqrt(graft.functions.VecMath.vec_sq_dist(col("fa"), col("fb")))
     val pairs = a.crossJoin(b).filter(col("i") =!= col("j"))
       .select(col("i"), col("j"), dist.as("d"))
       .as[(Long, Long, Double)]

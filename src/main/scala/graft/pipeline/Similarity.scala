@@ -127,6 +127,79 @@ object Similarity extends QueryModule {
     assign(cent)
   }
 
+  /** Two-level nearest-centroid assignment — the escape hatch for the
+    * flat pass's Θ(N·k) FLOP cost when k itself scales with the
+    * corpus (k ≈ N/clusterSize makes flat assignment Θ(N²/clusterSize);
+    * see the r9 SemDeDup probe notes in PLANS.md). The k centroids are
+    * grouped into `superK` super-centroids by a small driver-side
+    * Lloyd's (the centroid set is broadcast-sized by construction —
+    * collecting it is the same data volume the flat pass already
+    * ships to every task); each vector routes to its nearest super
+    * (N·superK) and then scans only that super's member centroids
+    * (N·k/superK on average) — Θ(N·2√k) at superK = √k. Both stages
+    * stay corpus-map-over-broadcast: the corpus never shuffles, the
+    * argmins are map-side-combinable aggregates.
+    *
+    * APPROXIMATE at the boundary: a vector whose true nearest
+    * centroid sits in a non-probed super-cluster mis-routes.
+    * `nProbe` is the standard IVF dial: route to the nProbe nearest
+    * supers (work Θ(N·(superK + nProbe·k/superK))); agreement with
+    * the flat pass is MONOTONE in nProbe (candidate sets grow), and
+    * nProbe = superK degenerates to the exact flat scan.
+    * TwoLevelAssignSpec pins nProbe=1 exactness on separated data,
+    * monotonicity + the nProbe=superK equality on the real table.
+    * Same 6-dp/lowest-id determinism contract as the flat pass, so
+    * results are reproducible under any partitioning. */
+  private[pipeline] def assignTwoLevel(s: SparkSession, vecs: DataFrame,
+      cent: DataFrame, superK: Int, iters: Int = 2, nProbe: Int = 1): DataFrame = {
+    import s.implicits._
+    val centArr = cent.select(col("cluster").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(centArr.nonEmpty && superK >= 1, "need centroids and superK >= 1")
+    val dim = centArr.head._2.length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def nearest(v: Array[Double], sup: IndexedSeq[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < sup.length) {
+        val d = sq(v, sup(i)); if (d < bd) { bd = d; best = i }; i += 1
+      }
+      best // ties to lowest super id via strict <
+    }
+    var sup: IndexedSeq[Array[Double]] =
+      centArr.take(superK).map(_._2).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val byS = centArr.groupBy(c => nearest(c._2, sup))
+      sup = (0 until sup.length).map { sId =>
+        byS.get(sId).map { ms =>
+          val m = new Array[Double](dim)
+          ms.foreach(c => (0 until dim).foreach(i => m(i) += c._2(i)))
+          m.map(_ / ms.length)
+        }.getOrElse(sup(sId))
+      }
+    }
+    val memberDf = broadcast(
+      centArr.map { case (c, v) => (nearest(v, sup), c, v.toSeq) }
+        .toSeq.toDF("m_sup", "cluster", "cv"))
+    // stage-1 routing is a PURE MAP: the super-centroid table rides
+    // inside the vec_nearest_indices expression, so no join, no
+    // shuffle, and the embedding array never leaves its partition
+    // (the explode fans each vector out nProbe× — still map-side)
+    val routed = vecs.withColumn("sup",
+      explode(graft.functions.VecMath.vec_nearest_indices(col("ev"),
+        sup.map(_.toSeq), nProbe)))
+    routed.join(memberDf, col("sup") === col("m_sup"))
+      .withColumn("dist", round(VecMath.vec_sq_dist(col("ev"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+  }
+
   /** IVF with real k-means routing: cluster the corpus with the
     * relational Lloyd's above, then run the two-stage search — probes
     * only touch their own cluster, the corpus is scanned once. The
