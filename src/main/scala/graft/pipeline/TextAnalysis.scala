@@ -798,6 +798,66 @@ object TextAnalysis extends QueryModule {
                  |  q -> IF(array_contains(cov, q), NULL, element_at(w, q+1))),
                  |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- perplexity filtering (the CCNet recipe, Wenzek et al.
+    // 2019, relationalized): train a bigram LM on the corpus itself,
+    // score every doc by average surprisal bits/word under
+    // p(w2|w1) = c(w1,w2)/c(w1·), drop the high-perplexity tail
+    // (garbled/outlier text). Scale shape: bigrams travel as 8-byte
+    // md5-slice hashes from the scan on (strings never shuffle), both
+    // count aggs map-side combine, the count join-back is hash-keyed,
+    // and the per-doc score is ONE reassembly shuffle. Cross-engine
+    // exactness: each log2 term rounds to 6 dp, terms re-assemble in
+    // POSITION ORDER on both engines (array_sort struct / list_sort
+    // struct_pack) and fold left-to-right, so the fp sum is
+    // bit-identical under any partitioning. -----
+    q("q171_perplexity_filter",
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |b AS (SELECT doc_id, i AS pos,
+         |        ${duckHash("w[i]")} AS h1,
+         |        ${duckHash("w[i] || ' ' || w[i+1]")} AS hb
+         |      FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+         |            FROM w WHERE len(w) >= 2)),
+         |cb AS (SELECT hb, count(*) AS c FROM b GROUP BY hb),
+         |c1 AS (SELECT h1, count(*) AS c FROM b GROUP BY h1),
+         |t AS (SELECT b.doc_id, b.pos,
+         |        round(log2(c1.c::DOUBLE / cb.c), 6) AS term
+         |      FROM b JOIN cb USING (hb) JOIN c1 USING (h1)),
+         |d AS (SELECT doc_id,
+         |        list_reduce(list_transform(
+         |          list_sort(list(struct_pack(p := pos, t := term))),
+         |          s -> s.t), (a, b) -> a + b) AS hsum,
+         |        count(*) AS n
+         |      FROM t GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
+         |  round(hsum / n, 4) AS bits_per_word,
+         |  CAST(round(hsum / n, 4) <= 4.95 AS INTEGER) AS keep
+         |FROM d ORDER BY doc_id""") { (s, dir) =>
+      val b = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w)-2)")).as("p"))
+        .select(col("doc_id"), col("p"),
+          hexHash(expr("element_at(w, p+1)")).as("h1"),
+          hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
+            expr("element_at(w, p+2)"))).as("hb"))
+      val cb = b.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+      val c1 = b.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+      b.join(cb, "hb").join(c1, "h1")
+        .select(col("doc_id"), col("p"),
+          round(log2(col("c1").cast("double") / col("cb")), 6).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(p, term))),
+            |  s -> s.term), CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin)
+          .as("hsum"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
+          round(col("hsum") / col("n"), 4).as("bits_per_word"))
+        .withColumn("keep", (col("bits_per_word") <= 4.95).cast("int"))
+        .orderBy(col("doc_id"))
     }
   )
 }
