@@ -197,4 +197,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "candidate generation regressed to a non-equi join")
   }
+
+  test("q167 semdedup: no cartesian pair space — only centroid broadcasts cross") {
+    val p = plan("q167_semdedup")
+    // the ONLY nested-loop joins allowed are corpus × broadcast(centroids)
+    // (the k-means assignment shape); the cluster self-join and the
+    // annotate join must be equi joins
+    assert(!p.contains("CartesianProduct"),
+      "a corpus-side cartesian appeared in the dedup pair space")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      "cluster self-join must be an equi join")
+  }
+
+  test("q170 substring dedup: equi joins only, spans merge without a Window") {
+    val p = plan("q170_substring_dedup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "dup-gram join-back regressed to a non-equi join")
+    assert(!p.contains("Window"),
+      "span merging must ride per-doc arrays, not a corpus window sort")
+  }
+
+  test("q171 perplexity shuffles 8-byte bigram hashes, never word strings") {
+    val p = plan("q171_perplexity_filter")
+    assert("Exchange hashpartitioning\\((hb|h1)".r.findAllIn(p).nonEmpty,
+      "count aggregations must key on the hashed bigram")
+    assert(!"Exchange hashpartitioning\\(w[#,\\d]".r.findAllIn(p).nonEmpty,
+      "raw word strings must never reach an exchange")
+    assert(!p.contains("Window"), "scoring must not use a window sort")
+  }
 }
