@@ -58,4 +58,61 @@ object QueryableState {
       .outputMode("complete").start()
     new QueryableStateStore(spark, name, q)
   }
+
+  /** External-store variant — the scale escalation the memory-sink
+    * path documents: per-key state is UPSERTED into a JDBC table
+    * each trigger (update output mode ships only keys whose state
+    * changed), and clients query the DATABASE, so key cardinality is
+    * bounded by the store, not by any single process. The upsert
+    * (delete-by-key + insert, one transaction per partition) is
+    * idempotent per key, so epoch replays converge — the same
+    * argument as [[ExactlyOnceJdbc]], with the key itself as the
+    * idempotency scope. This mirrors the reference's external state
+    * serving more faithfully than the snapshot table: reads hit a
+    * store fed asynchronously by the job, and see some recent
+    * committed state. */
+  def asExternalQueryableState(keyedAgg: DataFrame, keyCols: Seq[String],
+      url: String, table: String, checkpointDir: String,
+      props: java.util.Properties = new java.util.Properties): StreamingQuery =
+    keyedAgg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        upsertBatch(batch, keyCols, url, table, props))
+      .start()
+
+  /** Transactional per-partition key upsert; safe under replays. */
+  private[streaming] def upsertBatch(batch: DataFrame, keyCols: Seq[String],
+      url: String, table: String, props: java.util.Properties): Unit = {
+    // ensure the table exists with the batch's schema (0-row append)
+    batch.limit(0).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .jdbc(url, table, props)
+    val schema = batch.schema
+    val cols = schema.fieldNames.toSeq
+    val del = s"""DELETE FROM $table WHERE ${
+      keyCols.map(k => s""""$k" = ?""").mkString(" AND ")}"""
+    val ins = s"""INSERT INTO $table (${cols.map(c => s""""$c"""").mkString(", ")})
+                 |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val propsMap = new java.util.Properties(); propsMap.putAll(props)
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url, propsMap)
+        try {
+          conn.setAutoCommit(false)
+          val dSt = conn.prepareStatement(del)
+          val iSt = conn.prepareStatement(ins)
+          rows.foreach { r =>
+            keyIdx.zipWithIndex.foreach { case (ki, p) =>
+              dSt.setObject(p + 1, r.get(ki)) }
+            dSt.executeUpdate()
+            cols.indices.foreach(i => iSt.setObject(i + 1, r.get(i)))
+            iSt.executeUpdate()
+          }
+          conn.commit()
+          dSt.close(); iSt.close()
+        } finally conn.close()
+      }
+    }
+  }
 }
