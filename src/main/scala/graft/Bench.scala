@@ -60,10 +60,12 @@ object Bench {
     "q157_crossdoc_ngram_dup",
     // r9: the incremental-ingest dedup flagship
     "q166_incremental_dedup",
-    // r9 additions: semantic dedup, normalization, span-cut dedup
+    // r9 additions: semantic dedup, normalization, span-cut dedup,
+    // perplexity filter
     "q167_semdedup",
     "q169_text_normalize",
-    "q170_substring_dedup")
+    "q170_substring_dedup",
+    "q171_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
