@@ -252,6 +252,105 @@ object TextAnalysis extends QueryModule {
     (out, stateRows)
   }
 
+  /** Perplexity gating AT INGEST: arriving docs score against a
+    * FROZEN bigram LM (counts trained on the batch corpus — in
+    * production, yesterday's corpus snapshot; here the same corpus,
+    * making the stream hash-equal to batch q171). Per-bigram terms
+    * come from a stream-static equi join against the broadcast count
+    * tables; per-doc terms seal in an APPEND-mode event-time-windowed
+    * aggregation whose groups evict as the watermark passes — the
+    * q158 bounded-state ingest shape. At eval suites / LMs too large
+    * to broadcast, the q160 bloom-prefilter escalation applies
+    * unchanged. The watermark sentinel survives every filter but
+    * carries no LM bigrams, so it seals with n = 0 and the final
+    * n ≥ 1 filter drops it. */
+  private[pipeline] def perplexityStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = Tables.t(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId < SentinelId,
+      s"watermark sentinel $SentinelId no longer exceeds max doc_id $maxId")
+    // frozen LM: the batch corpus's bigram/prefix counts (8-byte
+    // hashes; word strings never shuffle)
+    def bigrams(df: DataFrame) = df
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        explode(expr("sequence(0, size(w)-2)")).as("p"),
+        col("w"))
+      .select(col("doc_id"), col("ts"), col("p"),
+        hexHash(expr("element_at(w, p+1)")).as("h1"),
+        hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
+          expr("element_at(w, p+2)"))).as("hb"))
+    val batchBi = bigrams(docs.withColumn("ts", lit(null).cast("timestamp")))
+    val cb = batchBi.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+    val c1 = batchBi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    sentinel.addData((SentinelId, "zsentinela zsentinelb zsentinelc"))
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val scored = bigrams(stream
+        .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+        .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+        .withWatermark("ts", "0 seconds"))
+      .join(broadcast(cb), Seq("hb"), "left")
+      .join(broadcast(c1), Seq("h1"), "left")
+      .withColumn("term",
+        round(log2(col("c1").cast("double") / col("cb")), 6))
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(collect_list(when(col("term").isNotNull,
+          struct(col("p"), col("term")))).as("terms"),
+        count(col("term")).as("n"))
+      .drop("window")
+    s.catalog.dropTempView("graft_stream_perplexity")
+    val query = scored.writeStream.format("memory")
+      .queryName("graft_stream_perplexity").outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    s.table("graft_stream_perplexity")
+      .filter(col("n") >= 1)
+      .withColumn("hsum", expr(
+        """aggregate(transform(array_sort(terms), s -> s.term),
+          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
+        round(col("hsum") / col("n"), 4).as("bits_per_word"))
+      .withColumn("keep", (col("bits_per_word") <= 4.95).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared perplexity oracle: q171 (batch) and q172 (the same
+    * scoring at ingest against the frozen LM) compute exactly this
+    * relation. */
+  private lazy val perplexityOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |b AS (SELECT doc_id, i AS pos,
+       |        ${duckHash("w[i]")} AS h1,
+       |        ${duckHash("w[i] || ' ' || w[i+1]")} AS hb
+       |      FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+       |            FROM w WHERE len(w) >= 2)),
+       |cb AS (SELECT hb, count(*) AS c FROM b GROUP BY hb),
+       |c1 AS (SELECT h1, count(*) AS c FROM b GROUP BY h1),
+       |t AS (SELECT b.doc_id, b.pos,
+       |        round(log2(c1.c::DOUBLE / cb.c), 6) AS term
+       |      FROM b JOIN cb USING (hb) JOIN c1 USING (h1)),
+       |d AS (SELECT doc_id,
+       |        list_reduce(list_transform(
+       |          list_sort(list(struct_pack(p := pos, t := term))),
+       |          s -> s.t), (a, b) -> a + b) AS hsum,
+       |        count(*) AS n
+       |      FROM t GROUP BY doc_id)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
+       |  round(hsum / n, 4) AS bits_per_word,
+       |  CAST(round(hsum / n, 4) <= 4.95 AS INTEGER) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
 
     q("q58_text_stats",
@@ -812,28 +911,7 @@ object TextAnalysis extends QueryModule {
     // POSITION ORDER on both engines (array_sort struct / list_sort
     // struct_pack) and fold left-to-right, so the fp sum is
     // bit-identical under any partitioning. -----
-    q("q171_perplexity_filter",
-      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |b AS (SELECT doc_id, i AS pos,
-         |        ${duckHash("w[i]")} AS h1,
-         |        ${duckHash("w[i] || ' ' || w[i+1]")} AS hb
-         |      FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
-         |            FROM w WHERE len(w) >= 2)),
-         |cb AS (SELECT hb, count(*) AS c FROM b GROUP BY hb),
-         |c1 AS (SELECT h1, count(*) AS c FROM b GROUP BY h1),
-         |t AS (SELECT b.doc_id, b.pos,
-         |        round(log2(c1.c::DOUBLE / cb.c), 6) AS term
-         |      FROM b JOIN cb USING (hb) JOIN c1 USING (h1)),
-         |d AS (SELECT doc_id,
-         |        list_reduce(list_transform(
-         |          list_sort(list(struct_pack(p := pos, t := term))),
-         |          s -> s.t), (a, b) -> a + b) AS hsum,
-         |        count(*) AS n
-         |      FROM t GROUP BY doc_id)
-         |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
-         |  round(hsum / n, 4) AS bits_per_word,
-         |  CAST(round(hsum / n, 4) <= 4.95 AS INTEGER) AS keep
-         |FROM d ORDER BY doc_id""") { (s, dir) =>
+    q("q171_perplexity_filter", perplexityOracle) { (s, dir) =>
       val b = Tables.t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
@@ -858,6 +936,16 @@ object TextAnalysis extends QueryModule {
           round(col("hsum") / col("n"), 4).as("bits_per_word"))
         .withColumn("keep", (col("bits_per_word") <= 4.95).cast("int"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- the same scoring AT INGEST (stream hash-equal to q171 —
+    // the q155↔q158 pattern): arriving docs score against the frozen
+    // batch-trained LM via broadcast stream-static joins; per-doc
+    // groups seal in the append-mode windowed agg and evict with the
+    // watermark, so ingest state stays bounded on an unbounded
+    // stream. -----
+    q("q172_stream_perplexity", perplexityOracle) { (s, dir) =>
+      perplexityStream(s, dir)
     }
   )
 }
