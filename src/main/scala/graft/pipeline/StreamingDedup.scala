@@ -210,7 +210,10 @@ object StreamingDedup {
     import s.implicits._
     val batch = s.read.parquet(s"$dir/embeddings.parquet")
     val raw = batch.schema
-    val maxId = batch.agg(max(col("vec_id").cast("long"))).head.getLong(0)
+    val firstRow = batch.agg(max(col("vec_id").cast("long")).as("m"),
+      max(size(col("embedding"))).as("d")).head
+    val maxId = firstRow.getLong(0)
+    val dim = firstRow.getInt(1) // corpus embedding dimension
     require(maxId + 1 < SentinelSec,
       s"vec_id $maxId reaches the watermark sentinel epoch $SentinelSec")
     implicit val sq = s.sqlContext
@@ -225,7 +228,7 @@ object StreamingDedup {
     // full-dim dummy vector: the fused vec_dot (unlike the old
     // null-padding composite) requires length parity for the bucket
     // projection; which bucket the sentinel lands in stays irrelevant
-    sentinel.addData((SentinelSec, -1, Seq.fill(64)(1.0f)))
+    sentinel.addData((SentinelSec, -1, Seq.fill(dim)(1.0f)))
     val fileVecs =
       (if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
         s.readStream.schema(raw).parquet(s"$dir/embeddings.parquet")
@@ -246,7 +249,6 @@ object StreamingDedup {
     // former inline expression re-ran dim×signTables×signBits md5
     // digests per ROW. The dot itself is the fused zero-alloc
     // VecMath fold. Streaming-safe, per-row, oracle-replayable.
-    val dim = 64 // embeddings table contract (q162 asserts dim_ok)
     def hyperplane(j: Int): Seq[Double] = (0 until dim).map { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$j:$i".getBytes("UTF-8"))
