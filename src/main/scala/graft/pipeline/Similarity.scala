@@ -275,6 +275,62 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** The PAPER's keep strategy (SemDeDup §2: within each duplicate
+    * group keep the example with LOW similarity to the cluster
+    * centroid — the most atypical member survives, preserving
+    * diversity). Same cluster-bounded pair space as [[semDedup]];
+    * what changes is the precedence order: instead of lowest vec_id
+    * winning, members rank by (centroid-cosine ASC, vec_id ASC) and a
+    * vector is dropped when a near-twin (cosine ≥ tau) PRECEDES it in
+    * that order. Centroid = the per-cluster mean (one
+    * posexplode + (cluster, dim) partial-agg pass, rounded 6 dp/dim
+    * so either engine replays it). Output: (vec_id, cluster,
+    * centroid_sim, kept). */
+  def semDedupKeepAtypical(s: SparkSession, dir: String, k: Int = 8,
+      updates: Int = 2, tau: Double = 0.25): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val clustered = kmeansClusters(e, k, updates)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        normExpr("embedding").as("nrm"))
+      .localCheckpoint()
+    val centroids = clustered
+      .select(col("cluster"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("c"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+    val scored = clustered.join(broadcast(centroids), "cluster")
+      .withColumn("centroid_sim", round(
+        VecMath.vec_dot(col("embedding"), col("cv"))
+          / (col("nrm") * VecMath.vec_norm(col("cv"))), 6))
+      .select(col("vec_id"), col("cluster"), col("embedding"), col("nrm"),
+        col("centroid_sim"))
+    val a = scored.select(col("vec_id").as("a_id"),
+      col("cluster").as("a_cluster"), col("embedding").as("qv"),
+      col("nrm").as("a_nrm"), col("centroid_sim").as("a_cs"))
+    val b = scored.select(col("vec_id").as("b_id"),
+      col("cluster").as("b_cluster"), col("embedding").as("ev"),
+      col("nrm").as("b_nrm"), col("centroid_sim").as("b_cs"))
+    // a precedes b in (centroid_sim ASC, vec_id ASC)
+    val precedes = col("a_cs") < col("b_cs") ||
+      (col("a_cs") === col("b_cs") && col("a_id") < col("b_id"))
+    val dropped = a.join(b, col("a_cluster") === col("b_cluster")
+        && col("a_id") =!= col("b_id") && precedes)
+      .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
+        / (col("a_nrm") * col("b_nrm")), 6))
+      .filter(col("score") >= tau)
+      .select(col("b_id")).distinct()
+      .withColumn("hit", lit(1))
+    scored.join(dropped, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("centroid_sim"),
+        when(col("hit").isNull, 1).otherwise(0).cast("int").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The same IVF plan with MLlib's KMeans doing the fit (the
     * interop path a production user would take; `model.transform` is
     * the nearest-centroid assignment). Not SQL-oracle-checkable —
@@ -401,6 +457,38 @@ object Similarity extends QueryModule {
         k = sys.env.get("GRAFT_SEMDEDUP_K").map(_.toInt).getOrElse(8),
         updates = sys.env.get("GRAFT_SEMDEDUP_UPDATES").map(_.toInt).getOrElse(2))
     },
+
+    // ----- the PAPER's keep strategy: duplicate groups keep their
+    // most atypical member (lowest centroid-cosine), preserving
+    // diversity. Precedence = (centroid_sim ASC, vec_id ASC); the
+    // oracle replays fit + per-cluster centroids + precedence. -----
+    q("q173_semdedup_keep_atypical",
+      s"""WITH $duckLloydCtes,
+        |c4 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
+        |       FROM a3 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+        |cn AS (SELECT cluster, sqrt(sum(c * c)) AS cnrm FROM c4 GROUP BY cluster),
+        |cs AS (SELECT a.vec_id, a.cluster,
+        |         round(sum(f.x * c4.c) / (norms.nrm * cn.cnrm), 6) AS centroid_sim
+        |       FROM a3 a JOIN flat f ON f.vec_id = a.vec_id
+        |       JOIN c4 ON c4.cluster = a.cluster AND c4.i = f.i
+        |       JOIN norms ON norms.vec_id = a.vec_id
+        |       JOIN cn ON cn.cluster = a.cluster
+        |       GROUP BY a.vec_id, a.cluster, norms.nrm, cn.cnrm),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM cs a JOIN cs b ON b.cluster = a.cluster AND a.vec_id <> b.vec_id
+        |    AND (a.centroid_sim < b.centroid_sim
+        |         OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = a.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+        |drp AS (SELECT DISTINCT b_id FROM pairs WHERE score >= 0.25)
+        |SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, s.centroid_sim,
+        |  CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM cs s LEFT JOIN drp d ON d.b_id = s.vec_id
+        |ORDER BY s.vec_id""") { (s, dir) => semDedupKeepAtypical(s, dir) },
 
     q("q56_ann_bruteforce",
       duckCos("a.vec_id < 10", "a.vec_id <> b.vec_id")) { (s, dir) =>

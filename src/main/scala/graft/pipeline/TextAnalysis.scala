@@ -946,6 +946,53 @@ object TextAnalysis extends QueryModule {
     // stream. -----
     q("q172_stream_perplexity", perplexityOracle) { (s, dir) =>
       perplexityStream(s, dir)
+    },
+
+    // ----- vocabulary extraction + OOV-rate scoring: the top-V
+    // corpus words become the vocabulary (the tokenizer-coverage
+    // question: how much of each doc a fixed vocab explains); every
+    // doc scores its out-of-vocabulary word rate against it. Scale
+    // shape: the word count is the classic map-side-combined
+    // wordcount; the top-V selection is the bounded TopK aggregate
+    // over (count, wordhash) — partial k-buffers per partition, the
+    // exchange carries partitions×V rows, never the vocabulary; the
+    // tiny vocab set broadcasts back for the per-doc OOV join. Ranking
+    // ties break on the 8-byte word hash (both engines derive it
+    // identically), so the cut at V is total-ordered. V=16 of this
+    // corpus's 31 distinct words keeps both sides of the boundary
+    // populated. -----
+    q("q174_vocab_oov",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+         |           FROM documents),
+         |h AS (SELECT doc_id, word, ${duckHash("word")} AS hw FROM w),
+         |cnt AS (SELECT hw, count(*) AS c FROM h GROUP BY hw),
+         |vocab AS (SELECT hw FROM cnt
+         |          ORDER BY c DESC, hw ASC LIMIT 16),
+         |scored AS (SELECT h.doc_id, count(*) AS n_words,
+         |    sum(CASE WHEN v.hw IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM h LEFT JOIN vocab v ON v.hw = h.hw
+         |  GROUP BY h.doc_id)
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+         |  CAST(n_oov AS INTEGER) AS n_oov,
+         |  round(n_oov::DOUBLE / n_words, 6) AS oov_rate
+         |FROM scored ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.TopK
+      val words = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("hw", hexHash(col("word")))
+      val vocab = words.groupBy(col("hw")).agg(count(lit(1)).as("c"))
+        // TopK orders (score DESC, id ASC) — exactly (c DESC, hw ASC)
+        .agg(TopK.topK(16)(col("c").cast("double"), col("hw")).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id").as("vhw"))
+      words.join(broadcast(vocab), col("hw") === col("vhw"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("vhw").isNull, 1).otherwise(0)).as("n_oov"))
+        .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
+          col("n_oov").cast("int").as("n_oov"),
+          round(col("n_oov").cast("double") / col("n_words"), 6).as("oov_rate"))
+        .orderBy(col("doc_id"))
     }
   )
 }
