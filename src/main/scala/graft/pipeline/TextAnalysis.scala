@@ -879,8 +879,11 @@ object TextAnalysis extends QueryModule {
       val dup = grams.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("h"))
+      // no distinct on (doc_id, p): each position carries exactly one
+      // gram hash, so the dup join preserves uniqueness — a distinct
+      // here costs a full extra exchange (seen in the r9 plan dump)
+      // and collect_set dedups positions anyway
       val cov = grams.join(dup, "h")
-        .select(col("doc_id"), col("p")).distinct()
         .select(col("doc_id"), explode(expr(s"sequence(p, p+$K-1)")).as("pos"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("pos"))).as("cov"))
