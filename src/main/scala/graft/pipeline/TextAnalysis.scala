@@ -996,6 +996,85 @@ object TextAnalysis extends QueryModule {
           col("n_oov").cast("int").as("n_oov"),
           round(col("n_oov").cast("double") / col("n_words"), 6).as("oov_rate"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- DSIR data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public paper,
+    // relationalized): score every raw-pool doc by its importance
+    // weight toward a target distribution, estimated over HASHED
+    // BIGRAM BUCKETS (B=256): per-bucket log-ratio of add-1-smoothed
+    // target vs raw probabilities, summed per doc and normalized by
+    // length; keep docs that look target-like. The target here is the
+    // doc_id % 97 == 0 split (the decontamination convention), the
+    // raw pool everything else. Scale shape: bucket stats are two
+    // map-side-combined 256-group aggregations + one 1-row totals
+    // aggregate (broadcast — never a driver collect); the 256-row
+    // term table broadcasts into the per-doc scoring join, and the
+    // per-doc fp sum reassembles in position order on both engines
+    // (bit-identical under any partitioning — the q171 machinery). -----
+    q("q175_dsir_select",
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |b AS (SELECT doc_id, i AS pos,
+         |        ${duckHash("w[i] || ' ' || w[i+1]")} % 256 AS bkt
+         |      FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+         |            FROM w WHERE len(w) >= 2)),
+         |tc AS (SELECT bkt, count(*) AS c FROM b WHERE doc_id % 97 = 0 GROUP BY bkt),
+         |rc AS (SELECT bkt, count(*) AS c FROM b WHERE doc_id % 97 <> 0 GROUP BY bkt),
+         |tot AS (SELECT (SELECT count(*) FROM b WHERE doc_id % 97 = 0) AS tt,
+         |               (SELECT count(*) FROM b WHERE doc_id % 97 <> 0) AS tr),
+         |terms AS (SELECT u.bkt,
+         |    round(log2(((coalesce(tc.c, 0) + 1)::DOUBLE / (tot.tt + 256))
+         |             / ((coalesce(rc.c, 0) + 1)::DOUBLE / (tot.tr + 256))), 6) AS term
+         |  FROM (SELECT DISTINCT bkt FROM b) u
+         |  LEFT JOIN tc ON tc.bkt = u.bkt LEFT JOIN rc ON rc.bkt = u.bkt, tot),
+         |d AS (SELECT b.doc_id,
+         |        list_reduce(list_transform(
+         |          list_sort(list(struct_pack(p := b.pos, t := terms.term))),
+         |          s -> s.t), (a, x) -> a + x) AS lw,
+         |        count(*) AS n
+         |      FROM b JOIN terms ON terms.bkt = b.bkt
+         |      WHERE b.doc_id % 97 <> 0
+         |      GROUP BY b.doc_id)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
+         |  round(lw / n, 4) + 0 AS dsir_logw,
+         |  CAST(round(lw / n, 4) >= -0.2 AS INTEGER) AS keep
+         |FROM d ORDER BY doc_id""") { (s, dir) =>
+      val b = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(w)-2)")).as("p"),
+          col("w"))
+        .select(col("doc_id"), col("p"),
+          (hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
+            expr("element_at(w, p+2)"))) % 256).as("bkt"))
+      val isTarget = col("doc_id") % 97 === 0
+      val tc = b.filter(isTarget).groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+      val rc = b.filter(!isTarget).groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+      val tot = b.agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("tt"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("tr"))
+      val terms = b.select(col("bkt")).distinct()
+        .join(tc, Seq("bkt"), "left").join(rc, Seq("bkt"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bkt"), round(log2(
+          ((coalesce(col("tc"), lit(0L)) + 1).cast("double") / (col("tt") + 256))
+            / ((coalesce(col("rc"), lit(0L)) + 1).cast("double") / (col("tr") + 256))),
+          6).as("term"))
+      b.filter(!isTarget)
+        .join(broadcast(terms), "bkt")
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(p, term))),
+            |  s -> s.term), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+          .as("lw"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
+          // + 0.0 normalizes IEEE signed zero (-0.0 -> 0.0): the two
+          // engines disagree on round()'s zero sign for tiny negatives
+          (round(col("lw") / col("n"), 4) + lit(0.0)).as("dsir_logw"))
+        .withColumn("keep", (col("dsir_logw") >= -0.2).cast("int"))
+        .orderBy(col("doc_id"))
     }
   )
 }
