@@ -65,7 +65,12 @@ object Bench {
     "q167_semdedup",
     "q169_text_normalize",
     "q170_substring_dedup",
-    "q171_perplexity_filter")
+    "q171_perplexity_filter",
+    // r10: the r9-late operators, now tracked longitudinally
+    "q165_weighted_mixture_sample",
+    "q172_stream_perplexity",
+    "q174_vocab_oov",
+    "q175_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,23 +107,35 @@ object Bench {
         // scan — the r9 PLANS lesson); a write sink can't be pruned.
         // SPARK_GRAFT_BENCH_COUNT=1 restores the old method for
         // parity runs.
-        try {
+        val ok = try {
           if (sys.env.contains("SPARK_GRAFT_BENCH_COUNT"))
             d.fn(spark, sfDir).count()
           else d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
         }
-        catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: $e") }
-        val dt = (System.nanoTime() - t0) / 1e9
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name}: $e"); false
+        }
+        // a throwing run poisons the whole query: a partial elapsed
+        // time would surface in BENCH artifacts as an implausibly
+        // fast "timing" for a broken query (r9 advice)
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         Bridge.resetStreamingState(spark)
         System.gc()
         dt
       }
-      d.name -> times.drop(1).sorted.apply(1)
+      d.name -> (if (times.exists(_.isNaN)) Double.NaN
+                 else times.drop(1).sorted.apply(1))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val (failed, good) = results.partition(_._2.isNaN)
+    val qs = good.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries excluded from timings: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -155,12 +156,33 @@ object VecMath {
 
   private[functions] def floatFlags(l: Expression, r: Expression): (Boolean, Boolean) =
     (isFloatArr(l), isFloatArr(r))
+
+  /** Analysis-time input check shared by the Vec* expressions: every
+    * operand must be array<float> or array<double>. Without it a
+    * non-array input died with a ClassCastException at plan time and
+    * an array<int>/array<long> column was silently read through
+    * ArrayData.getDouble over int-packed bytes — garbage, not an
+    * error. Now both are clean AnalysisExceptions. */
+  private[functions] def checkVecInputs(fname: String,
+      ops: Seq[Expression]): TypeCheckResult = {
+    ops.zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+          (e.dataType.asInstanceOf[ArrayType].elementType != FloatType &&
+           e.dataType.asInstanceOf[ArrayType].elementType != DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fname requires array<float> or array<double> for argument ${i + 1}, " +
+            s"got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 }
 
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.checkVecInputs(prettyName, Seq(left, right))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (af, bf) = VecMath.floatFlags(left, right)
@@ -187,6 +209,9 @@ case class VecNearestIndex(child: Expression, centroids: Seq[Seq[Double]])
     centroids.map(_.toArray).toArray
   private def aFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.checkVecInputs(prettyName, Seq(child))
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
@@ -217,6 +242,9 @@ case class VecNearestIndices(child: Expression, centroids: Seq[Seq[Double]],
   private def aFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.checkVecInputs(prettyName, Seq(child))
+
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
 
@@ -241,6 +269,9 @@ case class VecSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.checkVecInputs(prettyName, Seq(left, right))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (af, bf) = VecMath.floatFlags(left, right)

@@ -365,41 +365,53 @@ object Similarity extends QueryModule {
   }
 
   /** DuckDB replay of the deterministic Lloyd's fit in
-    * [[kmeansClusters]] (k=8, 2 updates): init = first 8 vectors,
-    * 6-dp rounding each step, ties to lowest cluster id. Ends in
-    * `a3(vec_id, cluster)` — the exact assignment the Spark side
-    * computes. Shared by q135 (IVF routing) and q167 (SemDeDup). */
-  private val duckLloydCtes: String =
-    """e AS (SELECT vec_id, embedding FROM embeddings),
-      |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-      |                unnest(range(len(embedding))) AS i FROM e),
-      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
-      |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM flat WHERE vec_id < 8),
-      |d1 AS (SELECT f.vec_id, c.cluster,
-      |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
-      |       FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2),
-      |a1 AS (SELECT vec_id, cluster FROM (
-      |         SELECT vec_id, cluster, row_number() OVER (
-      |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d1)
-      |       WHERE rk = 1),
-      |c1 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
-      |       FROM a1 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
-      |d2 AS (SELECT f.vec_id, c.cluster,
-      |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
-      |       FROM flat f JOIN c1 c ON c.i = f.i GROUP BY 1, 2),
-      |a2 AS (SELECT vec_id, cluster FROM (
-      |         SELECT vec_id, cluster, row_number() OVER (
-      |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d2)
-      |       WHERE rk = 1),
-      |c2 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
-      |       FROM a2 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
-      |d3 AS (SELECT f.vec_id, c.cluster,
-      |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
-      |       FROM flat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
-      |a3 AS (SELECT vec_id, cluster FROM (
-      |         SELECT vec_id, cluster, row_number() OVER (
-      |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d3)
-      |       WHERE rk = 1)""".stripMargin
+    * [[kmeansClusters]]: init = the first k vectors, `updates`
+    * update iterations, 6-dp rounding each step, ties to lowest
+    * cluster id. Generates the assign/update CTE chain for ANY
+    * (k, updates) — r9 advice: q167's Spark side reads its knobs
+    * from the environment, so the oracle must interpolate the SAME
+    * values or an env override silently breaks the hash check. Ends
+    * in `a{updates+1}(vec_id, cluster)` ([[lloydFin]]) — the exact
+    * assignment the Spark side computes. Shared by q135 (IVF
+    * routing), q167 (SemDeDup), q173 (keep-atypical). */
+  private def duckLloydCtes(k: Int = 8, updates: Int = 2): String = {
+    val sb = new StringBuilder(
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |                unnest(range(len(embedding))) AS i FROM e),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+         |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM flat WHERE vec_id < $k)""".stripMargin)
+    for (it <- 1 to updates + 1) {
+      sb.append(
+        s""",
+           |d$it AS (SELECT f.vec_id, c.cluster,
+           |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+           |       FROM flat f JOIN c${it - 1} c ON c.i = f.i GROUP BY 1, 2),
+           |a$it AS (SELECT vec_id, cluster FROM (
+           |         SELECT vec_id, cluster, row_number() OVER (
+           |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d$it)
+           |       WHERE rk = 1)""".stripMargin)
+      if (it <= updates) sb.append(
+        s""",
+           |c$it AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
+           |       FROM a$it a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Name of the final assignment CTE emitted by [[duckLloydCtes]]. */
+  private def lloydFin(updates: Int = 2): String = s"a${updates + 1}"
+
+  /** q167's deployment knobs, read ONCE and shared by the Spark body
+    * AND the oracle string, so an env override during a correctness
+    * sweep changes both sides identically instead of silently
+    * diverging (r9 advice item). k ≈ N/targetClusterSize keeps the
+    * pair space linear; updates=0 is the fit-on-sample-then-assign
+    * 100 TB shape. The driver never sets these. */
+  private val semK: Int =
+    sys.env.get("GRAFT_SEMDEDUP_K").map(_.toInt).getOrElse(8)
+  private val semUpdates: Int =
+    sys.env.get("GRAFT_SEMDEDUP_UPDATES").map(_.toInt).getOrElse(2)
 
   override def queries: Seq[QueryDef] = Seq(
 
@@ -409,7 +421,7 @@ object Similarity extends QueryModule {
     // replayed step-by-step in DuckDB, so fit + routing + stage-2
     // top-k all hash-match. -----
     q("q135_ann_ivf_kmeans",
-      s"""WITH $duckLloydCtes,
+      s"""WITH ${duckLloydCtes()},
         |scored AS (
         |  SELECT p.vec_id AS query_id, b.vec_id AS vec_id,
         |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
@@ -432,11 +444,12 @@ object Similarity extends QueryModule {
     // fit, so cluster assignment, pair scores, and the keep-list all
     // hash-match. -----
     q("q167_semdedup",
-      s"""WITH $duckLloydCtes,
+      s"""WITH ${duckLloydCtes(semK, semUpdates)},
         |pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
-        |  FROM a3 a JOIN a3 b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+        |  FROM ${lloydFin(semUpdates)} a JOIN ${lloydFin(semUpdates)} b
+        |    ON b.cluster = a.cluster AND a.vec_id < b.vec_id
         |  JOIN flat fa ON fa.vec_id = a.vec_id
         |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
         |  JOIN norms na ON na.vec_id = a.vec_id
@@ -446,16 +459,11 @@ object Similarity extends QueryModule {
         |         WHERE score >= 0.25 GROUP BY b_id)
         |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster, d.dup_of,
         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
-        |FROM a3 a LEFT JOIN dups d ON d.b_id = a.vec_id
+        |FROM ${lloydFin(semUpdates)} a LEFT JOIN dups d ON d.b_id = a.vec_id
         |ORDER BY a.vec_id""") { (s, dir) =>
-      // k/updates are the operator's deployment knobs (k ≈ N /
-      // targetClusterSize keeps the pair space linear; updates=0 is
-      // the fit-on-sample-then-assign 100 TB shape). The oracle pins
-      // 8/2; scale probes override via env, which the driver never
-      // sets.
-      semDedup(s, dir,
-        k = sys.env.get("GRAFT_SEMDEDUP_K").map(_.toInt).getOrElse(8),
-        updates = sys.env.get("GRAFT_SEMDEDUP_UPDATES").map(_.toInt).getOrElse(2))
+      // semK/semUpdates feed the oracle string above AND this body,
+      // so scale-probe env overrides keep the two sides in lockstep
+      semDedup(s, dir, k = semK, updates = semUpdates)
     },
 
     // ----- the PAPER's keep strategy: duplicate groups keep their
@@ -463,7 +471,7 @@ object Similarity extends QueryModule {
     // diversity. Precedence = (centroid_sim ASC, vec_id ASC); the
     // oracle replays fit + per-cluster centroids + precedence. -----
     q("q173_semdedup_keep_atypical",
-      s"""WITH $duckLloydCtes,
+      s"""WITH ${duckLloydCtes()},
         |c4 AS (SELECT a.cluster, f.i, round(avg(f.x), 6) AS c
         |       FROM a3 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
         |cn AS (SELECT cluster, sqrt(sum(c * c)) AS cnrm FROM c4 GROUP BY cluster),

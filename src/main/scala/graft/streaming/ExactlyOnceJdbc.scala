@@ -46,12 +46,44 @@ object ExactlyOnceJdbc {
         val st = conn.createStatement()
         // Spark's JDBC writer creates columns with quoted (case-
         // sensitive) identifiers — the scrub must quote to match
-        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-        st.close()
+        try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        finally st.close()
       }
     } finally conn.close()
     batch.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).jdbc(url, table, props)
+    // The first commit auto-created the table via Spark's JDBC
+    // writer, which builds no indexes — without one, every later
+    // epoch's scrub is a full table scan that grows with the sink
+    // table (r9 verdict #4). Ensure the batch_id index right after
+    // the creating append, so the scrub stays a range delete
+    // forever. Checked by index NAME every epoch (one metadata
+    // round-trip, trivial next to the batch write): a crash between
+    // append and CREATE INDEX must not leave the table unindexed
+    // for life.
+    ensureBatchIdIndex(url, table, props)
+  }
+
+  private[streaming] def indexName(table: String): String =
+    s"${table}_BIDX"
+
+  private def ensureBatchIdIndex(url: String, table: String,
+      props: Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val idx = conn.getMetaData.getIndexInfo(
+        null, null, table.toUpperCase, false, false)
+      var has = false
+      while (idx.next() && !has)
+        has = indexName(table).equalsIgnoreCase(idx.getString("INDEX_NAME"))
+      idx.close()
+      if (!has) {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""CREATE INDEX ${indexName(table)} ON $table ("batch_id")""")
+        finally st.close()
+      }
+    } finally conn.close()
   }
 
   /** Attach the exactly-once sink to a streaming frame. The

@@ -81,12 +81,59 @@ object QueryableState {
         upsertBatch(batch, keyCols, url, table, props))
       .start()
 
-  /** Transactional per-partition key upsert; safe under replays. */
+  /** Transactional per-partition key upsert; safe under replays.
+    *
+    * Identifier quoting contract: COLUMN names are quoted because
+    * Spark's JDBC writer creates them with quoted (case-preserving)
+    * identifiers; the TABLE name is deliberately NOT quoted because
+    * the same writer issues `CREATE TABLE $table` with the name
+    * passed through verbatim (users pass schema-qualified names) —
+    * quoting it here would miss the table the 0-row append just
+    * created whenever the database case-folds unquoted identifiers
+    * (Derby folds to upper). Both statements below resolve the table
+    * exactly the way the writer that created it did.
+    *
+    * Round-trips: one `executeBatch` pair per `jdbcBatchSize` rows
+    * (Spark's own JDBC writer batches inserts for the same reason) —
+    * at high key-churn this was the latency bound when each row paid
+    * a DELETE + INSERT round trip (r9 verdict #3). Delete and insert
+    * batches flush in that order per chunk, so the per-key
+    * delete-then-insert idempotency argument is unchanged: update
+    * mode emits each key at most once per micro-batch. */
+  private[streaming] val jdbcBatchSize = 500
+
+  private def ensureKeyIndex(url: String, table: String,
+      keyCols: Seq[String], props: java.util.Properties): Unit = {
+    val name = s"${table}_KIDX"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val idx = conn.getMetaData.getIndexInfo(
+        null, null, table.toUpperCase, false, false)
+      var has = false
+      while (idx.next() && !has)
+        has = name.equalsIgnoreCase(idx.getString("INDEX_NAME"))
+      idx.close()
+      if (!has) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"""CREATE INDEX $name ON $table (${
+          keyCols.map(k => s""""$k"""").mkString(", ")})""")
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
   private[streaming] def upsertBatch(batch: DataFrame, keyCols: Seq[String],
       url: String, table: String, props: java.util.Properties): Unit = {
     // ensure the table exists with the batch's schema (0-row append)
     batch.limit(0).write.mode(org.apache.spark.sql.SaveMode.Append)
       .jdbc(url, table, props)
+    // and that the key is indexed: Spark's writer creates no indexes,
+    // so the per-key DELETE would otherwise be a full heap scan —
+    // unbounded lock footprint (concurrent partition transactions
+    // deadlock on scan read-locks) and per-upsert cost growing with
+    // the table. With the index each delete is a point lookup, so
+    // transactions touching disjoint keys don't contend.
+    ensureKeyIndex(url, table, keyCols, props)
     val schema = batch.schema
     val cols = schema.fieldNames.toSeq
     val del = s"""DELETE FROM $table WHERE ${
@@ -95,23 +142,39 @@ object QueryableState {
                  |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
     val keyIdx = keyCols.map(schema.fieldIndex)
     val propsMap = new java.util.Properties(); propsMap.putAll(props)
+    val chunk = jdbcBatchSize
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url, propsMap)
+        var dSt: java.sql.PreparedStatement = null
+        var iSt: java.sql.PreparedStatement = null
         try {
           conn.setAutoCommit(false)
-          val dSt = conn.prepareStatement(del)
-          val iSt = conn.prepareStatement(ins)
+          dSt = conn.prepareStatement(del)
+          iSt = conn.prepareStatement(ins)
+          var n = 0
           rows.foreach { r =>
             keyIdx.zipWithIndex.foreach { case (ki, p) =>
               dSt.setObject(p + 1, r.get(ki)) }
-            dSt.executeUpdate()
+            dSt.addBatch()
             cols.indices.foreach(i => iSt.setObject(i + 1, r.get(i)))
-            iSt.executeUpdate()
+            iSt.addBatch()
+            n += 1
+            if (n % chunk == 0) { dSt.executeBatch(); iSt.executeBatch() }
           }
+          dSt.executeBatch(); iSt.executeBatch()
           conn.commit()
-          dSt.close(); iSt.close()
-        } finally conn.close()
+        } catch { case t: Throwable =>
+          try conn.rollback()
+          catch { case s: Throwable => t.addSuppressed(s) }
+          throw t
+        } finally {
+          // close in finally: a failed executeBatch used to leak the
+          // statements until conn.close with no explicit rollback
+          if (dSt != null) { try dSt.close() catch { case _: Throwable => () } }
+          if (iSt != null) { try iSt.close() catch { case _: Throwable => () } }
+          conn.close()
+        }
       }
     }
   }

@@ -66,6 +66,34 @@ class VecMathSpec extends SparkSpec {
     assert(r(0).isNullAt(0))
   }
 
+  test("non-array and non-float/double array inputs fail at analysis, not runtime") {
+    // r9 advice: a string column used to die with a ClassCastException
+    // at plan time, and array<int> silently read int-packed bytes as
+    // doubles (garbage). Both must now be clean analysis errors.
+    val df = Seq((1L, "oops", Seq(1, 2, 3), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "s", "ints", "fs")
+    for (bad <- Seq(col("s"), col("ints"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(VecMath.vec_dot(bad, col("fs"))).collect()
+      }
+      assert(e.getMessage.contains("array<float> or array<double>"), e.getMessage)
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(VecMath.vec_sq_dist(col("fs"), bad)).collect()
+      }
+      assert(e2.getMessage.contains("array<float> or array<double>"), e2.getMessage)
+      val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(VecMath.vec_nearest_index(bad, Seq(Seq(0.0, 0.0, 0.0)))).collect()
+      }
+      assert(e3.getMessage.contains("array<float> or array<double>"), e3.getMessage)
+      val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(VecMath.vec_nearest_indices(bad, Seq(Seq(0.0, 0.0, 0.0)), 1)).collect()
+      }
+      assert(e4.getMessage.contains("array<float> or array<double>"), e4.getMessage)
+    }
+    // the valid element types still pass analysis
+    df.select(VecMath.vec_dot(col("fs"), col("fs"))).collect()
+  }
+
   test("vec_nearest_index: ties to lowest, early exit safe, codegen runs") {
     val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 0.0))
     val df = Seq(

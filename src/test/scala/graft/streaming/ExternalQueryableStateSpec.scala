@@ -57,4 +57,27 @@ class ExternalQueryableStateSpec extends SparkSpec {
       assert(get(1L).length == 1)
     } finally q.stop()
   }
+
+  test("replay convergence survives JDBC batching across chunk boundaries") {
+    // r10: upsertBatch flushes addBatch'd deletes+inserts per
+    // jdbcBatchSize chunk instead of one round trip per row. The
+    // idempotency argument (delete-then-insert per key) must hold
+    // across chunk boundaries, so drive it with MORE keys than one
+    // chunk and replay the whole batch.
+    val table = "QSTATE_BATCHED"
+    val n = QueryableState.jdbcBatchSize * 2 + 37 // 3 chunks, last partial
+    val batch = spark.range(n.toLong)
+      .select(col("id").as("k"), (col("id") * 2).as("doubled"))
+    QueryableState.upsertBatch(batch, Seq("k"), url, table, props)
+    def all() = Jdbc.read(spark, url, table, props)
+    assert(all().count() == n.toLong)
+    // replay: same rows again — exactly one row per key, values intact
+    QueryableState.upsertBatch(batch, Seq("k"), url, table, props)
+    assert(all().count() == n.toLong, "replay duplicated rows across chunks")
+    // updated state for a subset replaces, never appends
+    val upd = spark.range(10).select(col("id").as("k"), lit(-1L).as("doubled"))
+    QueryableState.upsertBatch(upd, Seq("k"), url, table, props)
+    assert(all().count() == n.toLong)
+    assert(all().filter(col("doubled") === -1L).count() == 10)
+  }
 }
