@@ -100,15 +100,27 @@ object Similarity extends QueryModule {
     * 100 TB you fit on a sample and only the final assignment pass
     * touches the full corpus; `updates = 0` gives exactly that
     * assign-only pass over pre-fitted centroids. */
-  private[pipeline] def kmeansClusters(e: DataFrame, k: Int, updates: Int): DataFrame = {
-    val ed = e.select(col("vec_id"),
+  /** The embeddings table with its vectors cast to double arrays —
+    * the input shape both assignment paths consume. */
+  private def edOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
-    def assign(cent: DataFrame): DataFrame =
-      ed.crossJoin(broadcast(cent))
-        .withColumn("dist", round(VecMath.vec_sq_dist(col("ev"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"))
+
+  /** The flat nearest-centroid pass: corpus × broadcast(centroids),
+    * map-side-combinable argmin — exact, Θ(N·k) FLOPs. */
+  private def assignFlat(ed: DataFrame, cent: DataFrame): DataFrame =
+    ed.crossJoin(broadcast(cent))
+      .withColumn("dist", round(VecMath.vec_sq_dist(col("ev"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+
+  /** The Lloyd's FIT alone: (cluster, cv) after `updates` iterations.
+    * Exposed separately (r10) so callers can pair the fit with either
+    * assignment pass — [[assignFlat]] (exact, the oracle pin) or
+    * [[assignTwoLevel]] (Θ(N·2√k), the large-k scale path). */
+  private[pipeline] def kmeansCentroids(e: DataFrame, k: Int, updates: Int): DataFrame = {
+    val ed = edOf(e)
     // posexplode the cast INLINE: a pre-projected `ev` here trips
     // InferFiltersFromGenerate, which re-evaluates the transform in
     // an interpreted filter pushed below the join (PLANS.md r8)
@@ -123,9 +135,12 @@ object Similarity extends QueryModule {
           .as("cv"))
     var cent = ed.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("ev").as("cv"))
-    for (_ <- 1 to updates) cent = update(assign(cent))
-    assign(cent)
+    for (_ <- 1 to updates) cent = update(assignFlat(ed, cent))
+    cent
   }
+
+  private[pipeline] def kmeansClusters(e: DataFrame, k: Int, updates: Int): DataFrame =
+    assignFlat(edOf(e), kmeansCentroids(e, k, updates))
 
   /** Two-level nearest-centroid assignment — the escape hatch for the
     * flat pass's Θ(N·k) FLOP cost when k itself scales with the
@@ -249,9 +264,20 @@ object Similarity extends QueryModule {
     * (both self-join sides + the annotate join) don't re-run Lloyd's.
     */
   def semDedup(s: SparkSession, dir: String, k: Int = 8, updates: Int = 2,
-      tau: Double = 0.25): DataFrame = {
+      tau: Double = 0.25, superK: Int = 0, nProbe: Int = 1): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val clustered = kmeansClusters(e, k, updates)
+    // superK >= 2 switches the assignment from the exact flat pass
+    // (Θ(N·k) FLOPs — the bottleneck once k ∝ N, PLANS.md r9) to the
+    // two-level Θ(N·(superK + nProbe·k/superK)) routing. The fit is
+    // identical either way; only the corpus-wide assignment differs,
+    // and only approximately (boundary vectors may route to a
+    // non-probed super — the documented IVF recall trade, monotone
+    // in nProbe). superK = 0 (default, the oracle pin) stays exact.
+    val assigned =
+      if (superK <= 1) kmeansClusters(e, k, updates)
+      else assignTwoLevel(s, edOf(e), kmeansCentroids(e, k, updates),
+        superK, nProbe = nProbe)
+    val clustered = assigned
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("embedding"),
         normExpr("embedding").as("nrm"))
@@ -413,6 +439,17 @@ object Similarity extends QueryModule {
   private val semUpdates: Int =
     sys.env.get("GRAFT_SEMDEDUP_UPDATES").map(_.toInt).getOrElse(2)
 
+  /** superK >= 2 switches q167 to the approximate two-level
+    * assignment ([[assignTwoLevel]]) — probe-only: there is no SQL
+    * replay of approximate routing, so when this is set the oracle
+    * string below becomes an INTENTIONALLY FAILING statement naming
+    * the knob, making a correctness sweep with the override loud
+    * instead of a bare hash mismatch. */
+  private val semSuperK: Int =
+    sys.env.get("GRAFT_SEMDEDUP_SUPERK").map(_.toInt).getOrElse(0)
+  private val semNProbe: Int =
+    sys.env.get("GRAFT_SEMDEDUP_NPROBE").map(_.toInt).getOrElse(1)
+
   override def queries: Seq[QueryDef] = Seq(
 
     // ----- IVF with a real k-means fit, fully oracle-checked: the
@@ -444,6 +481,10 @@ object Similarity extends QueryModule {
     // fit, so cluster assignment, pair scores, and the keep-list all
     // hash-match. -----
     q("q167_semdedup",
+      if (semSuperK >= 2)
+        "SELECT error('GRAFT_SEMDEDUP_SUPERK is set: two-level assignment " +
+          "is approximate and has no SQL oracle — unset it for correctness sweeps')"
+      else
       s"""WITH ${duckLloydCtes(semK, semUpdates)},
         |pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -462,8 +503,11 @@ object Similarity extends QueryModule {
         |FROM ${lloydFin(semUpdates)} a LEFT JOIN dups d ON d.b_id = a.vec_id
         |ORDER BY a.vec_id""") { (s, dir) =>
       // semK/semUpdates feed the oracle string above AND this body,
-      // so scale-probe env overrides keep the two sides in lockstep
-      semDedup(s, dir, k = semK, updates = semUpdates)
+      // so scale-probe env overrides keep the two sides in lockstep;
+      // semSuperK switches to the probe-only two-level assignment
+      // (oracle replaced by a loud failure when it is set)
+      semDedup(s, dir, k = semK, updates = semUpdates,
+        superK = semSuperK, nProbe = semNProbe)
     },
 
     // ----- the PAPER's keep strategy: duplicate groups keep their

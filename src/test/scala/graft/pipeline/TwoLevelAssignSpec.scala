@@ -54,6 +54,25 @@ class TwoLevelAssignSpec extends SparkSpec {
     assert(p3 == flat, "nProbe = superK must equal the flat assignment")
   }
 
+  test("semDedup facade: superK = nProbe two-level path equals the flat keep-list") {
+    // r10 wiring (verdict #2): semDedup(superK, nProbe) routes the
+    // corpus assignment through assignTwoLevel. With nProbe = superK
+    // the routing degenerates to the exact flat scan, so the WHOLE
+    // pipeline's output — clusters, dup_of, keep-list — must be
+    // byte-identical to the flat path end to end.
+    val flat = Similarity.semDedup(spark, sf)
+      .collect().map(_.toString).sorted
+    val two = Similarity.semDedup(spark, sf, superK = 3, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(flat.sameElements(two),
+      "two-level facade diverged from flat at nProbe = superK")
+    // and an actual approximate setting still produces a full,
+    // well-formed keep-list (every vec_id present exactly once)
+    val approx = Similarity.semDedup(spark, sf, superK = 3, nProbe = 1)
+    assert(approx.select(col("vec_id")).distinct().count() == approx.count())
+    assert(approx.count() == flat.length.toLong)
+  }
+
   test("plan: routing is a pure map, one argmin exchange, no sort-merge join") {
     val cent = (0 until 8).map(c => (c.toLong, centroid(c))).toDF("cluster", "cv")
     val vecs = (0 until 100).map(i => (i.toLong, centroid(i % 8)))
