@@ -36,7 +36,7 @@ object Dedup extends QueryModule {
     s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), ${8 * b} + hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
 
   /** Word 3-shingles, distinct, Spark side (0-based array lambda). */
-  private val sparkShingles =
+  private[pipeline] val sparkShingles =
     """array_distinct(transform(sequence(0, size(w)-3),
       |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))""".stripMargin
 
@@ -121,57 +121,29 @@ object Dedup extends QueryModule {
     // ≡ 9 (mod 10). Verified matches aggregate per delta doc into
     // (n_dups, keeper, is_new) — the admit/reject verdict an ingest
     // pipeline acts on. -----
-    q("q166_incremental_dedup",
-      duckPairsCtes(recursive = false).split("cand AS")(0) +
-        s"""sd AS (SELECT * FROM sig WHERE doc_id % 10 = 9),
-          |sc AS (SELECT * FROM sig WHERE doc_id % 10 != 9),
-          |cand AS (
-          |  SELECT DISTINCT d.doc_id AS doc_n, c.doc_id AS doc_o
-          |  FROM sd d JOIN sc c
-          |    ON d.m0 = c.m0 OR d.m1 = c.m1 OR d.m2 = c.m2 OR d.m3 = c.m3),
-          |ver AS (
-          |  SELECT doc_n, doc_o FROM cand
-          |  JOIN shl x ON cand.doc_n = x.doc_id
-          |  JOIN shl y ON cand.doc_o = y.doc_id
-          |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
-          |      / len(list_distinct(x.shingles || y.shingles)) >= 0.1),
-          |agg AS (SELECT doc_n, count(*) AS n_dups, min(doc_o) AS keeper
-          |        FROM ver GROUP BY doc_n)
-          |SELECT d.doc_id, coalesce(agg.n_dups, 0) AS n_dups, agg.keeper,
-          |  coalesce(agg.n_dups, 0) = 0 AS is_new
-          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
-          |LEFT JOIN agg ON agg.doc_n = d.doc_id
-          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    q("q166_incremental_dedup", duckIncrementalOracle) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
       val delta = docs.filter(col("doc_id") % 10 === 9)
       val corpus = docs.filter(col("doc_id") % 10 =!= 9)
-      def shlOf(d: DataFrame) = d
-        .withColumn("w", split(lower(col("text")), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), expr(sparkShingles).as("shingles"))
-      def bandsOf(d: DataFrame) = minhashSignatures(d)
-        .select(col("doc_id"),
-          posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
-            .as(Seq("band", "bval")))
-      val cand = bandsOf(delta)
-        .select(col("doc_id").as("doc_n"), col("band"), col("bval"))
-        .join(bandsOf(corpus)
-          .select(col("doc_id").as("doc_o"), col("band"), col("bval")),
-          Seq("band", "bval"))
-        .select(col("doc_n"), col("doc_o")).distinct()
-      val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
-        size(array_distinct(concat(col("x_sh"), col("y_sh"))))
-      val agg = cand
-        .join(shlOf(delta).select(col("doc_id").as("doc_n"), col("shingles").as("x_sh")), "doc_n")
-        .join(shlOf(corpus).select(col("doc_id").as("doc_o"), col("shingles").as("y_sh")), "doc_o")
-        .filter(jacc >= 0.1)
-        .groupBy(col("doc_n"))
-        .agg(count(lit(1)).as("nd"), min(col("doc_o")).as("keeper"))
-      delta.select(col("doc_id"))
-        .join(agg.withColumnRenamed("doc_n", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("nd"), lit(0L)).as("n_dups"),
-          col("keeper"), (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
-        .orderBy(col("doc_id"))
+      incrementalDedup(delta,
+        DedupIndex.bandRows(corpus), DedupIndex.shingleRows(corpus))
+    },
+
+    // ----- the same verdict against a PERSISTED standing index
+    // (DedupIndex.save/load/update): the corpus band/shingle tables
+    // are computed once at corpus build and read back from parquet —
+    // per-ingest cost no longer repays the corpus's shingle+minhash
+    // work, which is exactly what a production daily-ingest pipeline
+    // does. Identical output (and oracle) to q166 by construction;
+    // DedupIndexSpec additionally pins update() equivalence. -----
+    q("q176_incremental_index_dedup", duckIncrementalOracle) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val delta = docs.filter(col("doc_id") % 10 === 9)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-dedup-index").toString
+      DedupIndex.save(corpus, path)
+      DedupIndex.dedupDelta(s, delta, path)
     },
 
     // ----- the CURATION PIPELINE end-to-end, as one declarative plan:
@@ -511,7 +483,80 @@ object Dedup extends QueryModule {
        |good AS (SELECT * FROM pairs WHERE jacc >= 0.1)""".stripMargin
   }
 
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** DuckDB oracle shared by q166 (recompute) and q176 (persisted
+    * index) — both compute the same delta-vs-corpus verdict. */
+  private def duckIncrementalOracle: String =
+    duckPairsCtes(recursive = false).split("cand AS")(0) +
+      s"""sd AS (SELECT * FROM sig WHERE doc_id % 10 = 9),
+        |sc AS (SELECT * FROM sig WHERE doc_id % 10 != 9),
+        |cand AS (
+        |  SELECT DISTINCT d.doc_id AS doc_n, c.doc_id AS doc_o
+        |  FROM sd d JOIN sc c
+        |    ON d.m0 = c.m0 OR d.m1 = c.m1 OR d.m2 = c.m2 OR d.m3 = c.m3),
+        |ver AS (
+        |  SELECT doc_n, doc_o FROM cand
+        |  JOIN shl x ON cand.doc_n = x.doc_id
+        |  JOIN shl y ON cand.doc_o = y.doc_id
+        |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+        |      / len(list_distinct(x.shingles || y.shingles)) >= 0.1),
+        |agg AS (SELECT doc_n, count(*) AS n_dups, min(doc_o) AS keeper
+        |        FROM ver GROUP BY doc_n)
+        |SELECT d.doc_id, coalesce(agg.n_dups, 0) AS n_dups, agg.keeper,
+        |  coalesce(agg.n_dups, 0) = 0 AS is_new
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+        |LEFT JOIN agg ON agg.doc_n = d.doc_id
+        |ORDER BY doc_id""".stripMargin
+
+  /** The incremental (delta-vs-corpus) verdict, shared by q166
+    * (corpus side computed in-plan) and the persisted-index path
+    * ([[DedupIndex.dedupDelta]], corpus side read from parquet):
+    * candidates = delta bands × corpus bands ONLY (never corpus ×
+    * corpus), verified by exact shingle Jaccard, aggregated into the
+    * per-delta-doc (n_dups, keeper, is_new) an ingest pipeline acts
+    * on. When the corpus side carries the index's partition columns
+    * (`pb` on bands, `pd` on shingles), they join too and the delta
+    * side is broadcast — that is what lets Spark dynamically prune
+    * index partitions, keeping per-delta I/O proportional to the
+    * delta's bucket footprint rather than the corpus's age. */
+  private[pipeline] def incrementalDedup(delta: DataFrame,
+      corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    val hasPb = corpusBands.columns.contains("pb")
+    val hasPd = corpusShingles.columns.contains("pd")
+    val dBands0 = DedupIndex.bandRows(delta)
+      .select(col("doc_id").as("doc_n"), col("band"), col("bval"))
+    val dBands =
+      if (!hasPb) dBands0
+      else broadcast(dBands0.withColumn("pb",
+        pmod(col("bval"), lit(DedupIndex.bandBuckets))))
+    val bandKeys = if (hasPb) Seq("pb", "band", "bval") else Seq("band", "bval")
+    val cand = dBands
+      .join(corpusBands.select(
+        (col("doc_id").as("doc_o") +: bandKeys.map(col)): _*), bandKeys)
+      .select(col("doc_n"), col("doc_o")).distinct()
+    val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
+      size(array_distinct(concat(col("x_sh"), col("y_sh"))))
+    val candX = cand
+      .join(DedupIndex.shingleRows(delta)
+        .select(col("doc_id").as("doc_n"), col("shingles").as("x_sh")), "doc_n")
+    val shKeyed =
+      if (!hasPd) candX
+      else candX.withColumn("pd", pmod(col("doc_o"), lit(DedupIndex.docBuckets)))
+    val shKeys = if (hasPd) Seq("doc_o", "pd") else Seq("doc_o")
+    val agg = shKeyed
+      .join(corpusShingles.select(
+        (col("doc_id").as("doc_o") +: (shKeys.drop(1).map(col) :+
+          col("shingles").as("y_sh"))): _*), shKeys)
+      .filter(jacc >= 0.1)
+      .groupBy(col("doc_n"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_o")).as("keeper"))
+    delta.select(col("doc_id"))
+      .join(agg.withColumnRenamed("doc_n", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nd"), lit(0L)).as("n_dups"),
+        col("keeper"), (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[pipeline] def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)

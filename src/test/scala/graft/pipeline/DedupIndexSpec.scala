@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persisted standing-index facade (DedupIndex): index reuse must
+  * be hash-equal to the q166 recompute, appends must equal a rebuild,
+  * and the delta probe must dynamically prune index partitions.
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  private def docs = Tables.t(spark, sf, "documents")
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft-dedupindex-spec").toString
+
+  private def verdictStrings(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted
+
+  test("index reuse is hash-equal to the recompute path") {
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val recompute = verdictStrings(Dedup.incrementalDedup(delta,
+      DedupIndex.bandRows(corpus), DedupIndex.shingleRows(corpus)))
+    val path = tmp()
+    DedupIndex.save(corpus, path)
+    val viaIndex = verdictStrings(DedupIndex.dedupDelta(spark, delta, path))
+    assert(recompute.nonEmpty && recompute.sameElements(viaIndex),
+      "persisted-index verdict diverged from recompute")
+  }
+
+  test("update() appends a committed delta: aged index equals a rebuild") {
+    // day 0: corpus is doc_id % 10 in 0..7; day 1 commits % 10 == 8;
+    // day 2's delta (% 10 == 9) must see the same standing corpus
+    // whether the index aged through update() or was rebuilt whole
+    val day0 = docs.filter(col("doc_id") % 10 < 8)
+    val day1 = docs.filter(col("doc_id") % 10 === 8)
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val aged = tmp()
+    DedupIndex.save(day0, aged)
+    DedupIndex.update(day1, aged)
+    val rebuilt = tmp()
+    DedupIndex.save(docs.filter(col("doc_id") % 10 =!= 9), rebuilt)
+    val a = verdictStrings(DedupIndex.dedupDelta(spark, delta, aged))
+    val b = verdictStrings(DedupIndex.dedupDelta(spark, delta, rebuilt))
+    assert(a.nonEmpty && a.sameElements(b),
+      "aged index (save + update) diverged from a full rebuild")
+  }
+
+  test("delta probe dynamically prunes index partitions") {
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val path = tmp()
+    DedupIndex.save(corpus, path)
+    val df = DedupIndex.dedupDelta(spark, delta, path)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // assert on the final-plan section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("dynamicpruning"),
+      s"index scan carries no dynamic partition pruning filter:\n$p")
+  }
+}
