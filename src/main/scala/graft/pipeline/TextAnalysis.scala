@@ -1075,6 +1075,191 @@ object TextAnalysis extends QueryModule {
           (round(col("lw") / col("n"), 4) + lit(0.0)).as("dsir_logw"))
         .withColumn("keep", (col("dsir_logw") >= -0.2).cast("int"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- BM25 ranked retrieval (Robertson/Spärck Jones, public):
+    // the retrieval primitive a curation stack uses for
+    // decontamination triage and near-dup adjudication. Query docs
+    // are the eval split (doc_id % 97 == 0, the decontamination
+    // convention); every query scores the raw pool via the INVERTED
+    // INDEX shape — query terms equi-join corpus postings on the
+    // term hash, so cost is Σ (query term postings), never
+    // queries × corpus. Per-(query, doc) scores sum per-term BM25
+    // contributions (k1 = 1.2, b = 0.75, the standard constants),
+    // each rounded 6 dp and folded in term-hash order, so the fp sum
+    // is bit-identical on both engines; top-3 per query via the
+    // bounded TopK aggregate (score DESC, doc_id ASC). At 100 TB the
+    // postings join hash-partitions on the term — the classic
+    // sharded-index layout — and df/avgdl are tiny broadcast aggs. -----
+    q("q177_bm25_topk",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word
+         |           FROM documents),
+         |h AS (SELECT doc_id, ${duckHash("word")} AS hw FROM w),
+         |corp AS (SELECT doc_id, hw, count(*) AS tf FROM h
+         |         WHERE doc_id % 97 <> 0 GROUP BY doc_id, hw),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM h
+         |       WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT hw, count(*) AS df FROM corp GROUP BY hw),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, hw FROM h
+         |       WHERE doc_id % 97 = 0),
+         |contrib AS (
+         |  SELECT qt.query_id, corp.doc_id, corp.hw,
+         |    round(round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1), 6)
+         |      * (corp.tf * 2.2 / (corp.tf + 1.2 *
+         |          (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS c
+         |  FROM qt JOIN corp ON corp.hw = qt.hw
+         |  JOIN df ON df.hw = qt.hw
+         |  JOIN dl ON dl.doc_id = corp.doc_id, stats),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list_transform(
+         |      list_sort(list(struct_pack(h := hw, c := c))), s -> s.c),
+         |      (a, x) -> a + x) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, round(score, 4) AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(score, 4) DESC, doc_id) AS rn FROM scored)
+         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY query_id, rn""") { (s, dir) =>
+      import graft.functions.TopK
+      val h = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .withColumn("hw", hexHash(col("word")))
+      val isQ = col("doc_id") % 97 === 0
+      val corp = h.filter(!isQ).groupBy(col("doc_id"), col("hw"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = h.filter(!isQ).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val df = corp.groupBy(col("hw")).agg(count(lit(1)).as("df"))
+      val qt = h.filter(isQ).select(col("doc_id").as("query_id"), col("hw"))
+        .distinct()
+      val contrib = qt
+        .join(corp, "hw").join(df, "hw")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"), col("hw"),
+          round(round(log((col("n_docs") - col("df") + 0.5)
+              / (col("df") + 0.5) + 1), 6)
+            * (col("tf") * 2.2 / (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))), 6).as("c"))
+      contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(hw, c))),
+            |  s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+          .as("score"))
+        .groupBy(col("query_id"))
+        .agg(TopK.topK(3)(round(col("score"), 4), col("doc_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+
+    // ----- model-free text clustering for mix balancing: each doc
+    // becomes a 64-bucket hashed term-frequency vector (feature
+    // hashing — Weinberger et al. 2009, public) and routes to the
+    // most cosine-similar of k = 4 seed docs (the first doc_ids, the
+    // deterministic-init convention the k-means family uses). The
+    // vectors never materialize outside their partition: one
+    // (doc, bucket) count agg, one per-doc ordered fold into the
+    // dense array, then a map over broadcast seeds — zero corpus
+    // shuffle beyond the tf agg, the [[Similarity]] assignment
+    // contract. Ties break to the lowest seed id; 6-dp rounding
+    // makes the argmax engine-identical. -----
+    q("q178_text_cluster",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word
+         |           FROM documents),
+         |cnt AS (SELECT doc_id, ${duckHash("word")} % 64 AS b, count(*) AS c
+         |        FROM w GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, r.b
+         |         FROM (SELECT DISTINCT doc_id FROM documents) d
+         |         CROSS JOIN (SELECT unnest(range(64)) AS b) r),
+         |vec AS (SELECT g.doc_id,
+         |          list_transform(list_sort(list(struct_pack(p := g.b,
+         |            c := coalesce(cnt.c, 0)::DOUBLE))), s -> s.c) AS v
+         |        FROM grid g LEFT JOIN cnt
+         |          ON cnt.doc_id = g.doc_id AND cnt.b = g.b
+         |        GROUP BY g.doc_id),
+         |nrm AS (SELECT doc_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+         |        FROM vec),
+         |seeds AS (SELECT doc_id AS seed, v FROM vec
+         |          WHERE doc_id IN (SELECT doc_id FROM documents
+         |                           ORDER BY doc_id LIMIT 4)),
+         |sim AS (SELECT d.doc_id, s.seed,
+         |          round(list_sum(list_transform(range(1, 65),
+         |              i -> d.v[i] * s.v[i]))
+         |            / (nd.n * ns.n), 6) AS cos
+         |        FROM vec d CROSS JOIN seeds s
+         |        JOIN nrm nd ON nd.doc_id = d.doc_id
+         |        JOIN nrm ns ON ns.doc_id = s.seed)
+         |SELECT doc_id, seed AS cluster, cos AS sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cos DESC, seed) AS rk FROM sim)
+         |WHERE rk = 1
+         |ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.VecMath
+      val cnt = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .select(col("doc_id"), (hexHash(col("word")) % 64).cast("int").as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).cast("double").as("c"))
+      // dense 64-dim vector: ordered fold over the (bucket, count)
+      // pairs with missing buckets zero-filled — per-doc, no grid join
+      val vec = cnt.groupBy(col("doc_id"))
+        .agg(expr(
+          """transform(sequence(0, 63), i -> coalesce(
+            |  element_at(map_from_entries(collect_list(struct(b, c))), i),
+            |  CAST(0 AS DOUBLE)))""".stripMargin).as("v"))
+        .withColumn("n", sqrt(VecMath.vec_dot(col("v"), col("v"))))
+      val seeds = vec.orderBy(col("doc_id")).limit(4)
+        .select(col("doc_id").as("seed"), col("v").as("sv"), col("n").as("sn"))
+      vec.crossJoin(broadcast(seeds))
+        .select(col("doc_id"),
+          round(VecMath.vec_dot(col("v"), col("sv"))
+            / (col("n") * col("sn")), 6).as("cos"),
+          col("seed"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct(-col("cos"), col("seed"))).as("m"),
+          max(col("cos")).as("sim"))
+        .select(col("doc_id"), col("m.seed").as("cluster"), col("sim"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- n-gram novelty: the fraction of a doc's distinct char
+    // 3-grams whose FIRST corpus occurrence (lowest doc_id) is the
+    // doc itself — high novelty = fresh content, low = assembled from
+    // seen fragments; mix builders use it to favor novel text after
+    // dedup has removed outright copies. One gram-hash min-agg (map-
+    // side combined) + one join back on the gram hash: linear,
+    // nothing quadratic, the q157 shuffle contract. -----
+    q("q179_novelty_score",
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+         |      i -> ${duckHash("substr(text, i, 3)")}))) AS gh
+         |  FROM documents),
+         |own AS (SELECT gh, min(doc_id) AS owner FROM g GROUP BY gh),
+         |sc AS (SELECT g.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM g JOIN own ON own.gh = g.gh GROUP BY g.doc_id)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+         |  CAST(n_novel AS INTEGER) AS n_novel,
+         |  round(n_novel::DOUBLE / n_grams, 6) AS novelty
+         |FROM sc ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.CharNGrams.char_ngrams
+      val g = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(transform(char_ngrams(col("text"), 3),
+            gr => conv(substring(md5(gr), 1, 8), 16, 10).cast("long")))).as("gh"))
+      val own = g.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
+      g.join(own, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+          col("n_novel").cast("int").as("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .orderBy(col("doc_id"))
     }
   )
 }
