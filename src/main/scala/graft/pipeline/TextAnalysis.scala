@@ -1260,6 +1260,108 @@ object TextAnalysis extends QueryModule {
           col("n_novel").cast("int").as("n_novel"),
           round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- Count-Min Sketch heavy hitters (Cormode & Muthukrishnan
+    // 2005, public): the additive sketch that answers "how often does
+    // this term occur in 100 TB" without holding the vocabulary —
+    // d = 4 independent hash rows (the four md5 digest slices, the
+    // LSH band trick) × w = 1024 buckets. The sketch is ONE 4096-cell
+    // aggregate with map-side combine (cells merge by +, so executor
+    // partials combine exactly — the distributed-sketch property that
+    // makes it a scale path alongside HLL q120 / quantile q121);
+    // estimation is min over the term's d cells, always ≥ the true
+    // count. Verified against the exact top-20 terms: the oracle
+    // replays sketch AND truth, so the overestimates themselves must
+    // hash-match. -----
+    q("q180_cms_heavy_hitters",
+      s"""WITH w AS (SELECT unnest(string_split(lower(text),' ')) AS word
+         |           FROM documents),
+         |hh AS (SELECT word,
+         |  ${(0 to 3).map(j =>
+              s"CAST(list_sum(list_transform(range(1,9), hx -> " +
+              s"(strpos('0123456789abcdef', substr(md5(word), ${8 * j} + hx, 1))-1)" +
+              s" * (2**(4*(8-hx))))) AS BIGINT) % 1024 AS h$j")
+             .mkString(",\n         |  ")}
+         |  FROM w),
+         |cms AS (
+         |  SELECT 0 AS j, h0 AS b, count(*) AS c FROM hh GROUP BY h0
+         |  UNION ALL SELECT 1, h1, count(*) FROM hh GROUP BY h1
+         |  UNION ALL SELECT 2, h2, count(*) FROM hh GROUP BY h2
+         |  UNION ALL SELECT 3, h3, count(*) FROM hh GROUP BY h3),
+         |tc AS (SELECT word, count(*) AS n_true FROM w GROUP BY word),
+         |top AS (SELECT word, n_true FROM tc
+         |        ORDER BY n_true DESC, word LIMIT 20),
+         |tb AS (SELECT t.word, t.n_true, u.j, u.b FROM top t
+         |       JOIN (SELECT DISTINCT word, h0, h1, h2, h3 FROM hh) s
+         |         ON s.word = t.word
+         |       CROSS JOIN LATERAL (VALUES (0, s.h0), (1, s.h1),
+         |                                  (2, s.h2), (3, s.h3)) u(j, b))
+         |SELECT tb.word, CAST(tb.n_true AS BIGINT) AS n_true,
+         |  CAST(min(cms.c) AS BIGINT) AS cms_est
+         |FROM tb JOIN cms ON cms.j = tb.j AND cms.b = tb.b
+         |GROUP BY tb.word, tb.n_true
+         |ORDER BY n_true DESC, word""") { (s, dir) =>
+      val w = Tables.t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+      def slice(j: Int) =
+        (conv(substring(md5(col("word")), 8 * j + 1, 8), 16, 10)
+          .cast("long") % 1024).as(s"h$j")
+      val hh = w.select((col("word") +: (0 to 3).map(slice)): _*)
+      val cms = (0 to 3).map { j =>
+        hh.groupBy(col(s"h$j").as("b")).agg(count(lit(1)).as("c"))
+          .select(lit(j).as("j"), col("b"), col("c"))
+      }.reduce(_ unionByName _)
+      val top = w.groupBy(col("word")).agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("word")).limit(20)
+      top.select((col("word") +: col("n_true") +: (0 to 3).map(slice)): _*)
+        .select(col("word"), col("n_true"),
+          posexplode(array((0 to 3).map(j => col(s"h$j")): _*))
+            .as(Seq("j", "b")))
+        .join(cms, Seq("j", "b"))
+        .groupBy(col("word"), col("n_true"))
+        .agg(min(col("c")).as("cms_est"))
+        .orderBy(col("n_true").desc, col("word"))
+    },
+
+    // ----- token-budgeted mix construction: the final assembly step
+    // of a training mix — per SOURCE, admit documents in
+    // content-hash order (reproducible, order-free) until that
+    // source's token budget is exhausted. One window cumsum
+    // partitioned by source (parallelism = #sources; within a
+    // source it is the sequential-prefix semantics the budget
+    // REQUIRES, same argument as q163's packing); everything else is
+    // a map. Emits every doc with its running total and the
+    // admit/reject flag a mix builder acts on. -----
+    q("q181_token_budget_mix",
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(list_sum(list_transform(range(1,9),
+        |      hx -> (strpos('0123456789abcdef', substr(md5(text), hx, 1))-1)
+        |            * (2**(4*(8-hx))))) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_tokens <= 2000 AS INTEGER) AS admitted
+        |FROM c ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+      t.withColumn("cum_tokens",
+          sum(col("n_tokens")).over(Window.partitionBy(col("source"))
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("int").as("n_tokens"),
+          col("cum_tokens").cast("long").as("cum_tokens"),
+          (col("cum_tokens") <= 2000).cast("int").as("admitted"))
+        .orderBy(col("doc_id"))
     }
   )
 }
