@@ -225,4 +225,33 @@ class PlanSpec extends SparkSpec {
       "raw word strings must never reach an exchange")
     assert(!p.contains("Window"), "scoring must not use a window sort")
   }
+
+  test("q177 BM25 retrieval: postings equi-join, never a cartesian pair space") {
+    val p = plan("q177_bm25_topk")
+    assert(!p.contains("CartesianProduct"),
+      "query x corpus must go through the inverted-index equi join")
+    assert(!p.contains("Window"), "top-k must use the bounded aggregate")
+  }
+
+  test("q178 text clustering: seeds broadcast, corpus never shuffles for the seed scan") {
+    val p = plan("q178_text_cluster")
+    assert(!p.contains("CartesianProduct"),
+      "seed comparison must ride a broadcast, not a cartesian shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 4-row seed table must broadcast")
+  }
+
+  test("q180 CMS: sketch and truth aggregate with partial (map-side) combine") {
+    val p = plan("q180_cms_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "sketch cells must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q181 token-budget mix: one source-keyed window, no extra exchanges") {
+    val p = plan("q181_token_budget_mix")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      "the cumsum must be the only source-keyed shuffle")
+    assert(p.contains("Window"))
+  }
 }
