@@ -351,6 +351,88 @@ object TextAnalysis extends QueryModule {
        |  CAST(round(hsum / n, 4) <= 4.95 AS INTEGER) AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** CMS hash row j: md5 digest slice [8j+1, 8j+8] mod 1024 — the
+    * Dedup band-hash trick reused as d independent hash functions. */
+  private def cmsSlice(j: Int) =
+    (conv(substring(md5(col("word")), 8 * j + 1, 8), 16, 10)
+      .cast("long") % 1024).as(s"h$j")
+
+  /** Estimate the exact top-20 terms against a (j, b, c) cell table:
+    * min over a term's d cells, ordered (n_true DESC, word). Shared
+    * by the batch (q180) and streaming (q182) sketches. */
+  private def cmsEstimates(w: DataFrame, cms: DataFrame): DataFrame = {
+    val top = w.groupBy(col("word")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("word")).limit(20)
+    top.select((col("word") +: col("n_true") +: (0 to 3).map(cmsSlice)): _*)
+      .select(col("word"), col("n_true"),
+        posexplode(array((0 to 3).map(j => col(s"h$j")): _*))
+          .as(Seq("j", "b")))
+      .join(cms, Seq("j", "b"))
+      .groupBy(col("word"), col("n_true"))
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("n_true").desc, col("word"))
+  }
+
+  /** q180/q182's shared oracle: sketch + truth replayed in SQL, so
+    * even the CMS overestimates must hash-match. */
+  private lazy val cmsOracle: String =
+    s"""WITH w AS (SELECT unnest(string_split(lower(text),' ')) AS word
+       |           FROM documents),
+       |hh AS (SELECT word,
+       |  ${(0 to 3).map(j =>
+            s"CAST(list_sum(list_transform(range(1,9), hx -> " +
+            s"(strpos('0123456789abcdef', substr(md5(word), ${8 * j} + hx, 1))-1)" +
+            s" * (2**(4*(8-hx))))) AS BIGINT) % 1024 AS h$j")
+           .mkString(",\n       |  ")}
+       |  FROM w),
+       |cms AS (
+       |  SELECT 0 AS j, h0 AS b, count(*) AS c FROM hh GROUP BY h0
+       |  UNION ALL SELECT 1, h1, count(*) FROM hh GROUP BY h1
+       |  UNION ALL SELECT 2, h2, count(*) FROM hh GROUP BY h2
+       |  UNION ALL SELECT 3, h3, count(*) FROM hh GROUP BY h3),
+       |tc AS (SELECT word, count(*) AS n_true FROM w GROUP BY word),
+       |top AS (SELECT word, n_true FROM tc
+       |        ORDER BY n_true DESC, word LIMIT 20),
+       |tb AS (SELECT t.word, t.n_true, u.j, u.b FROM top t
+       |       JOIN (SELECT DISTINCT word, h0, h1, h2, h3 FROM hh) s
+       |         ON s.word = t.word
+       |       CROSS JOIN LATERAL (VALUES (0, s.h0), (1, s.h1),
+       |                                  (2, s.h2), (3, s.h3)) u(j, b))
+       |SELECT tb.word, CAST(tb.n_true AS BIGINT) AS n_true,
+       |  CAST(min(cms.c) AS BIGINT) AS cms_est
+       |FROM tb JOIN cms ON cms.j = tb.j AND cms.b = tb.b
+       |GROUP BY tb.word, tb.n_true
+       |ORDER BY n_true DESC, word""".stripMargin
+
+  /** The CMS cells maintained by a streaming aggregation over
+    * arriving documents (complete-mode snapshot — the state IS the
+    * sketch, 4096 cells bounded for any stream length), then the
+    * same estimation join as the batch path. The top-20 truth side
+    * is computed batch-side: it is the VERIFICATION harness, not the
+    * sketch (a production stream serves estimates for ad-hoc terms). */
+  private[pipeline] def cmsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+    val cells = stream
+      .select((col("word") +: (0 to 3).map(cmsSlice)): _*)
+      .select(posexplode(array((0 to 3).map(j => col(s"h$j")): _*))
+        .as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    s.catalog.dropTempView("graft_stream_cms")
+    val query = cells.writeStream.format("memory")
+      .queryName("graft_stream_cms").outputMode("complete").start()
+    query.processAllAvailable()
+    query.stop()
+    val w = Tables.t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+    cmsEstimates(w, s.table("graft_stream_cms"))
+  }
+
   override def queries: Seq[QueryDef] = Seq(
 
     q("q58_text_stats",
@@ -1274,55 +1356,28 @@ object TextAnalysis extends QueryModule {
     // count. Verified against the exact top-20 terms: the oracle
     // replays sketch AND truth, so the overestimates themselves must
     // hash-match. -----
-    q("q180_cms_heavy_hitters",
-      s"""WITH w AS (SELECT unnest(string_split(lower(text),' ')) AS word
-         |           FROM documents),
-         |hh AS (SELECT word,
-         |  ${(0 to 3).map(j =>
-              s"CAST(list_sum(list_transform(range(1,9), hx -> " +
-              s"(strpos('0123456789abcdef', substr(md5(word), ${8 * j} + hx, 1))-1)" +
-              s" * (2**(4*(8-hx))))) AS BIGINT) % 1024 AS h$j")
-             .mkString(",\n         |  ")}
-         |  FROM w),
-         |cms AS (
-         |  SELECT 0 AS j, h0 AS b, count(*) AS c FROM hh GROUP BY h0
-         |  UNION ALL SELECT 1, h1, count(*) FROM hh GROUP BY h1
-         |  UNION ALL SELECT 2, h2, count(*) FROM hh GROUP BY h2
-         |  UNION ALL SELECT 3, h3, count(*) FROM hh GROUP BY h3),
-         |tc AS (SELECT word, count(*) AS n_true FROM w GROUP BY word),
-         |top AS (SELECT word, n_true FROM tc
-         |        ORDER BY n_true DESC, word LIMIT 20),
-         |tb AS (SELECT t.word, t.n_true, u.j, u.b FROM top t
-         |       JOIN (SELECT DISTINCT word, h0, h1, h2, h3 FROM hh) s
-         |         ON s.word = t.word
-         |       CROSS JOIN LATERAL (VALUES (0, s.h0), (1, s.h1),
-         |                                  (2, s.h2), (3, s.h3)) u(j, b))
-         |SELECT tb.word, CAST(tb.n_true AS BIGINT) AS n_true,
-         |  CAST(min(cms.c) AS BIGINT) AS cms_est
-         |FROM tb JOIN cms ON cms.j = tb.j AND cms.b = tb.b
-         |GROUP BY tb.word, tb.n_true
-         |ORDER BY n_true DESC, word""") { (s, dir) =>
+    q("q180_cms_heavy_hitters", cmsOracle) { (s, dir) =>
       val w = Tables.t(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("word"))
-      def slice(j: Int) =
-        (conv(substring(md5(col("word")), 8 * j + 1, 8), 16, 10)
-          .cast("long") % 1024).as(s"h$j")
-      val hh = w.select((col("word") +: (0 to 3).map(slice)): _*)
+      val hh = w.select((col("word") +: (0 to 3).map(cmsSlice)): _*)
       val cms = (0 to 3).map { j =>
         hh.groupBy(col(s"h$j").as("b")).agg(count(lit(1)).as("c"))
           .select(lit(j).as("j"), col("b"), col("c"))
       }.reduce(_ unionByName _)
-      val top = w.groupBy(col("word")).agg(count(lit(1)).as("n_true"))
-        .orderBy(col("n_true").desc, col("word")).limit(20)
-      top.select((col("word") +: col("n_true") +: (0 to 3).map(slice)): _*)
-        .select(col("word"), col("n_true"),
-          posexplode(array((0 to 3).map(j => col(s"h$j")): _*))
-            .as(Seq("j", "b")))
-        .join(cms, Seq("j", "b"))
-        .groupBy(col("word"), col("n_true"))
-        .agg(min(col("c")).as("cms_est"))
-        .orderBy(col("n_true").desc, col("word"))
+      cmsEstimates(w, cms)
     },
+
+    // ----- the SAME sketch maintained AT INGEST: documents arrive as
+    // a stream and the 4096 CMS cells accumulate as a streaming
+    // aggregation — the sketch IS the state, 4 × 1024 cells bounded
+    // by construction no matter how long the stream runs (the whole
+    // point of a sketch on an unbounded stream; the reference would
+    // carry the same cells in keyed state). Because cells are
+    // additive counts, the final streamed sketch is identical to the
+    // batch sketch, so q182 answers the exact same top-20 estimates
+    // against the same oracle — the q172/q158 "streaming twin,
+    // hash-equal to batch" contract. -----
+    q("q182_stream_cms", cmsOracle) { (s, dir) => cmsStream(s, dir) },
 
     // ----- token-budgeted mix construction: the final assembly step
     // of a training mix — per SOURCE, admit documents in
