@@ -70,7 +70,16 @@ object Bench {
     "q165_weighted_mixture_sample",
     "q172_stream_perplexity",
     "q174_vocab_oov",
-    "q175_dsir_select")
+    "q175_dsir_select",
+    // r10 additions: persisted-index dedup, BM25 retrieval, text
+    // clustering, novelty, CMS batch + streaming, token-budget mix
+    "q176_incremental_index_dedup",
+    "q177_bm25_topk",
+    "q178_text_cluster",
+    "q179_novelty_score",
+    "q180_cms_heavy_hitters",
+    "q181_token_budget_mix",
+    "q182_stream_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
