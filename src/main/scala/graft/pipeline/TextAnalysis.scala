@@ -1214,18 +1214,27 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("tf"))
       val dl = h.filter(!isQ).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // idf per TERM and the length normalizer per DOC are computed
+      // once in their own (tiny) tables, not per posting row — the
+      // contribution expression below then runs one multiply + one
+      // divide per row instead of a ln() per row. Same operation
+      // tree per value, so results are bit-identical to the inline
+      // form the oracle uses.
       val df = corp.groupBy(col("hw")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("hw"), round(log((col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5) + 1), 6).as("idf"))
+      val dk = dl.crossJoin(broadcast(stats))
+        .select(col("doc_id"), (lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))).as("k1dl"))
       val qt = h.filter(isQ).select(col("doc_id").as("query_id"), col("hw"))
         .distinct()
       val contrib = qt
         .join(corp, "hw").join(df, "hw")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
+        .join(dk, "doc_id")
         .select(col("query_id"), col("doc_id"), col("hw"),
-          round(round(log((col("n_docs") - col("df") + 0.5)
-              / (col("df") + 0.5) + 1), 6)
-            * (col("tf") * 2.2 / (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))), 6).as("c"))
+          round(col("idf")
+            * (col("tf") * 2.2 / (col("tf") + col("k1dl"))), 6).as("c"))
       contrib.groupBy(col("query_id"), col("doc_id"))
         .agg(expr(
           """aggregate(transform(array_sort(collect_list(struct(hw, c))),
