@@ -519,11 +519,16 @@ object Dedup extends QueryModule {
     * index partitions, keeping per-delta I/O proportional to the
     * delta's bucket footprint rather than the corpus's age. */
   private[pipeline] def incrementalDedup(delta: DataFrame,
-      corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame = {
+      corpusBands: DataFrame, corpusShingles: DataFrame,
+      wideBuckets: Option[DataFrame] = None): DataFrame = {
     val hasPb = corpusBands.columns.contains("pb")
     val hasPd = corpusShingles.columns.contains("pd")
-    val dBands0 = DedupIndex.bandRows(delta)
+    val dBandsAll = DedupIndex.bandRows(delta)
       .select(col("doc_id").as("doc_n"), col("band"), col("bval"))
+    // over-wide (boilerplate) buckets drop from the DELTA side via a
+    // broadcast anti-join — the cheapest point to prune candidates
+    val dBands0 = wideBuckets.fold(dBandsAll)(w =>
+      dBandsAll.join(w, Seq("band", "bval"), "left_anti"))
     val dBands =
       if (!hasPb) dBands0
       else broadcast(dBands0.withColumn("pb",

@@ -53,11 +53,17 @@ object DedupIndex {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(Dedup.sparkShingles).as("shingles"))
 
-  /** Build (or rebuild) the standing index from a corpus. */
+  /** Build (or rebuild) the standing index from a corpus. Alongside
+    * bands and shingles it persists `bucket_stats` — per-(band, bval)
+    * member counts, APPENDED on every update and summed at read, so
+    * bucket widths are known without ever rescanning the corpus. */
   def save(corpus: DataFrame, path: String): Unit = {
-    bandRows(corpus)
+    val bands = bandRows(corpus)
+    bands
       .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
+    bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/bucket_stats")
     shingleRows(corpus)
       .withColumn("pd", pmod(col("doc_id"), lit(docBuckets)))
       .write.mode("overwrite").partitionBy("pd").parquet(s"$path/shingles")
@@ -65,11 +71,15 @@ object DedupIndex {
 
   /** Append a COMMITTED delta to the index (after its dedup verdict
     * admitted it): new files in existing partitions, nothing about
-    * the standing corpus is read or rewritten. */
+    * the standing corpus is read or rewritten — including the bucket
+    * stats, whose per-append partial counts are additive. */
   def update(delta: DataFrame, path: String): Unit = {
-    bandRows(delta)
+    val bands = bandRows(delta)
+    bands
       .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
       .write.mode("append").partitionBy("pb").parquet(s"$path/bands")
+    bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$path/bucket_stats")
     shingleRows(delta)
       .withColumn("pd", pmod(col("doc_id"), lit(docBuckets)))
       .write.mode("append").partitionBy("pd").parquet(s"$path/shingles")
@@ -78,9 +88,33 @@ object DedupIndex {
   /** Score a delta against the stored index: same (doc_id, n_dups,
     * keeper, is_new) verdict as q166's recompute path, hash-equal by
     * construction (DedupIndexSpec pins it, q176's oracle re-proves it
-    * every sweep). */
-  def dedupDelta(s: SparkSession, delta: DataFrame, path: String): DataFrame =
-    Dedup.incrementalDedup(delta,
+    * every sweep).
+    *
+    * @param maxBucketWidth the 100 TB safety valve lshVerifiedPairs
+    *   carries, now index-aware: candidate generation skips index
+    *   buckets wider than this (boilerplate buckets make delta ×
+    *   bucket candidate counts explode). The width test reads the
+    *   PRECOMPUTED `bucket_stats` (summed over appends — one tiny
+    *   agg over (band, bval) counts, never a corpus rescan), and the
+    *   over-wide bucket list — boilerplate by definition, so small —
+    *   broadcasts into an anti-join on the DELTA bands, pruning at
+    *   the cheapest point in the plan. Default keeps exact
+    *   semantics. */
+  def dedupDelta(s: SparkSession, delta: DataFrame, path: String,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val deltaPruned =
+      if (maxBucketWidth == Int.MaxValue) delta -> None
+      else {
+        val wide = s.read.parquet(s"$path/bucket_stats")
+          .groupBy(col("band"), col("bval"))
+          .agg(sum(col("n")).as("w"))
+          .filter(col("w") > maxBucketWidth)
+          .select(col("band"), col("bval"))
+        delta -> Some(broadcast(wide))
+      }
+    Dedup.incrementalDedup(deltaPruned._1,
       s.read.parquet(s"$path/bands"),
-      s.read.parquet(s"$path/shingles"))
+      s.read.parquet(s"$path/shingles"),
+      wideBuckets = deltaPruned._2)
+  }
 }

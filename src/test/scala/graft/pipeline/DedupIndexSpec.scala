@@ -46,6 +46,38 @@ class DedupIndexSpec extends SparkSpec {
       "aged index (save + update) diverged from a full rebuild")
   }
 
+  test("bucket-width safety valve: stats persist additively, capping only drops wide buckets") {
+    val day0 = docs.filter(col("doc_id") % 10 < 8)
+    val day1 = docs.filter(col("doc_id") % 10 === 8)
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val path = tmp()
+    DedupIndex.save(day0, path)
+    DedupIndex.update(day1, path)
+    // the summed bucket stats must equal a direct recount of the
+    // aged index (appends are additive partial counts)
+    val statSum = spark.read.parquet(s"$path/bucket_stats")
+      .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("w"))
+    val direct = spark.read.parquet(s"$path/bands")
+      .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("w"))
+    assert(statSum.join(direct, Seq("band", "bval"))
+      .filter(statSum("w") =!= direct("w")).isEmpty,
+      "persisted bucket stats diverge from the index contents")
+    assert(statSum.count() == direct.count())
+    // an effectively-infinite cap is exact (hash-equal to uncapped)
+    val uncapped = verdictStrings(DedupIndex.dedupDelta(spark, delta, path))
+    val bigCap = verdictStrings(
+      DedupIndex.dedupDelta(spark, delta, path, maxBucketWidth = 1000000))
+    assert(uncapped.sameElements(bigCap), "a non-binding cap changed results")
+    // a binding cap only REMOVES matches (recall trade), never adds,
+    // and every delta doc still gets a verdict row
+    val capped = DedupIndex.dedupDelta(spark, delta, path, maxBucketWidth = 1)
+    assert(capped.count() == uncapped.length.toLong)
+    val capDups = capped.agg(sum(col("n_dups"))).head.getLong(0)
+    val unDupsTotal = DedupIndex.dedupDelta(spark, delta, path)
+      .agg(sum(col("n_dups"))).head.getLong(0)
+    assert(capDups <= unDupsTotal, "capping must never create matches")
+  }
+
   test("delta probe dynamically prunes index partitions") {
     val delta = docs.filter(col("doc_id") % 10 === 9)
     val corpus = docs.filter(col("doc_id") % 10 =!= 9)
