@@ -1338,12 +1338,17 @@ object TextAnalysis extends QueryModule {
          |  round(n_novel::DOUBLE / n_grams, 6) AS novelty
          |FROM sc ORDER BY doc_id""") { (s, dir) =>
       import graft.functions.CharNGrams.char_ngrams
+      import org.apache.spark.sql.expressions.Window
       val g = Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(transform(char_ngrams(col("text"), 3),
             gr => conv(substring(md5(gr), 1, 8), 16, 10).cast("long")))).as("gh"))
-      val own = g.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
-      g.join(own, "gh")
+      // owner per row via a whole-partition window min: ONE pass over
+      // the gram table instead of the agg + join-back shape, which
+      // recomputed the 3.5 M-gram explode+md5 on both sides (r10
+      // plan-read: 2 scans, no exchange reuse)
+      g.withColumn("owner",
+          min(col("doc_id")).over(Window.partitionBy(col("gh"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
