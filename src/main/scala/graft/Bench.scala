@@ -79,7 +79,9 @@ object Bench {
     "q179_novelty_score",
     "q180_cms_heavy_hitters",
     "q181_token_budget_mix",
-    "q182_stream_cms")
+    "q182_stream_cms",
+    "q183_pmi_collocations",
+    "q184_tfidf_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

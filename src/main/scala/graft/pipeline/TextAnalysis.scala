@@ -1393,6 +1393,89 @@ object TextAnalysis extends QueryModule {
     // hash-equal to batch" contract. -----
     q("q182_stream_cms", cmsOracle) { (s, dir) => cmsStream(s, dir) },
 
+    // ----- PMI collocation extraction (pointwise mutual information
+    // over adjacent word pairs — the classic corpus-linguistics
+    // statistic a tokenizer/vocab pipeline uses to find multiword
+    // units worth merging): PMI = log2(c(w1,w2)·N / (cl(w1)·cr(w2)))
+    // with all marginals taken over the bigram table, pairs with
+    // count ≥ 5, top-20 by (PMI DESC, pair). Three map-side-combined
+    // count aggs + two hash joins of the marginals back onto the
+    // pair counts; the top-20 is a TakeOrdered, no global sort
+    // materialization. -----
+    q("q183_pmi_collocations",
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w
+         |           FROM documents),
+         |b AS (SELECT w[i] AS w1, w[i+1] AS w2
+         |      FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+         |            FROM w WHERE len(w) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY w1, w2),
+         |cl AS (SELECT w1, count(*) AS cl FROM b GROUP BY w1),
+         |cr AS (SELECT w2, count(*) AS cr FROM b GROUP BY w2),
+         |n AS (SELECT count(*) AS n FROM b),
+         |scored AS (SELECT cb.w1, cb.w2, cb.n_pair,
+         |    round(log2(cb.n_pair::DOUBLE * n.n / (cl.cl::DOUBLE * cr.cr)), 6) AS pmi
+         |  FROM cb JOIN cl USING (w1) JOIN cr USING (w2), n
+         |  WHERE cb.n_pair >= 5)
+         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
+         |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20""") { (s, dir) =>
+      val b = Tables.t(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr("sequence(1, size(w)-1)")).as("i"), col("w"))
+        .select(expr("element_at(w, i)").as("w1"),
+          expr("element_at(w, i+1)").as("w2"))
+      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      val cl = b.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+      val cr = b.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+      val n = b.agg(count(lit(1)).as("n"))
+      cb.filter(col("n_pair") >= 5)
+        .join(cl, "w1").join(cr, "w2").crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(log2(col("n_pair").cast("double") * col("n")
+            / (col("cl").cast("double") * col("cr"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    },
+
+    // ----- per-document TF-IDF keywords: the top-3 most
+    // characteristic terms of every doc (tf × idf, idf = ln(N/df)
+    // rounded 6 dp so the product is engine-identical) — the
+    // lightweight doc-descriptor a curation dashboard or topic
+    // sampler consumes. df and N are corpus-level aggs joined back
+    // by term hash; ranking is a per-doc window over that doc's own
+    // distinct terms (partition = doc_id, ~vocabulary-of-one-doc
+    // rows — no global sort). -----
+    q("q184_tfidf_keywords",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word
+         |           FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+         |scored AS (SELECT tf.doc_id, tf.word,
+         |    round(tf.tf * round(ln(n.n::DOUBLE / df.df), 6), 6) AS score
+         |  FROM tf JOIN df USING (word), n),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, word) AS rn FROM scored)
+         |SELECT doc_id, word, score, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY doc_id, rn""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = w.agg(countDistinct(col("doc_id")).as("n"))
+      tf.join(df, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * round(log(col("n").cast("double") / col("df")), 6),
+            6).as("score"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("score"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
     // ----- token-budgeted mix construction: the final assembly step
     // of a training mix — per SOURCE, admit documents in
     // content-hash order (reproducible, order-free) until that
