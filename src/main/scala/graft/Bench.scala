@@ -81,7 +81,8 @@ object Bench {
     "q181_token_budget_mix",
     "q182_stream_cms",
     "q183_pmi_collocations",
-    "q184_tfidf_keywords")
+    "q184_tfidf_keywords",
+    "q185_stream_index_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -146,6 +146,53 @@ object Dedup extends QueryModule {
       DedupIndex.dedupDelta(s, delta, path)
     },
 
+    // ----- the PRODUCTION INGEST LOOP as a streaming job: today's
+    // crawl ARRIVES as a stream, every micro-batch is scored against
+    // the FROZEN standing index (verdicts are per-doc independent,
+    // so batching cannot change them — the oracle holds under any
+    // trigger schedule), and at day close the admitted docs commit
+    // to the index via DedupIndex.update (appends only — spec-pinned
+    // equal to a rebuild). Composes q136's dedup-at-ingest shape
+    // with q176's persisted index; per-batch cost is the q176 probe
+    // cost, state lives in the index, not the stream. Production
+    // wires the verdict write through the ExactlyOnceJdbc idempotent
+    // epoch-commit pattern for crash safety; here the memoryless
+    // parquet append is exercised under processAllAvailable. -----
+    q("q185_stream_index_ingest", duckIncrementalOracle) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val idxPath = tmp("graft-ingest-idx")
+      DedupIndex.save(corpus, idxPath)
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream =
+        (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+        else s.readStream.schema(raw)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+          .filter(col("doc_id") % 10 === 9)
+          .select(col("doc_id"), col("text"))
+      val outPath = tmp("graft-ingest-out")
+      val admittedPath = tmp("graft-ingest-admitted")
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp("graft-ingest-ckpt"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val verdict = DedupIndex.dedupDelta(s, batch, idxPath)
+            .localCheckpoint()
+          verdict.write.mode("append").parquet(outPath)
+          // day-close commit source: only docs the verdict admitted
+          batch.join(verdict.filter(col("is_new"))
+            .select(col("doc_id")), "doc_id")
+            .write.mode("append").parquet(admittedPath)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      DedupIndex.update(s.read.parquet(admittedPath), idxPath)
+      s.read.parquet(outPath).orderBy(col("doc_id"))
+    },
+
     // ----- the CURATION PIPELINE end-to-end, as one declarative plan:
     // quality-filter the corpus (q58's score), near-dedup the
     // survivors (LSH pairs -> Pregel components -> canonical keep,

@@ -4,7 +4,7 @@
 cd /root/repo
 OUT=/root/repo/target/probe_r10/isolated.jsonl
 touch "$OUT"
-QUERIES=$(sed -n '/val headline/,/q184_tfidf_keywords/p' src/main/scala/graft/Bench.scala | grep -o '"q[^"]*"' | tr -d '"')
+QUERIES=$(sed -n '/val headline/,/q185_stream_index_ingest/p' src/main/scala/graft/Bench.scala | grep -o '"q[^"]*"' | tr -d '"')
 for q in $QUERIES; do
   grep -q "\"$q\"" "$OUT" && continue
   echo "[probe] $q" >&2
