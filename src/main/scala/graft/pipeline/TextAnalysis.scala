@@ -1321,9 +1321,17 @@ object TextAnalysis extends QueryModule {
     // 3-grams whose FIRST corpus occurrence (lowest doc_id) is the
     // doc itself — high novelty = fresh content, low = assembled from
     // seen fragments; mix builders use it to favor novel text after
-    // dedup has removed outright copies. One gram-hash min-agg (map-
-    // side combined) + one join back on the gram hash: linear,
-    // nothing quadratic, the q157 shuffle contract. -----
+    // dedup has removed outright copies. The gram table materializes
+    // ONCE (localCheckpoint — the explode+md5 pass is the dominant
+    // cost and must not run twice), then two map-side-combined aggs
+    // read it: per-doc gram counts, and per-gram min-owner collapsed
+    // to per-doc novel counts. Everything per-gram reduces inside the
+    // partial agg — a hot gram ("the", ≈ one row per document) is
+    // combined down to one row per map task before any shuffle, and
+    // the only join is doc-cardinality. The r10 window-min variant
+    // (min over Window.partitionBy(gh)) was −28% at sf0.1 but put a
+    // hot gram's entire corpus row set into ONE WindowExec task — the
+    // skew shape sf0.1 can't surface; PlanSpec now forbids it. -----
     q("q179_novelty_score",
       s"""WITH g AS (SELECT doc_id,
          |    unnest(list_distinct(list_transform(range(1, length(text)-1),
@@ -1338,23 +1346,19 @@ object TextAnalysis extends QueryModule {
          |  round(n_novel::DOUBLE / n_grams, 6) AS novelty
          |FROM sc ORDER BY doc_id""") { (s, dir) =>
       import graft.functions.CharNGrams.char_ngrams
-      import org.apache.spark.sql.expressions.Window
       val g = Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(transform(char_ngrams(col("text"), 3),
             gr => conv(substring(md5(gr), 1, 8), 16, 10).cast("long")))).as("gh"))
-      // owner per row via a whole-partition window min: ONE pass over
-      // the gram table instead of the agg + join-back shape, which
-      // recomputed the 3.5 M-gram explode+md5 on both sides (r10
-      // plan-read: 2 scans, no exchange reuse)
-      g.withColumn("owner",
-          min(col("doc_id")).over(Window.partitionBy(col("gh"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
+        .localCheckpoint()
+      val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val novel = g.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
+        .groupBy(col("owner")).agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, col("doc_id") === col("owner"), "left")
         .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
-          col("n_novel").cast("int").as("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+          coalesce(col("n_novel"), lit(0L)).cast("int").as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_grams"), 6).as("novelty"))
         .orderBy(col("doc_id"))
     },
 

@@ -254,4 +254,16 @@ class PlanSpec extends SparkSpec {
       "the cumsum must be the only source-keyed shuffle")
     assert(p.contains("Window"))
   }
+
+  test("q179 novelty: no WindowExec on the gram hash (hot-gram single-task skew)") {
+    // A window partitioned by gh materializes every row of a hot gram
+    // ("the" ≈ one row per document) in ONE task — the r10 regression
+    // the round-10 verdict flagged. Min-owner must be an aggregate
+    // (map-side combined) and the only join doc-cardinality.
+    val p = plan("q179_novelty_score")
+    assert(!p.contains("Window"),
+      "gram ownership must be a map-side-combined aggregate, not a window")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "min-owner must combine map-side")
+  }
 }
