@@ -65,26 +65,11 @@ object ExactlyOnceJdbc {
   }
 
   private[streaming] def indexName(table: String): String =
-    s"${table}_BIDX"
+    s"${JdbcIndexes.bareTable(table)}_BIDX"
 
   private def ensureBatchIdIndex(url: String, table: String,
-      props: Properties): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val idx = conn.getMetaData.getIndexInfo(
-        null, null, table.toUpperCase, false, false)
-      var has = false
-      while (idx.next() && !has)
-        has = indexName(table).equalsIgnoreCase(idx.getString("INDEX_NAME"))
-      idx.close()
-      if (!has) {
-        val st = conn.createStatement()
-        try st.executeUpdate(
-          s"""CREATE INDEX ${indexName(table)} ON $table ("batch_id")""")
-        finally st.close()
-      }
-    } finally conn.close()
-  }
+      props: Properties): Unit =
+    JdbcIndexes.ensure(url, table, "BIDX", "\"batch_id\"", props)
 
   /** Attach the exactly-once sink to a streaming frame. The
     * checkpoint directory is what makes replays carry the same

@@ -103,24 +103,9 @@ object QueryableState {
   private[streaming] val jdbcBatchSize = 500
 
   private def ensureKeyIndex(url: String, table: String,
-      keyCols: Seq[String], props: java.util.Properties): Unit = {
-    val name = s"${table}_KIDX"
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val idx = conn.getMetaData.getIndexInfo(
-        null, null, table.toUpperCase, false, false)
-      var has = false
-      while (idx.next() && !has)
-        has = name.equalsIgnoreCase(idx.getString("INDEX_NAME"))
-      idx.close()
-      if (!has) {
-        val st = conn.createStatement()
-        try st.executeUpdate(s"""CREATE INDEX $name ON $table (${
-          keyCols.map(k => s""""$k"""").mkString(", ")})""")
-        finally st.close()
-      }
-    } finally conn.close()
-  }
+      keyCols: Seq[String], props: java.util.Properties): Unit =
+    JdbcIndexes.ensure(url, table, "KIDX",
+      keyCols.map(k => s""""$k"""").mkString(", "), props)
 
   private[streaming] def upsertBatch(batch: DataFrame, keyCols: Seq[String],
       url: String, table: String, props: java.util.Properties): Unit = {
@@ -152,15 +137,31 @@ object QueryableState {
           conn.setAutoCommit(false)
           dSt = conn.prepareStatement(del)
           iSt = conn.prepareStatement(ins)
+          // Chunked flushing runs all of a chunk's DELETEs before its
+          // INSERTs, so a key appearing TWICE in one chunk would keep
+          // both inserted rows (the second delete precedes the first
+          // insert). Update-mode streaming emits each key once per
+          // micro-batch, but upsertBatch is also called directly —
+          // flush the chunk early whenever a key repeats, restoring
+          // per-key delete-then-insert order (last row wins) at zero
+          // cost on the duplicate-free path.
           var n = 0
+          val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
           rows.foreach { r =>
+            val key = keyIdx.map(r.get).toList
+            if (!seen.add(key)) {
+              dSt.executeBatch(); iSt.executeBatch()
+              seen.clear(); seen.add(key); n = 0
+            }
             keyIdx.zipWithIndex.foreach { case (ki, p) =>
               dSt.setObject(p + 1, r.get(ki)) }
             dSt.addBatch()
             cols.indices.foreach(i => iSt.setObject(i + 1, r.get(i)))
             iSt.addBatch()
             n += 1
-            if (n % chunk == 0) { dSt.executeBatch(); iSt.executeBatch() }
+            if (n % chunk == 0) {
+              dSt.executeBatch(); iSt.executeBatch(); seen.clear(); n = 0
+            }
           }
           dSt.executeBatch(); iSt.executeBatch()
           conn.commit()

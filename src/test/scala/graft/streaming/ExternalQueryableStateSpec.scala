@@ -80,4 +80,44 @@ class ExternalQueryableStateSpec extends SparkSpec {
     assert(all().count() == n.toLong)
     assert(all().filter(col("doubled") === -1L).count() == 10)
   }
+
+  test("duplicate keys within one direct upsertBatch keep exactly one row (last wins)") {
+    // Chunked flushing runs a chunk's deletes before its inserts; a
+    // repeated key used to survive as TWO rows. The early-flush on
+    // key repeat restores per-key delete-then-insert order.
+    val table = "QSTATE_DUPKEYS"
+    val batch = spark.createDataFrame(Seq(
+        (1L, 10L, 0), (2L, 20L, 1), (1L, 11L, 2), (1L, 12L, 3), (3L, 30L, 4)))
+      .toDF("k", "v", "ord")
+      .coalesce(1).sortWithinPartitions("ord")
+      .select(col("k"), col("v"))
+    QueryableState.upsertBatch(batch, Seq("k"), url, table, props)
+    val rows = Jdbc.read(spark, url, table, props)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(Jdbc.read(spark, url, table, props).count() == 3,
+      "duplicate key left extra rows")
+    assert(rows == Map(1L -> 12L, 2L -> 20L, 3L -> 30L), s"got $rows")
+  }
+
+  test("schema-qualified table: index ensure is idempotent, not re-attempted each call") {
+    // r10 advice: the old metadata probe looked up the UNSPLIT
+    // upper-cased name, so on any qualified table the index lookup
+    // never matched and the second call's CREATE INDEX threw. Two
+    // upserts on a qualified table must succeed and leave the index.
+    val table = "GRAFTQ.QSTATE_SCHEMA"
+    val batch = spark.range(5).select(col("id").as("k"), col("id").as("v"))
+    QueryableState.upsertBatch(batch, Seq("k"), url, table, props)
+    QueryableState.upsertBatch(batch, Seq("k"), url, table, props)
+    assert(Jdbc.read(spark, url, table, props).count() == 5)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(
+        null, "GRAFTQ", "QSTATE_SCHEMA", false, false)
+      var found = false
+      while (rs.next() && !found)
+        found = "QSTATE_SCHEMA_KIDX".equalsIgnoreCase(rs.getString("INDEX_NAME"))
+      rs.close()
+      assert(found, "key index missing on schema-qualified table")
+    } finally conn.close()
+  }
 }
