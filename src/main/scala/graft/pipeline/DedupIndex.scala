@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * recompute path) is never repaid.
   *
   * Layout under `path`:
-  *  - `bands/`    (doc_id, band, bval)  partitioned by pb = bval % 256
-  *  - `shingles/` (doc_id, shingles)    partitioned by pd = doc_id % 64
+  *  - `bands/`    (doc_id, band, bval)  partitioned by pb = bval % bandBuckets
+  *  - `shingles/` (doc_id, shingles)    partitioned by pd = doc_id % docBuckets
+  *  - `index_meta.properties`           the fan-outs, written by [[save]]
   *
   * The partition columns are the scale story: [[dedupDelta]] joins
   * the (broadcast-sized) delta bands against the index INCLUDING
@@ -24,7 +25,10 @@ import org.apache.spark.sql.functions._
   * is then the delta's own compute plus a pruned index probe — at a
   * fixed bucket count the pruning factor shrinks as deltas shrink
   * relative to the corpus, and at 100 TB the bucket counts are the
-  * dial (raise them so one delta touches a small fraction).
+  * dial: [[save]] takes them as parameters and persists them in the
+  * index's metadata file, which [[update]]/[[dedupDelta]] read back,
+  * so the probe's delta-side bucket computation always agrees with
+  * the layout on disk (an index without metadata fails loudly).
   * Appends ([[update]]) are new files in existing partitions — no
   * index rewrite, no shuffle of the standing corpus, ever.
   *
@@ -34,11 +38,47 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** Band-bucket partition fan-out. 256 keeps sandbox file counts
-    * sane; at corpus scale raise it (pruning ratio ≈ touched/total). */
-  private[pipeline] val bandBuckets = 256
-  /** Shingle-table partition fan-out on doc_id. */
-  private[pipeline] val docBuckets = 64
+  /** Default band-bucket partition fan-out. 256 keeps sandbox file
+    * counts sane; at corpus scale raise it (pruning ratio ≈
+    * touched/total — a D-band-row delta touches ≤ D buckets, so pick
+    * bandBuckets ≫ delta band rows to make the probe scan track the
+    * delta's footprint instead of the corpus). */
+  private[graft] val bandBuckets = 256
+  /** Default shingle-table partition fan-out on doc_id. */
+  private[graft] val docBuckets = 64
+
+  /** Index-layout metadata, persisted by [[save]] and read back by
+    * every consumer — the fan-outs are a property OF THE INDEX, not
+    * of the code that happens to probe it. */
+  final case class Meta(bandBuckets: Int, docBuckets: Int)
+
+  private def metaFile(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "index_meta.properties")
+
+  private def writeMeta(path: String, m: Meta): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("bandBuckets", m.bandBuckets.toString)
+    p.setProperty("docBuckets", m.docBuckets.toString)
+    val out = java.nio.file.Files.newOutputStream(metaFile(path))
+    try p.store(out, "graft DedupIndex layout — fan-outs are load-bearing")
+    finally out.close()
+  }
+
+  /** Load the index's persisted layout; loud failure if absent — a
+    * probe guessing fan-outs that disagree with the files on disk
+    * would silently break partition pruning (and with it the
+    * per-delta cost contract), so there is no fallback. */
+  def meta(path: String): Meta = {
+    val f = metaFile(path)
+    if (!java.nio.file.Files.exists(f))
+      throw new IllegalStateException(
+        s"$f missing: not a DedupIndex (or written by a pre-metadata " +
+          "version); rebuild with DedupIndex.save")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    Meta(p.getProperty("bandBuckets").toInt, p.getProperty("docBuckets").toInt)
+  }
 
   /** (doc_id, band, bval) — one row per LSH band of each document. */
   private[pipeline] def bandRows(docs: DataFrame): DataFrame =
@@ -57,7 +97,10 @@ object DedupIndex {
     * bands and shingles it persists `bucket_stats` — per-(band, bval)
     * member counts, APPENDED on every update and summed at read, so
     * bucket widths are known without ever rescanning the corpus. */
-  def save(corpus: DataFrame, path: String): Unit = {
+  def save(corpus: DataFrame, path: String,
+      bandBuckets: Int = DedupIndex.bandBuckets,
+      docBuckets: Int = DedupIndex.docBuckets): Unit = {
+    require(bandBuckets > 0 && docBuckets > 0, "fan-outs must be positive")
     val bands = bandRows(corpus)
     bands
       .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
@@ -67,6 +110,7 @@ object DedupIndex {
     shingleRows(corpus)
       .withColumn("pd", pmod(col("doc_id"), lit(docBuckets)))
       .write.mode("overwrite").partitionBy("pd").parquet(s"$path/shingles")
+    writeMeta(path, Meta(bandBuckets, docBuckets))
   }
 
   /** Append a COMMITTED delta to the index (after its dedup verdict
@@ -74,14 +118,15 @@ object DedupIndex {
     * the standing corpus is read or rewritten — including the bucket
     * stats, whose per-append partial counts are additive. */
   def update(delta: DataFrame, path: String): Unit = {
+    val m = meta(path)
     val bands = bandRows(delta)
     bands
-      .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
+      .withColumn("pb", pmod(col("bval"), lit(m.bandBuckets)))
       .write.mode("append").partitionBy("pb").parquet(s"$path/bands")
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/bucket_stats")
     shingleRows(delta)
-      .withColumn("pd", pmod(col("doc_id"), lit(docBuckets)))
+      .withColumn("pd", pmod(col("doc_id"), lit(m.docBuckets)))
       .write.mode("append").partitionBy("pd").parquet(s"$path/shingles")
   }
 
@@ -102,6 +147,7 @@ object DedupIndex {
     *   semantics. */
   def dedupDelta(s: SparkSession, delta: DataFrame, path: String,
       maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val m = meta(path)
     val deltaPruned =
       if (maxBucketWidth == Int.MaxValue) delta -> None
       else {
@@ -115,6 +161,43 @@ object DedupIndex {
     Dedup.incrementalDedup(deltaPruned._1,
       s.read.parquet(s"$path/bands"),
       s.read.parquet(s"$path/shingles"),
-      wideBuckets = deltaPruned._2)
+      wideBuckets = deltaPruned._2,
+      bandBuckets = m.bandBuckets, docBuckets = m.docBuckets)
   }
+
+  /** The q185 ingest loop with CRASH-SAFE delivery — the composition
+    * q185's scaladoc promised, now real: each micro-batch's verdict
+    * rows AND its admitted docs commit through
+    * [[graft.streaming.ExactlyOnceJdbc.commitBatch]] (batchId-scrubbed
+    * idempotent epoch writes), so a foreachBatch replay after a crash
+    * — even one that died mid-append — lands every verdict and every
+    * admitted doc exactly once. The day-close index commit
+    * ([[commitAdmitted]]) then reads the admitted docs back from the
+    * store, making the whole loop recoverable from (checkpoint +
+    * database + index) alone. Crash/replay schedule proven in
+    * IngestLoopEosSpec against embedded Derby. */
+  def ingestEos(s: SparkSession, delta: DataFrame, path: String,
+      url: String, verdictTable: String, admittedTable: String,
+      checkpointDir: String, props: java.util.Properties)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val verdict = dedupDelta(s, batch, path).localCheckpoint()
+        graft.streaming.ExactlyOnceJdbc
+          .commitBatch(verdict, id, url, verdictTable, props)
+        graft.streaming.ExactlyOnceJdbc.commitBatch(
+          batch.join(verdict.filter(col("is_new"))
+            .select(col("doc_id")), "doc_id"),
+          id, url, admittedTable, props)
+      }
+      .start()
+
+  /** Day-close for [[ingestEos]]: append the admitted docs (read back
+    * from the exactly-once store, so replays contributed each doc
+    * once) to the standing index. */
+  def commitAdmitted(s: SparkSession, path: String, url: String,
+      admittedTable: String, props: java.util.Properties): Unit =
+    update(graft.sources.Jdbc.read(s, url, admittedTable, props)
+      .drop("batch_id"), path)
 }

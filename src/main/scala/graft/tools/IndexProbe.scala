@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * partition pruning bounds the probe's index I/O.
   *
   * Usage:
-  *   IndexProbe build <corpusDir> <indexPath>   — save() the index
+  *   IndexProbe build <corpusDir> <indexPath> [bandBuckets docBuckets]
+  *     — save() the index at the given fan-outs (persisted in the
+  *     index metadata; defaults 256/64)
   *   IndexProbe delta <deltaDir> <indexPath>    — time dedupDelta of
-  *     deltaDir's doc_id % 10 == 9 slice against the stored index
+  *     deltaDir's doc_id % 10 == 9 slice against the stored index,
+  *     and print each parquet scan's partitions/files-read metrics
+  *     (the dynamic-partition-pruning evidence)
   */
 object IndexProbe {
   def main(args: Array[String]): Unit = {
@@ -28,21 +32,30 @@ object IndexProbe {
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "build" =>
+        val bb = args.lift(3).map(_.toInt)
+          .getOrElse(graft.pipeline.DedupIndex.bandBuckets)
+        val db = args.lift(4).map(_.toInt)
+          .getOrElse(graft.pipeline.DedupIndex.docBuckets)
         val t0 = System.nanoTime()
         graft.pipeline.DedupIndex.save(
           graft.Tables.t(spark, dataDir, "documents")
-            .filter(col("doc_id") % 10 =!= 9), indexPath)
-        println(f"[indexprobe] build ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            .filter(col("doc_id") % 10 =!= 9), indexPath, bb, db)
+        println(f"[indexprobe] build ${(System.nanoTime() - t0) / 1e9}%.1f s bandBuckets=$bb docBuckets=$db")
       case "delta" =>
         val delta = graft.Tables.t(spark, dataDir, "documents")
           .filter(col("doc_id") % 10 === 9)
         // warm the session (file listing, codegen) on a trivial action
         delta.limit(1).count()
         val t0 = System.nanoTime()
-        graft.pipeline.DedupIndex
-          .dedupDelta(spark, delta, indexPath)
-          .write.format("noop").mode("overwrite").save()
+        val df = graft.pipeline.DedupIndex.dedupDelta(spark, delta, indexPath)
+        df.write.format("noop").mode("overwrite").save()
         println(f"[indexprobe] delta probe ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // pruning evidence: executed-plan scan metrics (partitions and
+        // files actually read after dynamic partition pruning)
+        org.apache.spark.sql.graftbridge.Bridge.scanMetrics(df)
+          .filter(m => m._1.contains("bands") || m._1.contains("shingles"))
+          .foreach { case (id, parts, files) =>
+            println(s"[indexprobe] scan $id: partitionsRead=$parts filesRead=$files") }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.Jdbc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The crash-safe ingest loop ([[DedupIndex.ingestEos]]): q185's
+  * streaming index-ingest composed with ExactlyOnceJdbc's idempotent
+  * epoch commit. The schedule mirrors ExactlyOnceJdbcSpec — normal
+  * epochs, then an epoch whose PREVIOUS attempt died mid-append — and
+  * the day-close commit must land each admitted doc in the index
+  * exactly once.
+  */
+class IngestLoopEosSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftingest;create=true"
+  private def props = {
+    val p = new java.util.Properties
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+  private def tmp(prefix: String) = java.nio.file.Files
+    .createTempDirectory(prefix).toString
+
+  test("verdicts and admitted docs land exactly once under replayed/partial epochs") {
+    implicit val sq = spark.sqlContext
+    val idx = tmp("graft-eos-idx")
+    // standing corpus: two docs the deltas can collide with
+    DedupIndex.save(Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "lorem ipsum dolor sit amet tree")).toDF("doc_id", "text"), idx)
+
+    val in = MemoryStream[(Long, String)]
+    val vt = "INGEST_VERDICTS"
+    val at = "INGEST_ADMITTED"
+    val q = DedupIndex.ingestEos(spark,
+      in.toDF().toDF("doc_id", "text"), idx, url, vt, at,
+      tmp("graft-eos-ckpt"), props)
+    try {
+      // epoch 0: one dup of corpus doc 1, one genuinely new doc
+      in.addData((10L, "the quick brown fox jumps high"),
+        (11L, "completely novel content arrives here today"))
+      q.processAllAvailable()
+      def verdicts() = Jdbc.read(spark, url, vt, props)
+      def admitted() = Jdbc.read(spark, url, at, props)
+      assert(verdicts().count() == 2)
+      assert(verdicts().filter(col("doc_id") === 10L && !col("is_new")).count() == 1,
+        "near-dup of the corpus must be rejected")
+      assert(admitted().select("doc_id").as[Long].collect().toSet == Set(11L),
+        "only the novel doc is admitted")
+
+      // CRASH MID-APPEND: a prior attempt of epoch 1 died after
+      // appending a partial verdict row — the replay (the real
+      // foreachBatch, same batchId) must scrub it and land epoch 1
+      // exactly once
+      Seq((999L, 0L, Option.empty[Long], true))
+        .toDF("doc_id", "n_dups", "keeper", "is_new")
+        .withColumn("batch_id", lit(1L))
+        .write.mode("append").jdbc(url, vt, props)
+      in.addData((12L, "another fresh document streams in now"),
+        (13L, "completely novel content arrives here today"))
+      q.processAllAvailable()
+      assert(verdicts().filter(col("doc_id") === 999L).count() == 0,
+        "partial rows of the crashed attempt must be scrubbed")
+      assert(verdicts().count() == 4)
+      assert(verdicts().select(countDistinct(col("doc_id"))).head.getLong(0) == 4)
+      // doc 13 duplicates doc 11's text — but 11 is NOT yet committed
+      // to the index (day-close hasn't run), so 13 is admitted too:
+      // the frozen-index-within-a-day semantics q185's oracle pins
+      assert(admitted().select("doc_id").as[Long].collect().toSet
+        == Set(11L, 12L, 13L))
+    } finally q.stop()
+
+    // day-close: admitted docs commit to the index exactly once —
+    // tomorrow's delta duplicating doc 11 must now be rejected
+    DedupIndex.commitAdmitted(spark, idx, url, at, props)
+    val verdict = DedupIndex.dedupDelta(spark,
+      Seq((20L, "completely novel content arrives here today"))
+        .toDF("doc_id", "text"), idx)
+      .collect()
+    assert(verdict.length == 1 && !verdict(0).getAs[Boolean]("is_new"),
+      "doc committed at day-close must dedup tomorrow's twin")
+  }
+}
