@@ -101,14 +101,21 @@ object DedupIndex {
       bandBuckets: Int = DedupIndex.bandBuckets,
       docBuckets: Int = DedupIndex.docBuckets): Unit = {
     require(bandBuckets > 0 && docBuckets > 0, "fan-outs must be positive")
+    // repartition ON the partition column before partitionBy: without
+    // it every write task emits one file per bucket value it holds
+    // (tasks × buckets small files — at a raised fan-out that is a
+    // file-count explosion); with it each bucket's rows land in one
+    // task, so the index is ~one file per bucket.
     val bands = bandRows(corpus)
     bands
       .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
+      .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/bucket_stats")
     shingleRows(corpus)
       .withColumn("pd", pmod(col("doc_id"), lit(docBuckets)))
+      .repartition(col("pd"))
       .write.mode("overwrite").partitionBy("pd").parquet(s"$path/shingles")
     writeMeta(path, Meta(bandBuckets, docBuckets))
   }
@@ -122,11 +129,13 @@ object DedupIndex {
     val bands = bandRows(delta)
     bands
       .withColumn("pb", pmod(col("bval"), lit(m.bandBuckets)))
+      .repartition(col("pb"))
       .write.mode("append").partitionBy("pb").parquet(s"$path/bands")
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/bucket_stats")
     shingleRows(delta)
       .withColumn("pd", pmod(col("doc_id"), lit(m.docBuckets)))
+      .repartition(col("pd"))
       .write.mode("append").partitionBy("pd").parquet(s"$path/shingles")
   }
 

@@ -263,8 +263,25 @@ object Similarity extends QueryModule {
     * The assignment is localCheckpoint'd so the three consumers
     * (both self-join sides + the annotate join) don't re-run Lloyd's.
     */
+  /** Measured flat↔two-level crossing (PLANS.md r10 two-level
+    * tables): on clustered corpora the two-level assignment wins
+    * from k ≈ 800 (amortizes by k = 2000: 323 s → 39 s, identical
+    * keep-list); below that — and on adversarial isotropic data,
+    * where routing margins concentrate — the exact flat pass wins.
+    * [[routeSuperK]] encodes the decision so callers need not know
+    * the probe tables. */
+  private[pipeline] val twoLevelThreshold = 800
+
+  /** Auto-routing: 0 (exact flat) below the measured threshold, else
+    * two-level with superK = √k — the shape both r10 probe rows used
+    * (28 at k = 800, 89 at k = 8000) and the Θ(N·2√k) optimum of the
+    * two-level FLOP count. */
+  private[pipeline] def routeSuperK(k: Int): Int =
+    if (k < twoLevelThreshold) 0
+    else math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+
   def semDedup(s: SparkSession, dir: String, k: Int = 8, updates: Int = 2,
-      tau: Double = 0.25, superK: Int = 0, nProbe: Int = 1): DataFrame = {
+      tau: Double = 0.25, superK: Int = -1, nProbe: Int = 1): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     // superK >= 2 switches the assignment from the exact flat pass
     // (Θ(N·k) FLOPs — the bottleneck once k ∝ N, PLANS.md r9) to the
@@ -272,11 +289,17 @@ object Similarity extends QueryModule {
     // identical either way; only the corpus-wide assignment differs,
     // and only approximately (boundary vectors may route to a
     // non-probed super — the documented IVF recall trade, monotone
-    // in nProbe). superK = 0 (default, the oracle pin) stays exact.
+    // in nProbe). superK = 0 forces the exact flat pass (the oracle
+    // pin — q167 passes it explicitly unless probe knobs are set);
+    // the DEFAULT (-1) auto-routes on the measured threshold, so a
+    // caller at k = 2000 gets the 8× assignment win without reading
+    // the probe tables. Isotropic-embedding corpora should force
+    // flat (the documented adversarial regime for routing).
+    val sk = if (superK >= 0) superK else routeSuperK(k)
     val assigned =
-      if (superK <= 1) kmeansClusters(e, k, updates)
+      if (sk <= 1) kmeansClusters(e, k, updates)
       else assignTwoLevel(s, edOf(e), kmeansCentroids(e, k, updates),
-        superK, nProbe = nProbe)
+        sk, nProbe = nProbe)
     val clustered = assigned
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("embedding"),

@@ -433,6 +433,70 @@ object TextAnalysis extends QueryModule {
     cmsEstimates(w, s.table("graft_stream_cms"))
   }
 
+  /** BM25 ranked retrieval (q177's operator as a facade). Exact by
+    * default; `maxDfFrac` < 1 is the approximate-pruning dial the
+    * round-10 verdict asked for (the nProbe pattern): terms whose
+    * document frequency exceeds `maxDfFrac · n_docs` — the hot,
+    * near-zero-idf stopword tail whose postings lists are the skew
+    * story of any inverted index — are dropped from the QUERY-TERM
+    * side BEFORE the postings join, so a pruned term's corpus-wide
+    * postings never enter the plan at all. Because a df ≈ N term has
+    * idf ≈ 0, its contribution to every score is uniformly tiny;
+    * pruning trades that epsilon for skipping the widest postings
+    * lists (ranking changes only where scores differed by less than
+    * the dropped epsilon — the explicit recall trade, monotone in
+    * the dial). Bm25Spec pins default-off exactness against the
+    * oracle-checked registry result. */
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 3,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import graft.functions.TopK
+    val h = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .withColumn("hw", hexHash(col("word")))
+    val isQ = col("doc_id") % 97 === 0
+    val corp = h.filter(!isQ).groupBy(col("doc_id"), col("hw"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = h.filter(!isQ).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // idf per TERM and the length normalizer per DOC are computed
+    // once in their own (tiny) tables, not per posting row — the
+    // contribution expression below then runs one multiply + one
+    // divide per row instead of a ln() per row. Same operation
+    // tree per value, so results are bit-identical to the inline
+    // form the oracle uses.
+    val dfAll = corp.groupBy(col("hw")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+    val df = (if (maxDfFrac >= 1.0) dfAll
+      else dfAll.filter(col("df") <= lit(maxDfFrac) * col("n_docs")))
+      .select(col("hw"), round(log((col("n_docs") - col("df") + 0.5)
+        / (col("df") + 0.5) + 1), 6).as("idf"))
+    val dk = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"), (lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))).as("k1dl"))
+    val qt = h.filter(isQ).select(col("doc_id").as("query_id"), col("hw"))
+      .distinct()
+    // join df (tiny, already pruned) onto the query terms FIRST: a
+    // dialed-out hot term disappears here, before its postings list
+    // is ever read by the corp join — pruning at the cheapest point
+    val contrib = qt.join(df, "hw")
+      .join(corp, "hw")
+      .join(dk, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("hw"),
+        round(col("idf")
+          * (col("tf") * 2.2 / (col("tf") + col("k1dl"))), 6).as("c"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(hw, c))),
+          |  s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+        .as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(k)(round(col("score"), 4), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   override def queries: Seq[QueryDef] = Seq(
 
     q("q58_text_stats",
@@ -1205,47 +1269,8 @@ object TextAnalysis extends QueryModule {
          |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 3
          |ORDER BY query_id, rn""") { (s, dir) =>
-      import graft.functions.TopK
-      val h = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-        .withColumn("hw", hexHash(col("word")))
-      val isQ = col("doc_id") % 97 === 0
-      val corp = h.filter(!isQ).groupBy(col("doc_id"), col("hw"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = h.filter(!isQ).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      // idf per TERM and the length normalizer per DOC are computed
-      // once in their own (tiny) tables, not per posting row — the
-      // contribution expression below then runs one multiply + one
-      // divide per row instead of a ln() per row. Same operation
-      // tree per value, so results are bit-identical to the inline
-      // form the oracle uses.
-      val df = corp.groupBy(col("hw")).agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("hw"), round(log((col("n_docs") - col("df") + 0.5)
-          / (col("df") + 0.5) + 1), 6).as("idf"))
-      val dk = dl.crossJoin(broadcast(stats))
-        .select(col("doc_id"), (lit(1.2) *
-          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))).as("k1dl"))
-      val qt = h.filter(isQ).select(col("doc_id").as("query_id"), col("hw"))
-        .distinct()
-      val contrib = qt
-        .join(corp, "hw").join(df, "hw")
-        .join(dk, "doc_id")
-        .select(col("query_id"), col("doc_id"), col("hw"),
-          round(col("idf")
-            * (col("tf") * 2.2 / (col("tf") + col("k1dl"))), 6).as("c"))
-      contrib.groupBy(col("query_id"), col("doc_id"))
-        .agg(expr(
-          """aggregate(transform(array_sort(collect_list(struct(hw, c))),
-            |  s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
-          .as("score"))
-        .groupBy(col("query_id"))
-        .agg(TopK.topK(3)(round(col("score"), 4), col("doc_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), col("col.id").as("doc_id"),
-          col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
-        .orderBy(col("query_id"), col("rn"))
+      bm25TopK(s, dir, maxDfFrac = sys.env.get("GRAFT_BM25_MAXDF")
+        .map(_.toDouble).getOrElse(1.0))
     },
 
     // ----- model-free text clustering for mix balancing: each doc

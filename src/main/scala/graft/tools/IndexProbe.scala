@@ -48,7 +48,10 @@ object IndexProbe {
         delta.limit(1).count()
         val t0 = System.nanoTime()
         val df = graft.pipeline.DedupIndex.dedupDelta(spark, delta, indexPath)
-        df.write.format("noop").mode("overwrite").save()
+        // full-evaluation action through df's OWN QueryExecution (a
+        // write.save plans a separate execution whose scan metrics
+        // stay zero — the executed metrics live on this plan)
+        df.foreach(_ => ())
         println(f"[indexprobe] delta probe ${(System.nanoTime() - t0) / 1e9}%.2f s")
         // pruning evidence: executed-plan scan metrics (partitions and
         // files actually read after dynamic partition pruning)

@@ -73,6 +73,25 @@ class TwoLevelAssignSpec extends SparkSpec {
     assert(approx.count() == flat.length.toLong)
   }
 
+  test("auto-routing defaults: flat below the measured threshold, √k two-level above") {
+    // r10 verdict #6: the flat↔two-level decision is measured
+    // (PLANS.md r10 tables) — encode it so callers get the right
+    // regime with no knobs. Decision pins:
+    assert(Similarity.routeSuperK(8) == 0, "small k must stay exact flat")
+    assert(Similarity.routeSuperK(799) == 0)
+    assert(Similarity.routeSuperK(800) == 28, "k=800 → superK=√k (r10 probe row)")
+    assert(Similarity.routeSuperK(2000) == 45)
+    assert(Similarity.routeSuperK(8000) == 89, "k=8000 → 89 (r10 probe row)")
+    // and the DEFAULT facade call (superK unset) at small k is the
+    // exact flat pipeline, byte-identical to forcing flat
+    val auto = Similarity.semDedup(spark, sf)
+      .collect().map(_.toString).sorted
+    val forcedFlat = Similarity.semDedup(spark, sf, superK = 0)
+      .collect().map(_.toString).sorted
+    assert(auto.sameElements(forcedFlat),
+      "auto default at small k must be the exact flat path")
+  }
+
   test("plan: routing is a pure map, one argmin exchange, no sort-merge join") {
     val cent = (0 until 8).map(c => (c.toLong, centroid(c))).toDF("cluster", "cv")
     val vecs = (0 until 100).map(i => (i.toLong, centroid(i % 8)))
