@@ -48,10 +48,11 @@ object IndexProbe {
         delta.limit(1).count()
         val t0 = System.nanoTime()
         val df = graft.pipeline.DedupIndex.dedupDelta(spark, delta, indexPath)
-        // full-evaluation action through df's OWN QueryExecution (a
-        // write.save plans a separate execution whose scan metrics
-        // stay zero — the executed metrics live on this plan)
-        df.foreach(_ => ())
+        // full-evaluation action through df's OWN QueryExecution —
+        // write.save / Dataset.foreach both re-plan a DERIVED
+        // execution whose scan metrics stay zero; toRdd runs the
+        // exact plan instance the metrics live on
+        df.queryExecution.toRdd.foreach(_ => ())
         println(f"[indexprobe] delta probe ${(System.nanoTime() - t0) / 1e9}%.2f s")
         // pruning evidence: executed-plan scan metrics (partitions and
         // files actually read after dynamic partition pruning)

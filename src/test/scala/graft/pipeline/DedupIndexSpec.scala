@@ -78,6 +78,30 @@ class DedupIndexSpec extends SparkSpec {
     assert(capDups <= unDupsTotal, "capping must never create matches")
   }
 
+  test("fan-outs are a property of the index: persisted, read back, loud when absent") {
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val reference = verdictStrings(Dedup.incrementalDedup(delta,
+      DedupIndex.bandRows(corpus), DedupIndex.shingleRows(corpus)))
+    // custom fan-outs round-trip through the metadata file, and the
+    // verdict is layout-independent (same hash at any fan-out)
+    val path = tmp()
+    DedupIndex.save(corpus, path, bandBuckets = 32, docBuckets = 8)
+    assert(DedupIndex.meta(path) == DedupIndex.Meta(32, 8))
+    assert(verdictStrings(DedupIndex.dedupDelta(spark, delta, path))
+      .sameElements(reference), "custom fan-out changed the verdict")
+    // update() must use the PERSISTED layout, not the defaults: after
+    // an append the aged index still answers identically
+    DedupIndex.update(delta.limit(0), path) // no-op append exercises the path
+    assert(verdictStrings(DedupIndex.dedupDelta(spark, delta, path))
+      .sameElements(reference))
+    // an index without metadata fails loudly instead of guessing
+    val bare = tmp()
+    intercept[IllegalStateException] {
+      DedupIndex.dedupDelta(spark, delta, bare)
+    }
+  }
+
   test("delta probe dynamically prunes index partitions") {
     val delta = docs.filter(col("doc_id") % 10 === 9)
     val corpus = docs.filter(col("doc_id") % 10 =!= 9)
