@@ -82,7 +82,13 @@ object Bench {
     "q182_stream_cms",
     "q183_pmi_collocations",
     "q184_tfidf_keywords",
-    "q185_stream_index_ingest")
+    "q185_stream_index_ingest",
+    // r11 additions: PQ-ADC ANN, RAG chunking, hard-negative mining,
+    // int8 quantization
+    "q186_pq_adc_topk",
+    "q187_chunk_overlap",
+    "q188_hard_negatives",
+    "q189_int8_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

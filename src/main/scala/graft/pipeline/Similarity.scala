@@ -242,6 +242,59 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * standard recipe: the best negatives are the most similar
+    * examples that are NOT semantically the same — high-cosine
+    * vectors OUTSIDE the anchor's cluster). Exactly [[ivfKMeans]]'s
+    * broadcast-probe shape with the cluster predicate inverted:
+    * anchors broadcast, the corpus map-scans once, the bounded TopK
+    * aggregate keeps 3 rows per anchor — no shuffle of the corpus,
+    * no window sort. At 100 TB the anchor set is the training
+    * batch's queries (fixed-query regime, the q135/q177 argument). */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 8,
+      updates: Int = 2): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val clustered = kmeansClusters(e, k, updates)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val anchors = clustered.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
+        col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
+    clustered
+      .select(col("vec_id"), col("cluster"), col("embedding").as("ev"),
+        normExpr("embedding").as("e_nrm"))
+      .join(broadcast(anchors), col("cluster") =!= col("q_cluster"))
+      .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
+        / (col("q_nrm") * col("e_nrm")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Int8 scalar quantization with per-vector scale (the standard
+    * embedding-store compression: 4× smaller than float32, cheap to
+    * decode) plus the fidelity report a pipeline gates on: quantize
+    * q_i = clamp(round(x_i/scale), ±127) at scale = max|x|/127,
+    * reconstruct, and measure cosine(original, reconstruction).
+    * Pure per-row map — transform + array folds, zero shuffle. */
+  private[pipeline] def int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    val ed = edOf(Tables.t(s, dir, "embeddings"))
+      .withColumn("scale", round(
+        expr("aggregate(ev, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+          / 127, 6))
+      .withColumn("rv", expr(
+        """transform(ev, x -> CAST(least(CAST(127 AS DOUBLE),
+          |  greatest(CAST(-127 AS DOUBLE), round(x / scale, 0))) AS INT)
+          |  * scale)""".stripMargin))
+    ed.select(col("vec_id"), col("scale"),
+        round(VecMath.vec_dot(col("ev"), col("rv"))
+          / (sqrt(VecMath.vec_dot(col("ev"), col("ev")))
+            * sqrt(VecMath.vec_dot(col("rv"), col("rv")))), 6).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public paper): cluster the corpus embeddings
@@ -473,6 +526,75 @@ object Similarity extends QueryModule {
   private val semNProbe: Int =
     sys.env.get("GRAFT_SEMDEDUP_NPROBE").map(_.toInt).getOrElse(1)
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid 2011, "Product
+    * quantization for nearest neighbor search" — public): compress
+    * every 64-dim embedding to m = 4 subspace codes (ks = 4 codewords
+    * per subspace; per-subspace Lloyd's with the q135 deterministic
+    * conventions — init = the first ks vectors' subvectors, one
+    * update, 6-dp rounding, ties to the lowest code) and answer
+    * top-k by ASYMMETRIC DISTANCE: a query precomputes its m × ks
+    * lookup table of exact subspace distances to every codeword, and
+    * a database vector's approximate distance is the j-ordered sum
+    * of 4 table lookups — 4 adds per candidate instead of a 64-float
+    * scan. This is the MEMORY side of the ANN scale story (IVF/
+    * two-level cut the candidate COUNT, PQ cuts bytes-per-candidate):
+    * the codes table is 4 small ints per vector vs 256 raw bytes, so
+    * a 100 TB corpus's index stays executor-resident. Plan shape:
+    * codes × broadcast(lookup tables) equi-join on (j, code) with a
+    * map-side-combined per-(query, vector) sum; the corpus never
+    * shuffles raw vectors for scoring. Fixed-query regime (q135's
+    * vec_id < 10 convention). */
+  private[pipeline] def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    val m = 4; val ks = 4; val subDim = 16
+    val ed = edOf(Tables.t(s, dir, "embeddings"))
+    // (vec_id, j, sv): the m subvectors — a pure map, no shuffle
+    val svs = ed.select(col("vec_id"), explode(array(
+        (0 until m).map(j => struct(lit(j).as("j"),
+          slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
+    val cb0 = svs.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
+    def assign(cb: DataFrame): DataFrame =
+      svs.join(broadcast(cb), "j")
+        .withColumn("dist", round(VecMath.vec_sq_dist(col("sv"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("dist"), col("code"))).as("mn"))
+        .select(col("vec_id"), col("j"), col("mn.code").as("code"))
+    val cb1 = assign(cb0)
+      .join(svs, Seq("vec_id", "j"))
+      .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("si", "x")))
+      .groupBy(col("j"), col("code"), col("si"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("j"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(si, c))), s -> s.c)")
+        .as("cv"))
+    val codes = assign(cb1)
+    val isQ = col("vec_id") < 10
+    val lt = svs.filter(isQ)
+      .select(col("vec_id").as("query_id"), col("j"), col("sv"))
+      .join(broadcast(cb1), "j")
+      .select(col("query_id"), col("j"), col("code"),
+        round(VecMath.vec_sq_dist(col("sv"), col("cv")), 6).as("d"))
+    // j-pivoted fixed-order sum: each subspace's term lands in its
+    // own aggregate, so the 4-term fp fold is order-deterministic on
+    // both engines (the BM25 sorted-fold argument, cheaper here)
+    val scored = codes.filter(!isQ)
+      .join(broadcast(lt), Seq("j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(when(col("j") === 0, col("d")).otherwise(0.0)).as("d0"),
+        (1 until m).map(j =>
+          sum(when(col("j") === j, col("d")).otherwise(0.0)).as(s"d$j")): _*)
+      .select(col("query_id"), col("vec_id"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adist"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topK(3)(-col("adist"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (-col("col.score")).as("adist"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   override def queries: Seq[QueryDef] = Seq(
 
     // ----- IVF with a real k-means fit, fully oracle-checked: the
@@ -497,6 +619,94 @@ object Similarity extends QueryModule {
         |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id, rn""") { (s, dir) => ivfKMeans(s, dir) },
+
+    // ----- product quantization + asymmetric distance (Jégou 2011):
+    // the memory side of the ANN scale path — 4 subspace codes per
+    // vector, per-subspace deterministic Lloyd's codebooks, queries
+    // score candidates by 4 lookup-table adds. The oracle replays
+    // codebook fit, encoding, lookup tables, and the j-ordered ADC
+    // sum, so the approximation itself hash-matches. -----
+    q("q186_pq_adc_topk",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x
+        |        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                     unnest(range(len(embedding))) AS i FROM e)),
+        |cb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
+        |d1 AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM sub s JOIN cb0 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM d1)
+        |       WHERE rk = 1),
+        |cb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
+        |        FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        |        GROUP BY 1, 2, 3),
+        |d2 AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM sub s JOIN cb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM d2)
+        |       WHERE rk = 1),
+        |lt AS (SELECT s.vec_id AS query_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
+        |       FROM sub s JOIN cb1 c ON c.j = s.j AND c.si = s.si
+        |       WHERE s.vec_id < 10
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6) AS adist
+        |       FROM codes t JOIN lt l ON l.j = t.j AND l.code = t.code
+        |       WHERE t.vec_id >= 10
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => pqAdcTopK(s, dir) },
+
+    // ----- hard-negative mining: per anchor, the top-3 most cosine-
+    // similar vectors OUTSIDE its k-means cluster — q135's probe
+    // shape with the cluster predicate inverted. -----
+    q("q188_hard_negatives",
+      s"""WITH ${duckLloydCtes()},
+        |scored AS (
+        |  SELECT p.vec_id AS query_id, b.vec_id AS vec_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM a3 p JOIN a3 b ON b.cluster <> p.cluster
+        |  JOIN flat fa ON fa.vec_id = p.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = p.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  WHERE p.vec_id < 10
+        |  GROUP BY p.vec_id, b.vec_id, na.nrm, nb.nrm),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => hardNegatives(s, dir) },
+
+    // ----- int8 scalar quantization + fidelity report: per-vector
+    // scale = max|x|/127, clamp-rounded codes, cosine(original,
+    // reconstruction) — the 4x embedding-store compression gate. -----
+    q("q189_int8_quantize",
+      """WITH flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x
+        |              FROM embeddings),
+        |sc AS (SELECT vec_id, round(max(abs(x)) / 127, 6) AS scale
+        |       FROM flat GROUP BY vec_id),
+        |qr AS (SELECT f.vec_id, s.scale, f.x,
+        |         least(127, greatest(-127, round(f.x / s.scale, 0))) * s.scale AS r
+        |       FROM flat f JOIN sc s USING (vec_id))
+        |SELECT vec_id, any_value(scale) AS scale,
+        |  round(sum(x * r) / (sqrt(sum(x * x)) * sqrt(sum(r * r))), 6) AS cos_sim
+        |FROM qr GROUP BY vec_id ORDER BY vec_id""") { (s, dir) =>
+      int8Quantize(s, dir)
+    },
 
     // ----- SemDeDup: k-means clusters bound the cosine pair space,
     // every vector with a lower-id near-twin (cosine ≥ 0.25) in its

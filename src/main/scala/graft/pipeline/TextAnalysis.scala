@@ -1505,6 +1505,32 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"), col("rn"))
     },
 
+    // ----- overlapping chunk extraction (the RAG/embedding-pipeline
+    // splitter): each document becomes sliding word windows of 32
+    // tokens at stride 24 (8-token overlap, the continuity margin
+    // retrieval chunking keeps so a sentence split across a boundary
+    // survives in one piece). Pure per-row generate — transform over
+    // a stride sequence + slice, zero shuffle at any corpus size;
+    // chunk_id is the window ordinal so (doc_id, chunk_id) is the
+    // stable chunk key downstream embedding/indexing steps join on. -----
+    q("q187_chunk_overlap",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM w)
+        |SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+        |  CAST(len(w[start+1 : start+32]) AS INTEGER) AS n_tokens,
+        |  array_to_string(w[start+1 : start+32], ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""") { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(w)-1, 24), st -> slice(w, st + 1, 32))"))
+          .as(Seq("chunk_id", "c")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          size(col("c")).cast("int").as("n_tokens"),
+          array_join(col("c"), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // ----- token-budgeted mix construction: the final assembly step
     // of a training mix — per SOURCE, admit documents in
     // content-hash order (reproducible, order-free) until that
