@@ -88,7 +88,8 @@ object Bench {
     "q186_pq_adc_topk",
     "q187_chunk_overlap",
     "q188_hard_negatives",
-    "q189_int8_quantize")
+    "q189_int8_quantize",
+    "q190_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -544,16 +544,18 @@ object Similarity extends QueryModule {
     * map-side-combined per-(query, vector) sum; the corpus never
     * shuffles raw vectors for scoring. Fixed-query regime (q135's
     * vec_id < 10 convention). */
-  private[pipeline] def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopK
-    val m = 4; val ks = 4; val subDim = 16
-    val ed = edOf(Tables.t(s, dir, "embeddings"))
+  private val pqM = 4; private val pqKs = 4; private val pqSubDim = 16
+
+  /** The PQ model pieces shared by q186 (ADC over the whole corpus)
+    * and q190 (IVF-PQ): subvector table, trained codebooks, and the
+    * corpus code table. */
+  private def pqModel(ed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // (vec_id, j, sv): the m subvectors — a pure map, no shuffle
     val svs = ed.select(col("vec_id"), explode(array(
-        (0 until m).map(j => struct(lit(j).as("j"),
-          slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p"))
+        (0 until pqM).map(j => struct(lit(j).as("j"),
+          slice(col("ev"), j * pqSubDim + 1, pqSubDim).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
-    val cb0 = svs.filter(col("vec_id") < ks)
+    val cb0 = svs.filter(col("vec_id") < pqKs)
       .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
     def assign(cb: DataFrame): DataFrame =
       svs.join(broadcast(cb), "j")
@@ -569,30 +571,69 @@ object Similarity extends QueryModule {
       .groupBy(col("j"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(si, c))), s -> s.c)")
         .as("cv"))
-    val codes = assign(cb1)
-    val isQ = col("vec_id") < 10
-    val lt = svs.filter(isQ)
+    (svs, cb1, assign(cb1))
+  }
+
+  /** Per-query ADC lookup tables: (query_id, j, code, d) — m × ks
+    * exact subspace distances per query, broadcast-sized. */
+  private def pqLookup(svs: DataFrame, cb1: DataFrame): DataFrame =
+    svs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("j"), col("sv"))
       .join(broadcast(cb1), "j")
       .select(col("query_id"), col("j"), col("code"),
         round(VecMath.vec_sq_dist(col("sv"), col("cv")), 6).as("d"))
-    // j-pivoted fixed-order sum: each subspace's term lands in its
-    // own aggregate, so the 4-term fp fold is order-deterministic on
-    // both engines (the BM25 sorted-fold argument, cheaper here)
-    val scored = codes.filter(!isQ)
-      .join(broadcast(lt), Seq("j", "code"))
+
+  /** (query_id, vec_id, adist) → bounded top-3 rows per query.
+    * The j-pivoted fixed-order sum keeps the 4-term fp fold
+    * order-deterministic on both engines (the BM25 sorted-fold
+    * argument, cheaper here). */
+  private def adcTop3(pairs: DataFrame): DataFrame = {
+    import graft.functions.TopK
+    pairs
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(when(col("j") === 0, col("d")).otherwise(0.0)).as("d0"),
-        (1 until m).map(j =>
+        (1 until pqM).map(j =>
           sum(when(col("j") === j, col("d")).otherwise(0.0)).as(s"d$j")): _*)
       .select(col("query_id"), col("vec_id"),
         round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adist"))
-    scored.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(TopK.topK(3)(-col("adist"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("vec_id"),
         (-col("col.score")).as("adist"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  private[pipeline] def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val (svs, cb1, codes) = pqModel(edOf(Tables.t(s, dir, "embeddings")))
+    val lt = pqLookup(svs, cb1)
+    adcTop3(codes.filter(col("vec_id") >= 10)
+      .join(broadcast(lt), Seq("j", "code")))
+  }
+
+  /** IVF-PQ (the deployed FAISS-style composition): the coarse
+    * k-means router (q135) bounds the CANDIDATE COUNT to one
+    * cluster's members while PQ codes (q186) bound the
+    * BYTES-PER-CANDIDATE to 4 lookup adds — together the index is
+    * small enough to stay resident AND the scan per query is a
+    * cluster, not the corpus. Non-residual variant (codes quantize
+    * the raw vectors, not x − centroid; residual encoding is the
+    * FAISS refinement and changes only the codebook input).
+    * Plan: the (cluster, codes) join materializes the index — at
+    * rest, production stores it that way — and scoring is
+    * index × broadcast(query lookup tables ⋈ query clusters). */
+  private[pipeline] def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val coarse = kmeansClusters(e, 8, 2)
+    val (svs, cb1, codes) = pqModel(edOf(e))
+    val lt = pqLookup(svs, cb1)
+      .join(broadcast(coarse.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))),
+        "query_id")
+    adcTop3(codes.join(coarse, "vec_id")
+      .join(broadcast(lt), Seq("j", "code"))
+      .filter(col("cluster") === col("q_cluster")
+        && col("vec_id") =!= col("query_id")))
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -707,6 +748,58 @@ object Similarity extends QueryModule {
         |FROM qr GROUP BY vec_id ORDER BY vec_id""") { (s, dir) =>
       int8Quantize(s, dir)
     },
+
+    // ----- IVF-PQ: the deployed composition — coarse k-means routing
+    // bounds candidates to the query's cluster, PQ-ADC scores them
+    // with 4 lookup adds each. The oracle replays BOTH models (the
+    // full-dim Lloyd's AND the per-subspace codebooks) plus the
+    // cluster-gated ADC sum. -----
+    q("q190_ivfpq_topk",
+      s"""WITH ${duckLloydCtes()},
+        |sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x
+        |        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                     unnest(range(len(embedding))) AS i FROM e)),
+        |pcb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
+        |pd1 AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM sub s JOIN pcb0 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |pa1 AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd1)
+        |       WHERE rk = 1),
+        |pcb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
+        |        FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        |        GROUP BY 1, 2, 3),
+        |pd2 AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |pcodes AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd2)
+        |       WHERE rk = 1),
+        |plt AS (SELECT s.vec_id AS query_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
+        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       WHERE s.vec_id < 10
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6) AS adist
+        |       FROM pcodes t
+        |       JOIN plt l ON l.j = t.j AND l.code = t.code
+        |       JOIN a3 ct ON ct.vec_id = t.vec_id
+        |       JOIN a3 cq ON cq.vec_id = l.query_id AND cq.cluster = ct.cluster
+        |       WHERE t.vec_id <> l.query_id
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => ivfPqTopK(s, dir) },
 
     // ----- SemDeDup: k-means clusters bound the cosine pair space,
     // every vector with a lower-id near-twin (cosine ≥ 0.25) in its

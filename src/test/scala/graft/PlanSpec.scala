@@ -255,6 +255,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("q186/q190 PQ family: lookup tables broadcast, bounded top-k, no cartesian") {
+    Seq("q186_pq_adc_topk", "q190_ivfpq_topk").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: ADC scoring must ride the (j, code) equi join")
+      assert(p.contains("BroadcastExchange"),
+        s"$name: per-query lookup tables must broadcast")
+      assert(!p.contains("Window"),
+        s"$name: top-k must use the bounded aggregate")
+    }
+  }
+
+  test("q187 chunking is a pure generate: no exchange before the output sort") {
+    val p = plan("q187_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk extraction must not shuffle")
+  }
+
   test("q179 novelty: no WindowExec on the gram hash (hot-gram single-task skew)") {
     // A window partitioned by gh materializes every row of a hot gram
     // ("the" ≈ one row per document) in ONE task — the r10 regression
