@@ -89,7 +89,9 @@ object Bench {
     "q187_chunk_overlap",
     "q188_hard_negatives",
     "q189_int8_quantize",
-    "q190_ivfpq_topk")
+    "q190_ivfpq_topk",
+    "q191_edit_distance_pairs",
+    "q192_containment_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

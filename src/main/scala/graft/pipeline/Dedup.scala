@@ -376,6 +376,90 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ----- EDIT-DISTANCE near-dup pairs, LSH-blocked: the q56c
+    // simhash byte-buckets bound the candidate space (linear in the
+    // corpus), a cheap hamming pre-filter (≤ 10) keeps only
+    // plausibly-close pairs, and the survivors verify with
+    // levenshtein — computed with the THRESHOLDED form (O(k·n)
+    // banded algorithm with early abandon, Spark 3.5+), because at
+    // 100 TB the unbounded O(n²)-per-pair form is the cost bomb, not
+    // the pair count. Catches character-level mutations (OCR noise,
+    // truncation, small insertions) that shingle Jaccard undercounts. -----
+    q("q191_edit_distance_pairs",
+      s"""WITH $duckSimhash,
+         |bytes AS (SELECT s.doc_id, s.simhash, d.text, j,
+         |            (simhash >> (8*j)) & 255 AS b
+         |          FROM sh s JOIN documents d USING (doc_id)
+         |          CROSS JOIN (SELECT unnest(range(4)) AS j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           a.simhash AS ha, b.simhash AS hb,
+         |           a.text AS ta, b.text AS tb
+         |         FROM bytes a JOIN bytes b ON a.j = b.j AND a.b = b.b
+         |           AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta, tb) AS INTEGER) AS dist
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= 10 AND levenshtein(ta, tb) <= 30
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sh = simhashWithLang(s, dir).select(col("doc_id"), col("simhash"))
+        .join(docs, "doc_id")
+      val bytes = sh.select(col("doc_id"), col("simhash"), col("text"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("b", expr("shiftright(simhash, 8*j) & 255"))
+      val a = bytes.select(col("doc_id").as("doc_a"), col("j"), col("b"),
+        col("simhash").as("ha"), col("text").as("ta"))
+      val bb = bytes.select(col("doc_id").as("doc_b"), col("j"), col("b"),
+        col("simhash").as("hb"), col("text").as("tb"))
+      a.join(bb, Seq("j", "b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"),
+          col("ta"), col("tb")).distinct()
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 10)
+        .withColumn("dist", levenshtein(col("ta"), col("tb"), 30))
+        .filter(col("dist") =!= -1)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- shingle CONTAINMENT pairs (Broder's asymmetric measure):
+    // |A∩B|/|A| and |A∩B|/|B| over the LSH candidate set — a short
+    // doc quoted inside a long one scores near 1.0 on the short
+    // side's containment while its Jaccard stays tiny (the union
+    // washes it out), so this is the sub-document-duplication
+    // detector Jaccard-only dedup misses. Same linear bucket-join
+    // candidate space as q52. -----
+    q("q192_containment_pairs",
+      duckPairsCtes(recursive = false).split("pairs AS")(0) +
+        """cont AS (
+          |  SELECT doc_a, doc_b,
+          |    round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+          |      / len(x.shingles), 6) AS cont_a,
+          |    round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+          |      / len(y.shingles), 6) AS cont_b
+          |  FROM cand JOIN shl x ON cand.doc_a = x.doc_id
+          |            JOIN shl y ON cand.doc_b = y.doc_id)
+          |SELECT doc_a, doc_b, cont_a, cont_b FROM cont
+          |WHERE greatest(cont_a, cont_b) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val shl = docs
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+      val inter = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double")
+      lshCandidatePairs(docs)
+        .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")),
+          "doc_a")
+        .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(inter / size(col("x_sh")), 6).as("cont_a"),
+          round(inter / size(col("y_sh")), 6).as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ----- n-gram Jaccard near-dup pairs with (lang, source) blocking
     // (the blocking key is the scale lever: candidates never cross
     // blocks, so the join is a per-block local product) -----
@@ -519,11 +603,7 @@ object Dedup extends QueryModule {
           .select(col("band"), col("bval"))
         allBands.join(widths, Seq("band", "bval"))
       }
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-    val cand = a.join(b, Seq("band", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = bucketPairs(bands)
     val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
       size(array_distinct(concat(col("x_sh"), col("y_sh"))))
     cand
@@ -533,6 +613,23 @@ object Dedup extends QueryModule {
       .filter(col("jacc") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
+
+  /** Distinct (doc_a < doc_b) pairs sharing any LSH bucket — the
+    * candidate equi-join shared by Jaccard verification and q192's
+    * containment scoring. */
+  private def bucketPairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** LSH candidate pairs of a corpus (no similarity verification). */
+  private[pipeline] def lshCandidatePairs(docs: DataFrame): DataFrame =
+    bucketPairs(minhashSignatures(docs).select(col("doc_id"),
+      posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
+        .as(Seq("band", "bval"))))
 
   /** DuckDB CTE chain ending in `good(doc_a, doc_b, jacc)` — the
     * oracle twin of [[lshVerifiedPairs]]. `recursive` prepends the
