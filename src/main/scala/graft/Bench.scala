@@ -91,7 +91,8 @@ object Bench {
     "q189_int8_quantize",
     "q190_ivfpq_topk",
     "q191_edit_distance_pairs",
-    "q192_containment_pairs")
+    "q192_containment_pairs",
+    "q193_stream_trending_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1531,6 +1531,53 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // ----- STREAMING trending terms: per 100 s event-time window,
+    // the top-3 terms by count over the document stream (synthetic
+    // arrival ts = doc_id seconds, the q136 convention). The
+    // corpus-scale work — exploding words and counting per (window,
+    // term) — happens IN the stream as a windowed aggregation
+    // (bounded per-window state, merged map-side); ranking runs on
+    // the already-aggregated sink table, whose cardinality is
+    // windows × window-vocab, not the corpus. At production scale
+    // run append mode + watermark so sealed windows evict (the q158
+    // machinery) and rank each window as it seals. -----
+    q("q193_stream_trending_terms",
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT epoch_ms(((doc_id + 1) // 100) * 100000) AS w_start,
+        |             word, count(*) AS n
+        |      FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY w_start
+        |        ORDER BY n DESC, word) AS rn FROM c)
+        |SELECT w_start, word, CAST(n AS BIGINT) AS n, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY w_start, rn""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val words =
+        (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+        else s.readStream.schema(raw)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+          .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+          .select(col("ts"), explode(split(lower(col("text")), " ")).as("word"))
+      val counts = words
+        .groupBy(window(col("ts"), "100 seconds"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("word"), col("n"))
+      s.catalog.dropTempView("graft_stream_trending")
+      val query = counts.writeStream.format("memory")
+        .queryName("graft_stream_trending").outputMode("complete").start()
+      query.processAllAvailable()
+      query.stop()
+      s.table("graft_stream_trending")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("w_start"))
+          .orderBy(col("n").desc, col("word"))))
+        .filter(col("rn") <= 3)
+        .select(col("w_start"), col("word"), col("n"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("w_start"), col("rn"))
+    },
+
     // ----- token-budgeted mix construction: the final assembly step
     // of a training mix — per SOURCE, admit documents in
     // content-hash order (reproducible, order-free) until that
