@@ -401,21 +401,26 @@ object Dedup extends QueryModule {
          |FROM cand
          |WHERE bit_count(xor(ha, hb)) <= 10 AND levenshtein(ta, tb) <= 30
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      // pair selection runs ENTIRELY on 8-byte signatures — the
+      // hamming pre-filter cuts before the distinct, and full texts
+      // join in only for the surviving pairs (shuffling text pairs
+      // through the candidate distinct was the first cut's cost, 19 s
+      // → the signature-only form at sf0.1)
       val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sh = simhashWithLang(s, dir).select(col("doc_id"), col("simhash"))
-        .join(docs, "doc_id")
-      val bytes = sh.select(col("doc_id"), col("simhash"), col("text"),
+      val bytes = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("b", expr("shiftright(simhash, 8*j) & 255"))
       val a = bytes.select(col("doc_id").as("doc_a"), col("j"), col("b"),
-        col("simhash").as("ha"), col("text").as("ta"))
+        col("simhash").as("ha"))
       val bb = bytes.select(col("doc_id").as("doc_b"), col("j"), col("b"),
-        col("simhash").as("hb"), col("text").as("tb"))
+        col("simhash").as("hb"))
       a.join(bb, Seq("j", "b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"),
-          col("ta"), col("tb")).distinct()
-        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 10)
+        .filter(col("doc_a") < col("doc_b")
+          && bit_count(col("ha").bitwiseXOR(col("hb"))) <= 10)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .withColumn("dist", levenshtein(col("ta"), col("tb"), 30))
         .filter(col("dist") =!= -1)
         .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
