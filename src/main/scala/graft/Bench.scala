@@ -92,7 +92,9 @@ object Bench {
     "q190_ivfpq_topk",
     "q191_edit_distance_pairs",
     "q192_containment_pairs",
-    "q193_stream_trending_terms")
+    "q193_stream_trending_terms",
+    "q194_ivfpq_residual_topk",
+    "q195_mrl_rerank_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

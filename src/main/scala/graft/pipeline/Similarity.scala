@@ -295,6 +295,77 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Residual IVF-PQ — the composition FAISS actually ships
+    * (IndexIVFPQ): vectors quantize their RESIDUAL x − c(cluster)
+    * against the coarse centroid rather than the raw coordinates,
+    * so all ks codewords describe the (much tighter) within-cluster
+    * displacement distribution instead of re-spending code space on
+    * the between-cluster offsets the router already captured —
+    * materially better distance fidelity at the same 4 bytes/vector.
+    * Same plan skeleton as [[ivfPqTopK]]; the residual subtraction
+    * is one zip_with against the broadcast centroid table. Queries
+    * take their residual against their OWN routed centroid (single
+    * probe), so lookup tables stay per-query broadcast-sized. */
+  private[pipeline] def ivfPqResidualTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val ed = edOf(e)
+    val cent = kmeansCentroids(e, 8, 2)
+    val assigned = assignFlat(ed, cent)
+    val res = ed.join(assigned, "vec_id").join(broadcast(cent), "cluster")
+      .select(col("vec_id"), expr("zip_with(ev, cv, (x, c) -> x - c)").as("ev"))
+    val (svs, cb1, codes) = pqModel(res)
+    val lt = pqLookup(svs, cb1)
+      .join(broadcast(assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))),
+        "query_id")
+    adcTop3(codes.join(assigned, "vec_id")
+      .join(broadcast(lt), Seq("j", "code"))
+      .filter(col("cluster") === col("q_cluster")
+        && col("vec_id") =!= col("query_id")))
+  }
+
+  /** Matryoshka-style adaptive retrieval (Kusupati et al. 2022,
+    * public): shortlist with the first 16 dims (a 4× cheaper scan —
+    * MRL-trained embeddings front-load information, so the prefix
+    * is itself a usable embedding), then re-rank ONLY the shortlist
+    * with exact full-dimension cosine. Stage 1 is the q56
+    * broadcast-probe map at quarter width with a bounded top-10
+    * aggregate; stage 2 touches ≤ 10 vectors per query. At 100 TB
+    * stage 1 is the only corpus pass and it reads a quarter of the
+    * vector bytes (columnar prefix slice). */
+  private[pipeline] def mrlRerankTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    val ed = edOf(Tables.t(s, dir, "embeddings"))
+      .withColumn("pv", slice(col("ev"), 1, 16))
+    val isQ = col("vec_id") < 10
+    val q = ed.filter(isQ).select(col("vec_id").as("query_id"),
+      col("ev").as("qv"), col("pv").as("qp"),
+      sqrt(VecMath.vec_dot(col("ev"), col("ev"))).as("qn"),
+      sqrt(VecMath.vec_dot(col("pv"), col("pv"))).as("qpn"))
+    val shortlist = ed
+      .crossJoin(broadcast(q.select(col("query_id"), col("qp"), col("qpn"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ps", round(VecMath.vec_dot(col("pv"), col("qp"))
+        / (sqrt(VecMath.vec_dot(col("pv"), col("pv"))) * col("qpn")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(10)(col("ps"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+    shortlist
+      .join(ed.select(col("vec_id"), col("ev"),
+        sqrt(VecMath.vec_dot(col("ev"), col("ev"))).as("en")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        "query_id")
+      .withColumn("score", round(VecMath.vec_dot(col("ev"), col("qv"))
+        / (col("en") * col("qn")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public paper): cluster the corpus embeddings
@@ -800,6 +871,96 @@ object Similarity extends QueryModule {
         |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id, rn""") { (s, dir) => ivfPqTopK(s, dir) },
+
+    // ----- RESIDUAL IVF-PQ (FAISS IndexIVFPQ's actual encoding):
+    // codes quantize x − c(cluster), so the codebooks spend their
+    // entire capacity on within-cluster displacements. Oracle =
+    // q190's replay with one residual-subtraction layer between the
+    // coarse fit and the PQ chain. -----
+    q("q194_ivfpq_residual_topk",
+      s"""WITH ${duckLloydCtes()},
+        |rsub AS (SELECT f.vec_id, f.i, f.x - c.c AS x
+        |         FROM flat f JOIN a3 a ON a.vec_id = f.vec_id
+        |         JOIN c2 c ON c.cluster = a.cluster AND c.i = f.i),
+        |sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM rsub),
+        |pcb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
+        |pd1 AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM sub s JOIN pcb0 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |pa1 AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd1)
+        |       WHERE rk = 1),
+        |pcb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
+        |        FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        |        GROUP BY 1, 2, 3),
+        |pd2 AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |pcodes AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd2)
+        |       WHERE rk = 1),
+        |plt AS (SELECT s.vec_id AS query_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
+        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       WHERE s.vec_id < 10
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
+        |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6) AS adist
+        |       FROM pcodes t
+        |       JOIN plt l ON l.j = t.j AND l.code = t.code
+        |       JOIN a3 ct ON ct.vec_id = t.vec_id
+        |       JOIN a3 cq ON cq.vec_id = l.query_id AND cq.cluster = ct.cluster
+        |       WHERE t.vec_id <> l.query_id
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => ivfPqResidualTopK(s, dir) },
+
+    // ----- Matryoshka adaptive retrieval: prefix-dim (16 of 64)
+    // shortlist of 10, exact full-dim re-rank to top-3 — the scan
+    // reads a quarter of the vector bytes, the exact pass touches
+    // ≤ 10 vectors per query. -----
+    q("q195_mrl_rerank_topk",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |pnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS pn FROM flat
+        |          WHERE i < 16 GROUP BY vec_id),
+        |ps AS (SELECT p.vec_id AS query_id, b.vec_id AS vec_id,
+        |    round(sum(fa.x * fb.x) / (na.pn * nb.pn), 6) AS ps
+        |  FROM e p JOIN e b ON b.vec_id <> p.vec_id
+        |  JOIN flat fa ON fa.vec_id = p.vec_id AND fa.i < 16
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN pnorm na ON na.vec_id = p.vec_id
+        |  JOIN pnorm nb ON nb.vec_id = b.vec_id
+        |  WHERE p.vec_id < 10
+        |  GROUP BY p.vec_id, b.vec_id, na.pn, nb.pn),
+        |short AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ps DESC, vec_id) AS rk FROM ps) WHERE rk <= 10),
+        |fullsc AS (SELECT s.query_id, s.vec_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM short s
+        |  JOIN flat fa ON fa.vec_id = s.query_id
+        |  JOIN flat fb ON fb.vec_id = s.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = s.query_id
+        |  JOIN norms nb ON nb.vec_id = s.vec_id
+        |  GROUP BY s.query_id, s.vec_id, na.nrm, nb.nrm),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM fullsc)
+        |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => mrlRerankTopK(s, dir) },
 
     // ----- SemDeDup: k-means clusters bound the cosine pair space,
     // every vector with a lower-id near-twin (cosine ≥ 0.25) in its
