@@ -52,33 +52,59 @@ object DedupIndex {
     * of the code that happens to probe it. */
   final case class Meta(bandBuckets: Int, docBuckets: Int)
 
-  private def metaFile(path: String): java.nio.file.Path =
-    java.nio.file.Paths.get(path, "index_meta.properties")
-
-  private def writeMeta(path: String, m: Meta): Unit = {
-    val p = new java.util.Properties()
-    p.setProperty("bandBuckets", m.bandBuckets.toString)
-    p.setProperty("docBuckets", m.docBuckets.toString)
-    val out = java.nio.file.Files.newOutputStream(metaFile(path))
-    try p.store(out, "graft DedupIndex layout — fan-outs are load-bearing")
-    finally out.close()
+  // Metadata rides Hadoop's FileSystem API, NOT java.nio: the index
+  // data goes through Spark's Hadoop writer, so an hdfs://, s3a://
+  // (or any URI-qualified) index path must resolve the same way for
+  // its sidecar files — java.nio would treat the URI as a local
+  // relative path, stranding the metadata (r11 self-review finding).
+  private def sidecar(path: String, name: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    (p.getFileSystem(conf), p)
   }
+
+  private def storeProps(path: String, name: String,
+      kv: Map[String, String], comment: String): Unit = {
+    val (fs, p) = sidecar(path, name)
+    val props = new java.util.Properties()
+    kv.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = fs.create(p, true)
+    try props.store(out, comment) finally out.close()
+  }
+
+  private def loadProps(path: String, name: String)
+      : Option[java.util.Properties] = {
+    val (fs, p) = sidecar(path, name)
+    if (!fs.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(p)
+      try props.load(in) finally in.close()
+      Some(props)
+    }
+  }
+
+  private def writeMeta(path: String, m: Meta): Unit =
+    storeProps(path, "index_meta.properties",
+      Map("bandBuckets" -> m.bandBuckets.toString,
+        "docBuckets" -> m.docBuckets.toString),
+      "graft DedupIndex layout — fan-outs are load-bearing")
 
   /** Load the index's persisted layout; loud failure if absent — a
     * probe guessing fan-outs that disagree with the files on disk
     * would silently break partition pruning (and with it the
     * per-delta cost contract), so there is no fallback. */
-  def meta(path: String): Meta = {
-    val f = metaFile(path)
-    if (!java.nio.file.Files.exists(f))
-      throw new IllegalStateException(
-        s"$f missing: not a DedupIndex (or written by a pre-metadata " +
-          "version); rebuild with DedupIndex.save")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
-    Meta(p.getProperty("bandBuckets").toInt, p.getProperty("docBuckets").toInt)
-  }
+  def meta(path: String): Meta =
+    loadProps(path, "index_meta.properties") match {
+      case Some(p) =>
+        Meta(p.getProperty("bandBuckets").toInt,
+          p.getProperty("docBuckets").toInt)
+      case None => throw new IllegalStateException(
+        s"$path/index_meta.properties missing: not a DedupIndex (or " +
+          "written by a pre-metadata version); rebuild with DedupIndex.save")
+    }
 
   /** (doc_id, band, bval) — one row per LSH band of each document. */
   private[pipeline] def bandRows(docs: DataFrame): DataFrame =
@@ -204,9 +230,30 @@ object DedupIndex {
 
   /** Day-close for [[ingestEos]]: append the admitted docs (read back
     * from the exactly-once store, so replays contributed each doc
-    * once) to the standing index. */
+    * once) to the standing index — IDEMPOTENTLY. The index carries a
+    * committed-epoch high-water mark sidecar; only admitted rows with
+    * batch_id above it append, and the mark advances after the
+    * append. Re-running day-close (the natural retry after a crash,
+    * or tomorrow's close over the same table) is therefore a no-op
+    * for everything already committed, instead of re-appending the
+    * whole history and double-counting n_dups (r11 self-review
+    * finding). Crash WINDOW: dying between update() and the mark
+    * write re-appends one day's delta on retry — the same bounded
+    * at-least-once window Spark's own file-sink manifest closes with
+    * an atomic rename; acceptable here because the mark write is one
+    * tiny file straight after a small append. */
   def commitAdmitted(s: SparkSession, path: String, url: String,
-      admittedTable: String, props: java.util.Properties): Unit =
-    update(graft.sources.Jdbc.read(s, url, admittedTable, props)
-      .drop("batch_id"), path)
+      admittedTable: String, props: java.util.Properties): Unit = {
+    val hwm = loadProps(path, "commit_watermark.properties")
+      .map(_.getProperty("hwm").toLong).getOrElse(-1L)
+    val admitted = graft.sources.Jdbc.read(s, url, admittedTable, props)
+      .filter(col("batch_id") > hwm)
+    val newHwm = admitted.agg(max(col("batch_id"))).head().get(0)
+    if (newHwm != null) {
+      update(admitted.drop("batch_id"), path)
+      storeProps(path, "commit_watermark.properties",
+        Map("hwm" -> newHwm.toString),
+        "graft DedupIndex committed-epoch high-water mark")
+    }
+  }
 }

@@ -220,18 +220,27 @@ object Similarity extends QueryModule {
     * only touch their own cluster, the corpus is scanned once. The
     * whole route (fit + assignment + top-k) is hash-checked against a
     * DuckDB replay of the same fixed-seed fit. */
-  def ivfKMeans(s: SparkSession, dir: String, k: Int = 8, updates: Int = 2): DataFrame = {
+  /** The shared cluster-gated broadcast-probe scan behind both q135
+    * (candidates INSIDE the query's cluster — IVF) and q188
+    * (candidates OUTSIDE it — hard negatives): probes broadcast, the
+    * corpus map-scans once, per-probe top-3 rides the bounded TopK
+    * aggregate. */
+  private def clusterProbeTopK(s: SparkSession, dir: String,
+      sameCluster: Boolean, k: Int, updates: Int): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val clustered = kmeansClusters(e, k, updates)
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
     val probes = clustered.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
         col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
+    val gate =
+      if (sameCluster) col("cluster") === col("q_cluster") &&
+        col("vec_id") =!= col("query_id")
+      else col("cluster") =!= col("q_cluster")
     clustered
       .select(col("vec_id"), col("cluster"), col("embedding").as("ev"),
         normExpr("embedding").as("e_nrm"))
-      .join(broadcast(probes), col("cluster") === col("q_cluster")
-        && col("vec_id") =!= col("query_id"))
+      .join(broadcast(probes), gate)
       .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
         / (col("q_nrm") * col("e_nrm")), 6))
       .groupBy(col("query_id"))
@@ -241,6 +250,9 @@ object Similarity extends QueryModule {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  def ivfKMeans(s: SparkSession, dir: String, k: Int = 8, updates: Int = 2): DataFrame =
+    clusterProbeTopK(s, dir, sameCluster = true, k, updates)
 
   /** Hard-negative mining for contrastive/embedding training (the
     * standard recipe: the best negatives are the most similar
@@ -252,26 +264,8 @@ object Similarity extends QueryModule {
     * no window sort. At 100 TB the anchor set is the training
     * batch's queries (fixed-query regime, the q135/q177 argument). */
   def hardNegatives(s: SparkSession, dir: String, k: Int = 8,
-      updates: Int = 2): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
-    val clustered = kmeansClusters(e, k, updates)
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-    val anchors = clustered.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
-        col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
-    clustered
-      .select(col("vec_id"), col("cluster"), col("embedding").as("ev"),
-        normExpr("embedding").as("e_nrm"))
-      .join(broadcast(anchors), col("cluster") =!= col("q_cluster"))
-      .withColumn("score", round(VecMath.vec_dot(col("qv"), col("ev"))
-        / (col("q_nrm") * col("e_nrm")), 6))
-      .groupBy(col("query_id"))
-      .agg(TopK.topK(3)(col("score"), col("vec_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("vec_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
-      .orderBy(col("query_id"), col("rn"))
-  }
+      updates: Int = 2): DataFrame =
+    clusterProbeTopK(s, dir, sameCluster = false, k, updates)
 
   /** Int8 scalar quantization with per-vector scale (the standard
     * embedding-store compression: 4× smaller than float32, cheap to
@@ -281,9 +275,14 @@ object Similarity extends QueryModule {
     * Pure per-row map — transform + array folds, zero shuffle. */
   private[pipeline] def int8Quantize(s: SparkSession, dir: String): DataFrame = {
     val ed = edOf(Tables.t(s, dir, "embeddings"))
-      .withColumn("scale", round(
+      // floor at 1e-6: a (near-)zero vector would otherwise round its
+      // scale to 0.0 and push NaN/Inf through the codes and the
+      // fidelity ratio, with engine-divergent division-by-zero
+      // semantics (r11 self-review finding); the floor keeps the
+      // report defined and both engines identical
+      .withColumn("scale", greatest(round(
         expr("aggregate(ev, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
-          / 127, 6))
+          / 127, 6), lit(1e-6)))
       .withColumn("rv", expr(
         """transform(ev, x -> CAST(least(CAST(127 AS DOUBLE),
           |  greatest(CAST(-127 AS DOUBLE), round(x / scale, 0))) AS INT)
@@ -575,6 +574,55 @@ object Similarity extends QueryModule {
   /** Name of the final assignment CTE emitted by [[duckLloydCtes]]. */
   private def lloydFin(updates: Int = 2): String = s"a${updates + 1}"
 
+  /** DuckDB CTE chain replaying the PQ model over the `(vec_id, i, x)`
+    * rows of `src`: subvector split → codebook fit (first-4 init, one
+    * Lloyd update, 6-dp rounding, ties to lowest code) → corpus codes
+    * (`pcodes`) → per-query ADC lookup tables (`plt`, queries =
+    * vec_id < 10). ONE emitter shared by q186/q190/q194 — three
+    * hand-maintained copies of this chain could silently diverge on a
+    * tie-break or rounding fix (the duckLloydCtes argument). */
+  private def duckPqCtes(src: String): String =
+    s"""sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM $src),
+       |pcb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
+       |pd1 AS (SELECT s.vec_id, s.j, c.code,
+       |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+       |       FROM sub s JOIN pcb0 c ON c.j = s.j AND c.si = s.si
+       |       GROUP BY 1, 2, 3),
+       |pa1 AS (SELECT vec_id, j, code FROM (
+       |         SELECT vec_id, j, code, row_number() OVER (
+       |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd1)
+       |       WHERE rk = 1),
+       |pcb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
+       |        FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+       |        GROUP BY 1, 2, 3),
+       |pd2 AS (SELECT s.vec_id, s.j, c.code,
+       |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+       |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+       |       GROUP BY 1, 2, 3),
+       |pcodes AS (SELECT vec_id, j, code FROM (
+       |         SELECT vec_id, j, code, row_number() OVER (
+       |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd2)
+       |       WHERE rk = 1),
+       |plt AS (SELECT s.vec_id AS query_id, s.j, c.code,
+       |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
+       |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+       |       WHERE s.vec_id < 10
+       |       GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The j-pivoted order-deterministic ADC sum over `pcodes t` ⋈
+    * `plt l` rows. */
+  private val duckAdcSum: String =
+    """round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
+      |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
+      |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
+      |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6)""".stripMargin
+
+  /** The flat `(vec_id, i, x)` row source PQ consumes when quantizing
+    * RAW coordinates (q186/q190). */
+  private val duckPqRawSrc: String =
+    """(SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |                unnest(range(len(embedding))) AS i FROM e)""".stripMargin
+
   /** q167's deployment knobs, read ONCE and shared by the Spark body
     * AND the oracle string, so an env override during a correctness
     * sweep changes both sides identically instead of silently
@@ -739,41 +787,11 @@ object Similarity extends QueryModule {
     // codebook fit, encoding, lookup tables, and the j-ordered ADC
     // sum, so the approximation itself hash-matches. -----
     q("q186_pq_adc_topk",
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x
-        |        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-        |                     unnest(range(len(embedding))) AS i FROM e)),
-        |cb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
-        |d1 AS (SELECT s.vec_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
-        |       FROM sub s JOIN cb0 c ON c.j = s.j AND c.si = s.si
-        |       GROUP BY 1, 2, 3),
-        |a1 AS (SELECT vec_id, j, code FROM (
-        |         SELECT vec_id, j, code, row_number() OVER (
-        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM d1)
-        |       WHERE rk = 1),
-        |cb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
-        |        FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
-        |        GROUP BY 1, 2, 3),
-        |d2 AS (SELECT s.vec_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
-        |       FROM sub s JOIN cb1 c ON c.j = s.j AND c.si = s.si
-        |       GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, j, code FROM (
-        |         SELECT vec_id, j, code, row_number() OVER (
-        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM d2)
-        |       WHERE rk = 1),
-        |lt AS (SELECT s.vec_id AS query_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
-        |       FROM sub s JOIN cb1 c ON c.j = s.j AND c.si = s.si
-        |       WHERE s.vec_id < 10
-        |       GROUP BY 1, 2, 3),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |${duckPqCtes(duckPqRawSrc)},
         |sc AS (SELECT l.query_id, t.vec_id,
-        |         round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6) AS adist
-        |       FROM codes t JOIN lt l ON l.j = t.j AND l.code = t.code
+        |         $duckAdcSum AS adist
+        |       FROM pcodes t JOIN plt l ON l.j = t.j AND l.code = t.code
         |       WHERE t.vec_id >= 10
         |       GROUP BY 1, 2),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -809,7 +827,7 @@ object Similarity extends QueryModule {
     q("q189_int8_quantize",
       """WITH flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x
         |              FROM embeddings),
-        |sc AS (SELECT vec_id, round(max(abs(x)) / 127, 6) AS scale
+        |sc AS (SELECT vec_id, greatest(round(max(abs(x)) / 127, 6), 0.000001) AS scale
         |       FROM flat GROUP BY vec_id),
         |qr AS (SELECT f.vec_id, s.scale, f.x,
         |         least(127, greatest(-127, round(f.x / s.scale, 0))) * s.scale AS r
@@ -827,39 +845,9 @@ object Similarity extends QueryModule {
     // cluster-gated ADC sum. -----
     q("q190_ivfpq_topk",
       s"""WITH ${duckLloydCtes()},
-        |sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x
-        |        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-        |                     unnest(range(len(embedding))) AS i FROM e)),
-        |pcb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
-        |pd1 AS (SELECT s.vec_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
-        |       FROM sub s JOIN pcb0 c ON c.j = s.j AND c.si = s.si
-        |       GROUP BY 1, 2, 3),
-        |pa1 AS (SELECT vec_id, j, code FROM (
-        |         SELECT vec_id, j, code, row_number() OVER (
-        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd1)
-        |       WHERE rk = 1),
-        |pcb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
-        |        FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
-        |        GROUP BY 1, 2, 3),
-        |pd2 AS (SELECT s.vec_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
-        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
-        |       GROUP BY 1, 2, 3),
-        |pcodes AS (SELECT vec_id, j, code FROM (
-        |         SELECT vec_id, j, code, row_number() OVER (
-        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd2)
-        |       WHERE rk = 1),
-        |plt AS (SELECT s.vec_id AS query_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
-        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
-        |       WHERE s.vec_id < 10
-        |       GROUP BY 1, 2, 3),
+        |${duckPqCtes(duckPqRawSrc)},
         |sc AS (SELECT l.query_id, t.vec_id,
-        |         round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6) AS adist
+        |         $duckAdcSum AS adist
         |       FROM pcodes t
         |       JOIN plt l ON l.j = t.j AND l.code = t.code
         |       JOIN a3 ct ON ct.vec_id = t.vec_id
@@ -882,37 +870,9 @@ object Similarity extends QueryModule {
         |rsub AS (SELECT f.vec_id, f.i, f.x - c.c AS x
         |         FROM flat f JOIN a3 a ON a.vec_id = f.vec_id
         |         JOIN c2 c ON c.cluster = a.cluster AND c.i = f.i),
-        |sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM rsub),
-        |pcb0 AS (SELECT j, vec_id AS code, si, x AS c FROM sub WHERE vec_id < 4),
-        |pd1 AS (SELECT s.vec_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
-        |       FROM sub s JOIN pcb0 c ON c.j = s.j AND c.si = s.si
-        |       GROUP BY 1, 2, 3),
-        |pa1 AS (SELECT vec_id, j, code FROM (
-        |         SELECT vec_id, j, code, row_number() OVER (
-        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd1)
-        |       WHERE rk = 1),
-        |pcb1 AS (SELECT s.j, a.code, s.si, round(avg(s.x), 6) AS c
-        |        FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
-        |        GROUP BY 1, 2, 3),
-        |pd2 AS (SELECT s.vec_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
-        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
-        |       GROUP BY 1, 2, 3),
-        |pcodes AS (SELECT vec_id, j, code FROM (
-        |         SELECT vec_id, j, code, row_number() OVER (
-        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk FROM pd2)
-        |       WHERE rk = 1),
-        |plt AS (SELECT s.vec_id AS query_id, s.j, c.code,
-        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
-        |       FROM sub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
-        |       WHERE s.vec_id < 10
-        |       GROUP BY 1, 2, 3),
+        |${duckPqCtes("rsub")},
         |sc AS (SELECT l.query_id, t.vec_id,
-        |         round(sum(CASE WHEN t.j = 0 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 1 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 2 THEN l.d ELSE 0 END)
-        |             + sum(CASE WHEN t.j = 3 THEN l.d ELSE 0 END), 6) AS adist
+        |         $duckAdcSum AS adist
         |       FROM pcodes t
         |       JOIN plt l ON l.j = t.j AND l.code = t.code
         |       JOIN a3 ct ON ct.vec_id = t.vec_id

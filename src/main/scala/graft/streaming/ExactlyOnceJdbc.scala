@@ -37,12 +37,14 @@ object ExactlyOnceJdbc {
       table: String, props: Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // scrub partial leftovers of a failed attempt of THIS epoch
-      val tables = conn.getMetaData.getTables(
-        null, null, table.toUpperCase, null)
-      val exists = tables.next()
-      tables.close()
-      if (exists) {
+      // scrub partial leftovers of a failed attempt of THIS epoch.
+      // Existence goes through the same multi-fold schema-split probe
+      // as index creation: a single-fold unsplit lookup misses on
+      // lower-folding engines / qualified names, silently SKIPS the
+      // scrub, and a replayed crashed epoch then duplicates rows —
+      // the exactly-once guarantee would be void exactly where the
+      // portability bug hides (r11 self-review finding).
+      if (JdbcIndexes.tableExists(conn, table)) {
         val st = conn.createStatement()
         // Spark's JDBC writer creates columns with quoted (case-
         // sensitive) identifiers — the scrub must quote to match

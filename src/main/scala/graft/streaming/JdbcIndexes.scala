@@ -28,14 +28,33 @@ private[streaming] object JdbcIndexes {
   private[streaming] def bareTable(table: String): String =
     table.substring(table.lastIndexOf('.') + 1)
 
-  private def exists(conn: java.sql.Connection, table: String,
-      indexName: String): Boolean = {
-    val (schema, bare) = table.lastIndexOf('.') match {
-      case -1 => (null: String, table)
+  private def schemaSplit(table: String): (String, String) =
+    table.lastIndexOf('.') match {
+      case -1 => (null, table)
       case i  => (table.substring(0, i), table.substring(i + 1))
     }
-    val folds: Seq[String => String] =
-      Seq(identity, _.toUpperCase, _.toLowerCase)
+
+  private val folds: Seq[String => String] =
+    Seq(identity, _.toUpperCase, _.toLowerCase)
+
+  /** Does `table` exist? Same multi-fold, schema-split probe as the
+    * index lookup — [[ExactlyOnceJdbc]] gates its batch_id scrub on
+    * this, and a false negative there silently skips the scrub and
+    * voids the exactly-once guarantee on lower-folding engines or
+    * schema-qualified sinks. */
+  private[streaming] def tableExists(conn: java.sql.Connection,
+      table: String): Boolean = {
+    val (schema, bare) = schemaSplit(table)
+    folds.exists { f =>
+      val rs = conn.getMetaData.getTables(
+        null, if (schema == null) null else f(schema), f(bare), null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  private def exists(conn: java.sql.Connection, table: String,
+      indexName: String): Boolean = {
+    val (schema, bare) = schemaSplit(table)
     folds.exists { f =>
       val rs = conn.getMetaData.getIndexInfo(
         null, if (schema == null) null else f(schema), f(bare), false, false)

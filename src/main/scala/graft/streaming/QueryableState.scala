@@ -78,7 +78,10 @@ object QueryableState {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, _: Long) =>
-        upsertBatch(batch, keyCols, url, table, props))
+        // update mode emits each key at most once per micro-batch —
+        // the documented uniqueKeys contract, so the hot path skips
+        // the safety repartition
+        upsertBatch(batch, keyCols, url, table, props, uniqueKeys = true))
       .start()
 
   /** Transactional per-partition key upsert; safe under replays.
@@ -107,8 +110,21 @@ object QueryableState {
     JdbcIndexes.ensure(url, table, "KIDX",
       keyCols.map(k => s""""$k"""").mkString(", "), props)
 
-  private[streaming] def upsertBatch(batch: DataFrame, keyCols: Seq[String],
-      url: String, table: String, props: java.util.Properties): Unit = {
+  /** @param uniqueKeys callers that GUARANTEE at most one row per key
+    *   (update-mode streaming output — the sink's own path) skip the
+    *   key repartition. For everyone else the shuffle is what makes
+    *   duplicates safe ACROSS partitions: two partitions holding the
+    *   same key upsert over independent connections whose
+    *   delete/insert order can interleave, leaving two rows — the
+    *   in-partition early-flush alone cannot see that (r11
+    *   self-review finding). Which duplicate wins follows the
+    *   post-shuffle iterator order: deterministic per source
+    *   partitioning, last-in-order for a single-partition source. */
+  private[streaming] def upsertBatch(batch0: DataFrame, keyCols: Seq[String],
+      url: String, table: String, props: java.util.Properties,
+      uniqueKeys: Boolean = false): Unit = {
+    val batch =
+      if (uniqueKeys) batch0 else batch0.repartition(keyCols.map(col): _*)
     // ensure the table exists with the batch's schema (0-row append)
     batch.limit(0).write.mode(org.apache.spark.sql.SaveMode.Append)
       .jdbc(url, table, props)

@@ -82,5 +82,24 @@ class IngestLoopEosSpec extends SparkSpec {
       .collect()
     assert(verdict.length == 1 && !verdict(0).getAs[Boolean]("is_new"),
       "doc committed at day-close must dedup tomorrow's twin")
+
+    // day-close IDEMPOTENCE: re-running it (crash-retry, or the next
+    // day's close over the same table) must not re-append history —
+    // the committed-epoch watermark gates the admitted read. A
+    // re-appended index would double n_dups for the twin.
+    val bandsBefore = spark.read
+      .parquet(s"$idx/bands").count()
+    DedupIndex.commitAdmitted(spark, idx, url, at, props)
+    assert(spark.read.parquet(s"$idx/bands").count() == bandsBefore,
+      "repeated day-close re-appended already-committed docs")
+    // docs 11 AND 13 share this text and were BOTH admitted (the
+    // frozen-index-within-a-day semantics), so exactly 2 dups; a
+    // re-appended history would inflate this to 4
+    val v2 = DedupIndex.dedupDelta(spark,
+      Seq((21L, "completely novel content arrives here today"))
+        .toDF("doc_id", "text"), idx)
+      .collect()
+    assert(v2.length == 1 && v2(0).getAs[Long]("n_dups") == 2L,
+      "duplicate day-close inflated n_dups")
   }
 }

@@ -99,6 +99,21 @@ class ExternalQueryableStateSpec extends SparkSpec {
     assert(rows == Map(1L -> 12L, 2L -> 20L, 3L -> 30L), s"got $rows")
   }
 
+  test("duplicate keys ACROSS partitions still collapse to one row per key") {
+    // without the key repartition, two partitions holding the same
+    // key upsert over independent connections whose delete/insert
+    // order can interleave — two rows survive
+    val table = "QSTATE_XPART"
+    val batch = spark.createDataFrame(Seq(
+        (1L, 10L), (2L, 20L), (1L, 11L), (3L, 30L), (1L, 12L)))
+      .toDF("k", "v").repartition(4) // keys scattered across partitions
+    QueryableState.upsertBatch(batch, Seq("k"), url, table, props)
+    val rows = Jdbc.read(spark, url, table, props)
+    assert(rows.count() == 3, "cross-partition duplicate key left extra rows")
+    val v1 = rows.filter(col("k") === 1L).collect().map(_.getAs[Long]("v"))
+    assert(v1.length == 1 && Set(10L, 11L, 12L).contains(v1(0)))
+  }
+
   test("schema-qualified table: index ensure is idempotent, not re-attempted each call") {
     // r10 advice: the old metadata probe looked up the UNSPLIT
     // upper-cased name, so on any qualified table the index lookup
