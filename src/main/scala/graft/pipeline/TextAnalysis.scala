@@ -1630,6 +1630,142 @@ object TextAnalysis extends QueryModule {
           col("cum_tokens").cast("long").as("cum_tokens"),
           (col("cum_tokens") <= 2000).cast("int").as("admitted"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken
+    // 2003, the MOSS selection rule): per doc, hash every word
+    // 3-gram, slide a w=4 window over the hash sequence and keep
+    // each window's MINIMUM — the guarantee is that any shared run
+    // of ≥ w+k-1 = 7 words contributes at least one shared selected
+    // hash, while the fingerprint set is ~1/w the gram count. Docs
+    // sharing ≥ 2 selected hashes become candidate pairs. The
+    // per-doc sliding min is a doc_id-partitioned window (partition
+    // = ONE doc's grams, bounded by doc length — the q184 shape,
+    // never corpus-keyed); fingerprints shuffle as 8-byte hashes.
+    // Following the paper, hashes selected by more than MAXDF docs
+    // are dropped as boilerplate before pairing — that cap is also
+    // what bounds the join fan-out at 100 TB (the LSH-band
+    // argument: pair space is Σ df² over surviving hashes, and df
+    // ≤ MAXDF makes it linear in fingerprint volume). df = 1
+    // fingerprints are dropped too (cannot form a pair — result-
+    // preserving prefilter, not mirrored in the oracle's cap). -----
+    q("q196_winnowing_pairs",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, len(w)-2 AS nk, unnest(range(1, len(w)-1)) AS i, w
+         |      FROM w WHERE len(w) >= 3),
+         |hh AS (SELECT doc_id, nk, i-1 AS p,
+         |         ${duckHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h FROM g),
+         |win AS (SELECT s.doc_id, s.p AS st, g2.h
+         |        FROM hh s JOIN hh g2 ON g2.doc_id = s.doc_id
+         |          AND g2.p BETWEEN s.p AND s.p + 3
+         |        WHERE s.p <= greatest(s.nk - 4, 0)),
+         |fps AS (SELECT DISTINCT doc_id, min(h) AS h
+         |        FROM win GROUP BY doc_id, st),
+         |keep AS (SELECT h FROM fps GROUP BY h
+         |         HAVING count(*) <= 20),
+         |f2 AS (SELECT doc_id, h FROM fps JOIN keep USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS INTEGER) AS n_shared
+         |FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = 4
+      val g = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), (size(col("w")) - 2).as("nk"),
+          posexplode(expr("""transform(sequence(0, size(w)-3),
+            | i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+            .as(Seq("p", "gram")))
+        .select(col("doc_id"), col("nk"), col("p"),
+          hexHash(col("gram")).as("h"))
+      // materialize ONCE (the q179 rule): the explode+md5+window pass
+      // dominates and feeds three consumers (df cap, both join sides);
+      // the frame is (doc_id, 8-byte hash) — ~¼ the gram count
+      val fps = g
+        .withColumn("sel", min(col("h")).over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("p")).rowsBetween(0, W - 1)))
+        .filter(col("p") <= greatest(col("nk") - W, lit(0)))
+        .select(col("doc_id"), col("sel").as("h")).distinct()
+        .localCheckpoint()
+      val keep = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20)).select(col("h"))
+      val f2 = fps.join(keep, "h")
+      f2.alias("a")
+        .join(f2.alias("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_shared").cast("int").as("n_shared"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- segment-level boilerplate dedup (the CCNet/RefinedWeb
+    // paragraph-dedup recipe adapted to unstructured text): cut each
+    // doc into consecutive 10-word segments, drop every segment
+    // whose hash occurs in MORE THAN ONE distinct document (cross-
+    // doc boilerplate — headers, licence blocks, injected dups),
+    // and reconstruct the surviving text in order. Unlike doc-level
+    // dedup (q50) this salvages the unique remainder of partially-
+    // duplicated docs; unlike q170's 5-gram spans it works on
+    // aligned fixed-width units, the cheap first pass. Scale shape:
+    // segments travel as 8-byte hashes with map-side combine; the
+    // duplicated-hash set is small (boilerplate is rare relative to
+    // the corpus) and AQE broadcasts it for the join-back; segment
+    // TEXT never shuffles — reconstruction re-derives it per doc
+    // from the original text after a hash-only membership probe. -----
+    q("q197_segment_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |seg AS (SELECT doc_id, unnest(range(0, len(w), 10)) AS st, w FROM w),
+         |hh AS (SELECT doc_id, st // 10 AS seg_id,
+         |         ${duckHash("array_to_string(w[st+1 : st+10], ' ')")} AS h
+         |       FROM seg),
+         |dup AS (SELECT h FROM hh GROUP BY h
+         |        HAVING count(DISTINCT doc_id) > 1),
+         |kept AS (SELECT hh.doc_id, hh.seg_id,
+         |           dup.h IS NOT NULL AS is_dup
+         |         FROM hh LEFT JOIN dup USING (h))
+         |SELECT k.doc_id,
+         |  CAST(count(*) AS INTEGER) AS n_segments,
+         |  CAST(count(*) FILTER (WHERE NOT is_dup) AS INTEGER) AS n_kept,
+         |  coalesce(string_agg(
+         |    array_to_string(w.w[k.seg_id*10+1 : k.seg_id*10+10], ' '), ' '
+         |    ORDER BY k.seg_id) FILTER (WHERE NOT is_dup), '') AS clean_text
+         |FROM kept k JOIN w ON w.doc_id = k.doc_id
+         |GROUP BY k.doc_id
+         |ORDER BY k.doc_id""") { (s, dir) =>
+      val S = 10
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+      // materialized ONCE (q179 rule): feeds the df agg and the
+      // mark join; (doc_id, seg_id, 8-byte hash) = corpus/10 rows
+      val segs = docs
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(w)-1, $S), st -> slice(w, st+1, $S))"))
+            .as(Seq("seg_id", "seg")))
+        .select(col("doc_id"), col("seg_id"),
+          hexHash(array_join(col("seg"), " ")).as("h"))
+        .localCheckpoint()
+      val dup = segs.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"))
+      val marked = segs.join(dup.withColumn("is_dup", lit(true)), Seq("h"), "left")
+        .select(col("doc_id"), col("seg_id"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_segments"),
+          count(when(!col("is_dup"), 1)).cast("int").as("n_kept"),
+          sort_array(collect_list(when(!col("is_dup"), col("seg_id"))))
+            .as("keep_ids"))
+      docs.join(marked, "doc_id")
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          expr(s"""array_join(transform(keep_ids,
+            | sid -> array_join(slice(w, sid*$S+1, $S), ' ')), ' ')"""
+            .stripMargin).as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

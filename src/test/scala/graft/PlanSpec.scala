@@ -285,4 +285,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
       "min-owner must combine map-side")
   }
+
+  test("q196 winnowing: doc-keyed sliding min only, equi pair join, df-capped") {
+    val p = plan("q196_winnowing_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "fingerprint pairing must be an equi join on the selected hash")
+    // the ONLY window allowed is the per-doc sliding min (partition =
+    // one doc's grams); a window keyed on the corpus-cardinality hash
+    // would be the q179 single-task skew shape
+    val specs = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(specs.subsetOf(Set("doc_id")),
+      s"windows must partition by doc_id only, saw: $specs")
+  }
+
+  test("q197 segment dedup: hashes shuffle, segment strings never do") {
+    val p = plan("q197_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert("Exchange hashpartitioning\\(h#".r.findAllIn(p).nonEmpty,
+      "the df aggregation must key on the 8-byte segment hash")
+    assert(!"Exchange hashpartitioning\\(seg#".r.findAllIn(p).nonEmpty,
+      "segment strings must never reach an exchange")
+  }
 }
