@@ -1183,6 +1183,145 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("col.id").as("vec_id"),
           col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
         .orderBy(col("query_id"), col("rn"))
-    }
+    },
+
+    // ----- MMR diversified retrieval (Carbonell & Goldstein 1998):
+    // re-rank a relevance shortlist so the k results are relevant AND
+    // mutually dissimilar — score(d) = λ·rel(q,d) −
+    // (1−λ)·max_{s∈selected} sim(d,s), selected greedily. The
+    // corpus-scale stage is the SAME bounded top-k scan as q56 (one
+    // corpus × broadcast(queries) pass, ≤ queries×8 rows shuffled);
+    // the greedy loop then runs entirely on the shortlist — 8 rows
+    // per query — as k fixed relational argmax steps (min-struct,
+    // ties to lowest vec_id), never touching the corpus again. That
+    // split is exactly why MMR scales: diversification cost is
+    // queries×shortlist², independent of corpus size. All cosines
+    // rounded to 6 dp before comparison so the greedy argmax is
+    // reproducible across engines and partitionings. λ = 0.7. -----
+    q("q198_mmr_diversified",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |rels AS (SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS rel
+        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+        |  JOIN flat fa ON fa.vec_id = q.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = q.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2, na.nrm, nb.nrm),
+        |cand AS (SELECT query_id, vec_id, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rk FROM rels) WHERE rk <= 8),
+        |psim AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS sim
+        |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+        |    AND b.vec_id <> a.vec_id
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = a.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY 1, 2, 3, na.nrm, nb.nrm),
+        |s1 AS (SELECT query_id, vec_id AS v1, 0.7::DOUBLE * rel AS m1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rk FROM cand) WHERE rk = 1),
+        |st2 AS (SELECT c.query_id, c.vec_id,
+        |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * p.sim AS mmr
+        |  FROM cand c JOIN s1 USING (query_id)
+        |  JOIN psim p ON p.query_id = c.query_id AND p.a = c.vec_id
+        |    AND p.b = s1.v1
+        |  WHERE c.vec_id <> s1.v1),
+        |s2 AS (SELECT query_id, vec_id AS v2, mmr AS m2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, vec_id) AS rk FROM st2) WHERE rk = 1),
+        |pen3 AS (SELECT p.query_id, p.a AS vec_id, max(p.sim) AS pen
+        |  FROM psim p JOIN s1 ON s1.query_id = p.query_id
+        |  JOIN s2 ON s2.query_id = p.query_id
+        |  WHERE p.b = s1.v1 OR p.b = s2.v2
+        |  GROUP BY 1, 2),
+        |st3 AS (SELECT c.query_id, c.vec_id,
+        |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * pn.pen AS mmr
+        |  FROM cand c JOIN s1 USING (query_id) JOIN s2 USING (query_id)
+        |  JOIN pen3 pn ON pn.query_id = c.query_id AND pn.vec_id = c.vec_id
+        |  WHERE c.vec_id <> s1.v1 AND c.vec_id <> s2.v2),
+        |s3 AS (SELECT query_id, vec_id AS v3, mmr AS m3 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, vec_id) AS rk FROM st3) WHERE rk = 1)
+        |SELECT query_id, CAST(1 AS INTEGER) AS rn, v1 AS vec_id,
+        |       m1 AS mmr FROM s1
+        |UNION ALL SELECT query_id, 2, v2, m2 FROM s2
+        |UNION ALL SELECT query_id, 3, v3, m3 FROM s3
+        |ORDER BY query_id, rn""") { (s, dir) => mmrTopK(s, dir) }
   )
+
+  /** q198 body: bounded-agg shortlist, then k=3 relational greedy
+    * argmax steps over the (queries × 8)-row candidate frame. */
+  private def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        normExpr("embedding").as("q_nrm"))
+    val corpus = e.select(col("vec_id"), col("embedding").as("ev"),
+      normExpr("embedding").as("e_nrm"))
+    // relevance shortlist: the q56 shape — corpus scanned once, per-
+    // partition bounded top-8 merged per query, ≤ queries×8 shuffled
+    val cand = corpus
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("rel", round(VecMath.vec_dot(col("qv"), col("ev"))
+        / (col("q_nrm") * col("e_nrm")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(8)(col("rel"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"),
+        col("c.score").as("rel"))
+      .localCheckpoint() // queries×8 rows feed psim + 3 greedy steps
+    // pairwise candidate sims: shortlist² per query, vectors fetched
+    // back by an id equi-join (the corpus is NOT rescanned per pair)
+    val cv = cand.select(col("query_id"), col("vec_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("v"),
+        normExpr("embedding").as("n")), "vec_id")
+    val psim = cv.alias("a")
+      .join(cv.alias("b"), col("a.query_id") === col("b.query_id")
+        && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("a"),
+        col("b.vec_id").as("b"),
+        round(VecMath.vec_dot(col("a.v"), col("b.v"))
+          / (col("a.n") * col("b.n")), 6).as("sim"))
+      .localCheckpoint()
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column,
+        vName: String, mName: String): DataFrame =
+      df.withColumn("sc", score)
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("sc")).as("ns"), col("vec_id").as("id"))).as("m"))
+        .select(col("query_id"), col("m.id").as(vName), (-col("m.ns")).as(mName))
+    val s1 = argmax(cand, lit(0.7) * col("rel"), "v1", "m1")
+    val st2 = cand.join(s1, "query_id").filter(col("vec_id") =!= col("v1"))
+      .join(psim.select(col("query_id"), col("a").as("vec_id"),
+        col("b"), col("sim")), Seq("query_id", "vec_id"))
+      .filter(col("b") === col("v1"))
+    val s2 = argmax(st2, lit(0.7) * col("rel") - lit(0.3) * col("sim"), "v2", "m2")
+    val sel12 = s1.select(col("query_id"), col("v1").as("sel"))
+      .union(s2.select(col("query_id"), col("v2").as("sel")))
+    val pen3 = psim.join(sel12, Seq("query_id"))
+      .filter(col("b") === col("sel"))
+      .groupBy(col("query_id"), col("a").as("vec_id"))
+      .agg(max(col("sim")).as("pen"))
+    val st3 = cand.join(s1, "query_id").join(s2, "query_id")
+      .filter(col("vec_id") =!= col("v1") && col("vec_id") =!= col("v2"))
+      .join(pen3, Seq("query_id", "vec_id"))
+    val s3 = argmax(st3, lit(0.7) * col("rel") - lit(0.3) * col("pen"), "v3", "m3")
+    // NO output re-round: λ·rel and λ·rel−(1−λ)·pen are products of
+    // 6-dp-rounded inputs — bit-identical in both engines — while a
+    // 7th-dp round() would sit exactly on half-way ties the two
+    // engines break differently
+    s1.select(col("query_id"), lit(1).cast("int").as("rn"),
+        col("v1").as("vec_id"), col("m1").as("mmr"))
+      .union(s2.select(col("query_id"), lit(2).cast("int"),
+        col("v2"), col("m2")))
+      .union(s3.select(col("query_id"), lit(3).cast("int"),
+        col("v3"), col("m3")))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

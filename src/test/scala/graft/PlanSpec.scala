@@ -299,6 +299,17 @@ class PlanSpec extends SparkSpec {
       s"windows must partition by doc_id only, saw: $specs")
   }
 
+  test("q198 MMR: corpus pass is the bounded top-k aggregate, greedy loop is windowless") {
+    // the corpus-side TopK ObjectHashAggregate lives in the
+    // localCheckpoint'd shortlist prefix (not visible in the final
+    // plan string); the final plan carries only shortlist-sized work
+    val p = plan("q198_mmr_diversified")
+    assert(!p.contains("Window"),
+      "shortlist + greedy argmax must be aggregates, never a corpus window sort")
+    assert(!p.contains("CartesianProduct"),
+      "candidate pair sims must ride the query_id equi join")
+  }
+
   test("q197 segment dedup: hashes shuffle, segment strings never do") {
     val p = plan("q197_segment_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
