@@ -1632,6 +1632,63 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // ----- temperature-scaled source mixing (the multilingual-LM
+    // sampling rule, Conneau & Lample 2019: sample source i with
+    // probability ∝ n_i^α, α < 1 flattens the source distribution so
+    // low-resource sources are up-weighted): per-source token masses
+    // n_i aggregate in one map-side-combined pass; each doc is then
+    // admitted iff its 52-bit content-hash uniform < its source's
+    // acceptance rate = min(1, B·w_i/(W·n_i)) — map-only over the
+    // corpus with the tiny per-source rate table broadcast (q165's
+    // deterministic-subsample contract, made source-adaptive).
+    // α is fixed at 0.5 because sqrt is a correctly-rounded IEEE op
+    // (bit-identical in any engine) where pow(n, 0.3) is not; the
+    // weights are floored to integer micro-units so the normalizer W
+    // is an exact integer sum — no float summation-order anywhere.
+    // Raw doubles at the output boundary: every emitted value is the
+    // same deterministic op-sequence in both engines. -----
+    q("q199_temperature_mix",
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(list_sum(list_transform(range(1, 14),
+        |      hx -> (strpos('0123456789abcdef', substr(md5(text), hx, 1))-1)
+        |            * (2**(4*(13-hx))))) AS BIGINT)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_i
+        |      FROM d GROUP BY source),
+        |sw AS (SELECT *, CAST(floor(sqrt(n_i) * 1000000) AS BIGINT) AS w
+        |       FROM s),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM sw),
+        |r AS (SELECT source, n_i,
+        |        least(1.0::DOUBLE,
+        |          (w::DOUBLE * 5000.0 / wt::DOUBLE) / n_i::DOUBLE) AS accept_p
+        |      FROM sw, tot)
+        |SELECT d.doc_id, d.source, r.n_i AS src_tokens, r.accept_p, d.u,
+        |  CAST(d.u < r.accept_p AS INTEGER) AS admitted
+        |FROM d JOIN r USING (source)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"),
+          (conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
+            / lit(4503599627370496.0)).as("u"))
+      val sw = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_i"))
+        .withColumn("w", floor(sqrt(col("n_i")) * lit(1000000.0)).cast("long"))
+      val rates = sw
+        .crossJoin(broadcast(sw.agg(sum(col("w")).as("wt"))))
+        .select(col("source"), col("n_i"),
+          least(lit(1.0), (col("w").cast("double") * lit(5000.0)
+            / col("wt").cast("double")) / col("n_i").cast("double"))
+            .as("accept_p"))
+      docs.join(broadcast(rates), "source")
+        .select(col("doc_id"), col("source"), col("n_i").as("src_tokens"),
+          col("accept_p"), col("u"),
+          (col("u") < col("accept_p")).cast("int").as("admitted"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----- winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken
     // 2003, the MOSS selection rule): per doc, hash every word
     // 3-gram, slide a w=4 window over the hash sequence and keep
