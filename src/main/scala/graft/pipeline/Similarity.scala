@@ -1253,8 +1253,77 @@ object Similarity extends QueryModule {
         |       m1 AS mmr FROM s1
         |UNION ALL SELECT query_id, 2, v2, m2 FROM s2
         |UNION ALL SELECT query_id, 3, v3, m3 FROM s3
-        |ORDER BY query_id, rn""") { (s, dir) => mmrTopK(s, dir) }
+        |ORDER BY query_id, rn""") { (s, dir) => mmrTopK(s, dir) },
+
+    // ----- rotated PQ (the random-rotation OPQ baseline of Ge et al.
+    // 2013, structured as sign-flip + Hadamard — the SRHT
+    // preconditioner of Ailon & Chazelle 2006): energy is spread
+    // evenly across the m subspaces before quantization, which is
+    // the whole failure mode of plain PQ on coordinate-correlated
+    // vectors. The rotation H·D is DATA-INDEPENDENT, so it is built
+    // once on the driver (md5-parity sign diagonal, popcount
+    // Hadamard) and shipped as 64 literal ±1 rows — the corpus-side
+    // rotation is a pure MAP (64 codegen'd dot folds per row, zero
+    // shuffle, zero fit pass), after which the q186 PQ chain runs
+    // unchanged on the rotated coordinates. The oracle replays the
+    // same parity/popcount matrix and the full PQ fit. -----
+    q("q200_rotated_pq_topk",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |f0 AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |               unnest(range(len(embedding))) AS i FROM e),
+        |dims AS (SELECT DISTINCT i FROM f0),
+        |sg AS (SELECT i, CASE WHEN substring(md5('s:' || i), 1, 1)
+        |         IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END AS sgn
+        |       FROM dims),
+        |hm AS (SELECT a.i, b.i AS j,
+        |         CASE WHEN bit_count(CAST(a.i AS BIGINT) & CAST(b.i AS BIGINT)) % 2 = 0
+        |           THEN 1.0 ELSE -1.0 END AS hsign
+        |       FROM dims a CROSS JOIN dims b),
+        |rot AS (SELECT f.vec_id, hm.j AS i,
+        |          sum(f.x * (sg.sgn * hm.hsign)) / 8.0 AS x
+        |        FROM f0 f JOIN sg ON sg.i = f.i JOIN hm ON hm.i = f.i
+        |        GROUP BY 1, 2),
+        |${duckPqCtes("rot")},
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         $duckAdcSum AS adist
+        |       FROM pcodes t JOIN plt l ON l.j = t.j AND l.code = t.code
+        |       WHERE t.vec_id >= 10
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => rotatedPqTopK(s, dir) }
   )
+
+  /** q200 body: driver-built H·D rotation (map-only) + the q186 PQ
+    * chain on the rotated coordinates. */
+  private[pipeline] def rotatedPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    def sgn(i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0 // first hex digit even
+    }
+    // w_j[i] = s_i · (−1)^popcount(i∧j): ±1 entries, so every product
+    // in the dot fold is an exact sign flip — only the 64-term sum
+    // carries fp error, absorbed by the house 6-dp round
+    def w(j: Int): Seq[Double] = (0 until dim).map(i =>
+      sgn(i) * (if (Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0))
+    // rotated coords stay UNROUNDED: a 6-dp round here would turn
+    // every downstream PQ distance into an exact short decimal and
+    // make round-half ties between the engines PROBABLE (observed on
+    // this data); messy doubles keep the tie probability negligible,
+    // and the chain's own 6-dp rounds absorb the sum-order ulps
+    val rot = edOf(Tables.t(s, dir, "embeddings"))
+      .select(col("vec_id"), array((0 until dim).map(j =>
+        (VecMath.vec_dot(col("ev"), typedlit(w(j))) / 8.0)): _*)
+        .as("ev"))
+    val (svs, cb1, codes) = pqModel(rot)
+    val lt = pqLookup(svs, cb1)
+    adcTop3(codes.filter(col("vec_id") >= 10)
+      .join(broadcast(lt), Seq("j", "code")))
+  }
 
   /** q198 body: bounded-agg shortlist, then k=3 relational greedy
     * argmax steps over the (queries × 8)-row candidate frame. */
