@@ -94,7 +94,14 @@ object Bench {
     "q192_containment_pairs",
     "q193_stream_trending_terms",
     "q194_ivfpq_residual_topk",
-    "q195_mrl_rerank_topk")
+    "q195_mrl_rerank_topk",
+    // r11 tail (benched from r12): winnowing, segment dedup, MMR,
+    // temperature mix, rotated PQ
+    "q196_winnowing_pairs",
+    "q197_segment_dedup",
+    "q198_mmr_diversified",
+    "q199_temperature_mix",
+    "q200_rotated_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

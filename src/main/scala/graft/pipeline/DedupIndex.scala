@@ -241,16 +241,35 @@ object DedupIndex {
     * write re-appends one day's delta on retry — the same bounded
     * at-least-once window Spark's own file-sink manifest closes with
     * an atomic rename; acceptable here because the mark write is one
-    * tiny file straight after a small append. */
+    * tiny file straight after a small append.
+    *
+    * CONCURRENT-INGEST safety (r12): the natural deployment closes
+    * day N while day N+1's stream is still committing, so the
+    * admitted table GROWS during this call. Two guards make that
+    * benign: (1) the window is closed on BOTH ends —
+    * `hwm < batch_id <= newHwm` with newHwm sampled once up front —
+    * so epochs landing mid-close fall outside this close's window
+    * and are picked up whole by the next one; (2) the admitted frame
+    * is localCheckpoint'd into one materialized snapshot BEFORE
+    * [[update]]'s three writes, so bands / bucket_stats / shingles
+    * are built from the SAME row set instead of four independent
+    * lazy JDBC re-reads racing the stream (a doc with bands but no
+    * shingles was possible before this). */
   def commitAdmitted(s: SparkSession, path: String, url: String,
       admittedTable: String, props: java.util.Properties): Unit = {
     val hwm = loadProps(path, "commit_watermark.properties")
       .map(_.getProperty("hwm").toLong).getOrElse(-1L)
-    val admitted = graft.sources.Jdbc.read(s, url, admittedTable, props)
-      .filter(col("batch_id") > hwm)
-    val newHwm = admitted.agg(max(col("batch_id"))).head().get(0)
+    val store = graft.sources.Jdbc.read(s, url, admittedTable, props)
+    val newHwm = store.filter(col("batch_id") > hwm)
+      .agg(max(col("batch_id"))).head().get(0)
     if (newHwm != null) {
-      update(admitted.drop("batch_id"), path)
+      val admitted = store
+        .filter(col("batch_id") > hwm &&
+          col("batch_id") <= lit(newHwm.asInstanceOf[Long]))
+        .drop("batch_id")
+        .localCheckpoint()
+      try update(admitted, path)
+      finally admitted.unpersist()
       storeProps(path, "commit_watermark.properties",
         Map("hwm" -> newHwm.toString),
         "graft DedupIndex committed-epoch high-water mark")

@@ -417,8 +417,19 @@ object Similarity extends QueryModule {
     // the DEFAULT (-1) auto-routes on the measured threshold, so a
     // caller at k = 2000 gets the 8× assignment win without reading
     // the probe tables. Isotropic-embedding corpora should force
-    // flat (the documented adversarial regime for routing).
-    val sk = if (superK >= 0) superK else routeSuperK(k)
+    // flat (the documented adversarial regime for routing). The
+    // regime switch is NOT silent (r12 advice): auto-routing into the
+    // approximate path logs at WARN so sweeps/regressions can detect
+    // an exact→approximate flip without reading this scaladoc.
+    val sk = if (superK >= 0) superK else {
+      val r = routeSuperK(k)
+      if (r > 1) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semDedup auto-routed to APPROXIMATE two-level assignment " +
+          s"(k=$k >= $twoLevelThreshold, superK=$r, nProbe=$nProbe); " +
+          "boundary vectors may misroute — pass superK = 0 to force " +
+          "the exact flat pass")
+      r
+    }
     val assigned =
       if (sk <= 1) kmeansClusters(e, k, updates)
       else assignTwoLevel(s, edOf(e), kmeansCentroids(e, k, updates),

@@ -110,6 +110,18 @@ object QueryableState {
     JdbcIndexes.ensure(url, table, "KIDX",
       keyCols.map(k => s""""$k"""").mkString(", "), props)
 
+  /** Canonical form of a key VALUE for the duplicate-key seen-set:
+    * Spark surfaces binary columns as `Array[Byte]`, whose `equals`
+    * is reference identity — an array-typed key would never match
+    * itself, silently skipping the early flush and keeping both rows
+    * (r12 advice finding). Arrays (recursively) become `Seq`, which
+    * has structural equality; scalars pass through. */
+  private[streaming] def canonKey(v: Any): Any = v match {
+    case a: Array[_] => a.toIndexedSeq.map(canonKey)
+    case s: Seq[_]   => s.map(canonKey)
+    case other       => other
+  }
+
   /** @param uniqueKeys callers that GUARANTEE at most one row per key
     *   (update-mode streaming output — the sink's own path) skip the
     *   key repartition. For everyone else the shuffle is what makes
@@ -164,7 +176,7 @@ object QueryableState {
           var n = 0
           val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
           rows.foreach { r =>
-            val key = keyIdx.map(r.get).toList
+            val key = keyIdx.map(i => canonKey(r.get(i))).toList
             if (!seen.add(key)) {
               dSt.executeBatch(); iSt.executeBatch()
               seen.clear(); seen.add(key); n = 0

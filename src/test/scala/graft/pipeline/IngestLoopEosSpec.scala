@@ -102,4 +102,54 @@ class IngestLoopEosSpec extends SparkSpec {
     assert(v2.length == 1 && v2(0).getAs[Long]("n_dups") == 2L,
       "duplicate day-close inflated n_dups")
   }
+
+  test("interleaved closes: each epoch commits whole, sub-tables stay consistent") {
+    val idx = tmp("graft-close-idx")
+    val at = "CLOSE_ADMITTED"
+    DedupIndex.save(Seq((1L, "base corpus doc with some words here"))
+      .toDF("doc_id", "text"), idx)
+
+    def admit(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "batch_id")
+        .write.mode("append").jdbc(url, at, props)
+
+    // day 1: epochs 0-1 land, close
+    admit(Seq((30L, "alpha beta gamma delta epsilon zeta", 0L),
+      (31L, "eta theta iota kappa lambda mu", 1L)))
+    DedupIndex.commitAdmitted(spark, idx, url, at, props)
+    // day 2: epochs 2-3 land AFTER day 1's close advanced the mark
+    // (ExactlyOnceJdbc commits epochs sequentially per stream, so
+    // batch_ids are monotonic — the closed window `hwm < b <= newHwm`
+    // relies on exactly that; an epoch below an advanced mark cannot
+    // appear later). Close again: only 2-3 append.
+    admit(Seq((32L, "nu xi omicron pi rho sigma", 2L),
+      (33L, "tau upsilon phi chi psi omega", 3L)))
+    DedupIndex.commitAdmitted(spark, idx, url, at, props)
+
+    // every admitted doc appears in EVERY sub-table exactly once —
+    // the one-snapshot guarantee's observable invariant (pre-r12 the
+    // three writes re-read JDBC independently, so a concurrently
+    // growing table could yield a doc with bands but no shingles)
+    val bandDocs = spark.read.parquet(s"$idx/bands")
+      .filter(col("doc_id") >= 30L)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val shingleDocs = spark.read.parquet(s"$idx/shingles")
+      .filter(col("doc_id") >= 30L)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bandDocs == Set(30L, 31L, 32L, 33L))
+    assert(shingleDocs == bandDocs,
+      "bands and shingles disagree on committed docs")
+    // exactly once: 4 band rows per doc (one per band), no re-append
+    val perDoc = spark.read.parquet(s"$idx/bands")
+      .filter(col("doc_id") >= 30L)
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(_ == 4L), s"re-appended doc bands: ${perDoc.toSeq}")
+    // bucket_stats mass equals band-row mass for the committed docs +
+    // corpus (stats are additive partials summed at read)
+    val statMass = spark.read.parquet(s"$idx/bucket_stats")
+      .agg(sum(col("n"))).head.getLong(0)
+    val bandMass = spark.read.parquet(s"$idx/bands").count()
+    assert(statMass == bandMass,
+      s"bucket_stats mass $statMass != band rows $bandMass")
+  }
 }

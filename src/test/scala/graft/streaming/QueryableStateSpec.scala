@@ -35,4 +35,24 @@ class QueryableStateSpec extends SparkSpec {
       assert(store.snapshot().count() == 3, "one state row per key")
     } finally store.stop()
   }
+
+  test("canonKey gives array-typed keys structural equality") {
+    // Array[Byte] (a binary key column) compares by reference — the
+    // duplicate-key early-flush must see repeats by VALUE
+    val a1 = Array[Byte](1, 2, 3)
+    val a2 = Array[Byte](1, 2, 3)
+    assert(a1 != a2, "precondition: raw arrays compare by reference")
+    assert(QueryableState.canonKey(a1) == QueryableState.canonKey(a2))
+    assert(QueryableState.canonKey(a1) !=
+      QueryableState.canonKey(Array[Byte](1, 2, 4)))
+    // nested arrays (array<array<int>> keys) and scalars
+    assert(QueryableState.canonKey(Array(Array(1, 2), Array(3))) ==
+      QueryableState.canonKey(Array(Array(1, 2), Array(3))))
+    assert(QueryableState.canonKey(42L) == 42L)
+    assert(QueryableState.canonKey("k") == "k")
+    // Seq keys (WrappedArray from Spark array columns) canonicalize
+    // to the same form as the equivalent raw array
+    assert(QueryableState.canonKey(Seq(1, 2)) ==
+      QueryableState.canonKey(Array(1, 2)))
+  }
 }
