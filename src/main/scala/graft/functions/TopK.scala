@@ -49,4 +49,37 @@ object TopK {
     * the group's k best rows, ordered (score DESC, id ASC). */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAgg(k), ExpressionEncoder[Scored]()).apply(score, id)
+
+  /** String-id variant — same bounded-state contract, for groups
+    * keyed by terms/labels rather than numeric ids (q193's sealed
+    * trending-window rank). Ordering: score DESC, id ASC
+    * (lexicographic), a total order when ids are unique within the
+    * group, so results are partitioning- and merge-order-free. */
+  case class ScoredS(score: Double, id: String)
+
+  private[graft] class TopKStrAgg(k: Int)
+      extends Aggregator[ScoredS, Seq[ScoredS], Seq[ScoredS]] {
+
+    private def better(a: ScoredS, b: ScoredS): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    private def insert(buf: Seq[ScoredS], v: ScoredS): Seq[ScoredS] = {
+      val (pre, post) = buf.span(better(_, v))
+      val grown = pre ++ (v +: post)
+      if (grown.length > k) grown.take(k) else grown
+    }
+
+    def zero: Seq[ScoredS] = Vector.empty
+    def reduce(buf: Seq[ScoredS], v: ScoredS): Seq[ScoredS] = insert(buf, v)
+    def merge(b1: Seq[ScoredS], b2: Seq[ScoredS]): Seq[ScoredS] =
+      b2.foldLeft(b1)(insert)
+    def finish(buf: Seq[ScoredS]): Seq[ScoredS] = buf
+    def bufferEncoder: Encoder[Seq[ScoredS]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[ScoredS]] = ExpressionEncoder()
+  }
+
+  /** `topKStr(3)(col("n"), col("word"))` → array<struct<score,id>>
+    * of the group's k best (score DESC, id ASC). */
+  def topKStr(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKStrAgg(k), ExpressionEncoder[ScoredS]()).apply(score, id)
 }

@@ -252,6 +252,78 @@ object TextAnalysis extends QueryModule {
     (out, stateRows)
   }
 
+  /** q193's engine (r12 rework): streaming trending terms with the
+    * SEALED-WINDOW shape a 100 TB stream needs, replacing the r11
+    * complete-mode form the verdict flagged (memory sink holding
+    * windows × vocab every trigger + one row_number task per window
+    * buffering that window's whole vocabulary).
+    *
+    * Two CHAINED append-mode event-time aggregations (Spark's
+    * multiple-stateful-operator support):
+    *   1. per-(100 s window, word) counts — bounded per-window state,
+    *      merged map-side, groups EVICT as the watermark passes
+    *      (q158 machinery, sentinel-driven);
+    *   2. per-window top-3 via the bounded [[graft.functions.TopK]]
+    *      aggregate (string-id variant) over each window's SEALED
+    *      counts — ≤ k rows of agg state per window per task, so the
+    *      exchange and the sink carry windows × k, never
+    *      windows × vocab, and no WindowExec partitions on w_start.
+    * The sink table holds one row per sealed window (its top-3
+    * array); ranking recovers via posexplode. The watermark sentinel
+    * (far-future ts) seals every real window; its own window never
+    * seals, so it reaches neither the second aggregation nor the
+    * sink.
+    *
+    * Returns (result, stateRowsPerOperator) from the run's final
+    * progress — the spec's probe that sealed groups really evict
+    * (stage-1 live state = the sentinel's window only). */
+  private[pipeline] def trendingStream(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Long]) = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = Tables.t(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId < SentinelId,
+      s"watermark sentinel $SentinelId no longer exceeds max doc_id $maxId")
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    sentinel.addData((SentinelId, "zsentinelword"))
+    val words =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+        .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), explode(split(lower(col("text")), " ")).as("word"))
+    val counts = words
+      .groupBy(window(col("ts"), "100 seconds"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts
+      .groupBy(window(col("window"), "100 seconds"))
+      .agg(graft.functions.TopK.topKStr(3)(
+        col("n").cast("double"), col("word")).as("topk"))
+    s.catalog.dropTempView("graft_stream_trending")
+    val query = top.writeStream.format("memory")
+      .queryName("graft_stream_trending").outputMode("append").start()
+    query.processAllAvailable()
+    val stateRows = Option(query.lastProgress)
+      .map(_.stateOperators.toSeq.map(_.numRowsTotal))
+      .getOrElse(Seq.empty)
+    query.stop()
+    val out = s.table("graft_stream_trending")
+      .select(col("window.start").as("w_start"),
+        posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("w_start"), col("t.id").as("word"),
+        col("t.score").cast("bigint").as("n"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("w_start"), col("rn"))
+    (out, stateRows)
+  }
+
   /** Perplexity gating AT INGEST: arriving docs score against a
     * FROZEN bigram LM (counts trained on the batch corpus — in
     * production, yesterday's corpus snapshot; here the same corpus,
@@ -1547,14 +1619,13 @@ object TextAnalysis extends QueryModule {
 
     // ----- STREAMING trending terms: per 100 s event-time window,
     // the top-3 terms by count over the document stream (synthetic
-    // arrival ts = doc_id seconds, the q136 convention). The
-    // corpus-scale work — exploding words and counting per (window,
-    // term) — happens IN the stream as a windowed aggregation
-    // (bounded per-window state, merged map-side); ranking runs on
-    // the already-aggregated sink table, whose cardinality is
-    // windows × window-vocab, not the corpus. At production scale
-    // run append mode + watermark so sealed windows evict (the q158
-    // machinery) and rank each window as it seals. -----
+    // arrival ts = doc_id seconds, the q136 convention). r12 shape:
+    // two CHAINED append-mode windowed aggregations — per-(window,
+    // word) counts whose groups evict as the watermark passes, then
+    // per-window top-3 via the bounded TopK aggregate over each
+    // window's sealed counts — so the sink holds windows × 3 rows
+    // (never windows × vocab) and nothing partitions a window's full
+    // vocabulary into one task. See [[trendingStream]]. -----
     q("q193_stream_trending_terms",
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
         |           FROM documents),
@@ -1565,31 +1636,7 @@ object TextAnalysis extends QueryModule {
         |        ORDER BY n DESC, word) AS rn FROM c)
         |SELECT w_start, word, CAST(n AS BIGINT) AS n, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3 ORDER BY w_start, rn""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val raw = s.read.parquet(s"$dir/documents.parquet").schema
-      val words =
-        (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
-          s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
-        else s.readStream.schema(raw)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir))
-          .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
-          .select(col("ts"), explode(split(lower(col("text")), " ")).as("word"))
-      val counts = words
-        .groupBy(window(col("ts"), "100 seconds"), col("word"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("w_start"), col("word"), col("n"))
-      s.catalog.dropTempView("graft_stream_trending")
-      val query = counts.writeStream.format("memory")
-        .queryName("graft_stream_trending").outputMode("complete").start()
-      query.processAllAvailable()
-      query.stop()
-      s.table("graft_stream_trending")
-        .withColumn("rn", row_number().over(Window.partitionBy(col("w_start"))
-          .orderBy(col("n").desc, col("word"))))
-        .filter(col("rn") <= 3)
-        .select(col("w_start"), col("word"), col("n"),
-          col("rn").cast("int").as("rn"))
-        .orderBy(col("w_start"), col("rn"))
+      trendingStream(s, dir)._1
     },
 
     // ----- token-budgeted mix construction: the final assembly step

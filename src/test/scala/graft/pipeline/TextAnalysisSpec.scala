@@ -157,4 +157,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(m(0L)._2 - 0.5) < 1e-9)
     assert(m(1L)._1 == 0.0)
   }
+
+  test("q193 sealed-window trending keeps bounded state and a windows×3 sink") {
+    val (out, stateRows) = TextAnalysis.trendingStream(spark, sf)
+    val rows = out.collect()
+    // the sink table holds ONE row per sealed window with a ≤3-element
+    // top-k array — the windows × 3 bound (the r11 complete-mode form
+    // held windows × vocab and re-materialized it every trigger)
+    val sink = spark.table("graft_stream_trending")
+    val nWindows = sink.count()
+    assert(nWindows > 0 && rows.length <= nWindows * 3,
+      s"sink grew beyond windows×3: $nWindows windows, ${rows.length} rows")
+    import org.apache.spark.sql.functions.{col, size, max => smax}
+    assert(sink.agg(smax(size(col("topk")))).head.getInt(0) <= 3)
+    // chained append-mode aggs evict sealed groups: stage-1 live state
+    // is the sentinel's never-sealing (window, word) group only, and
+    // stage-2 holds at most the sentinel-era remnants — a complete-mode
+    // form would hold the full windows × vocab running state
+    assert(stateRows.nonEmpty, "no streaming progress captured")
+    assert(stateRows.sum <= 2,
+      s"sealed groups not evicted: state rows per operator = $stateRows")
+    // ranking runs via posexplode of the bounded TopK aggregate —
+    // no WindowExec (row_number over w_start) anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window "), s"unexpected WindowExec:\n$plan")
+    // per-window ranks are 1..3 by count DESC, word ASC — spot-check
+    // the dense shape
+    val byWindow = rows.groupBy(_.getTimestamp(0))
+    byWindow.values.foreach { ws =>
+      val rns = ws.map(_.getInt(3)).sorted
+      assert(rns.sameElements(1 to ws.length), s"ranks not dense: ${rns.toSeq}")
+      val ns = ws.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(ns.sameElements(ns.sortBy(-(_: Long))), "counts not descending")
+    }
+  }
 }
