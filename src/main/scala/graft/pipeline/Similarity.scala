@@ -1307,9 +1307,11 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rn""") { (s, dir) => rotatedPqTopK(s, dir) }
   )
 
-  /** q200 body: driver-built H·D rotation (map-only) + the q186 PQ
-    * chain on the rotated coordinates. */
-  private[pipeline] def rotatedPqTopK(s: SparkSession, dir: String): DataFrame = {
+  /** The H·D rotation of q200 as a MAP over (vec_id, ev):
+    * w_j[i] = s_i · (−1)^popcount(i∧j), scaled 1/√64 — an exact
+    * isometry (RotatedPqSpec pins distance preservation), built on
+    * the driver because it is data-independent. */
+  private[pipeline] def rotateHD(e: DataFrame): DataFrame = {
     val dim = 64
     def sgn(i: Int): Double = {
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -1326,10 +1328,36 @@ object Similarity extends QueryModule {
     // make round-half ties between the engines PROBABLE (observed on
     // this data); messy doubles keep the tie probability negligible,
     // and the chain's own 6-dp rounds absorb the sum-order ulps
-    val rot = edOf(Tables.t(s, dir, "embeddings"))
-      .select(col("vec_id"), array((0 until dim).map(j =>
-        (VecMath.vec_dot(col("ev"), typedlit(w(j))) / 8.0)): _*)
-        .as("ev"))
+    e.select(col("vec_id"), array((0 until dim).map(j =>
+      (VecMath.vec_dot(col("ev"), typedlit(w(j))) / 8.0)): _*)
+      .as("ev"))
+  }
+
+  /** Spec probe for the rotation's isometry: for adjacent-id vector
+    * pairs, (‖a−b‖, ‖r(a)−r(b)‖, ‖a‖, ‖r(a)‖). */
+  private[pipeline] def rotatedTestPair(s: SparkSession, dir: String)
+      : Array[(Double, Double, Double, Double)] = {
+    import s.implicits._
+    val e = edOf(Tables.t(s, dir, "embeddings")).limit(32)
+    def dists(d: DataFrame): DataFrame = {
+      val a = d.select(col("vec_id").as("ai"), col("ev").as("av"))
+      val b = d.select(col("vec_id").as("bi"), col("ev").as("bv"))
+      a.join(b, col("bi") === col("ai") + 1)
+        .select(col("ai"),
+          sqrt(VecMath.vec_dot(col("av"), col("av"))
+            - lit(2) * VecMath.vec_dot(col("av"), col("bv"))
+            + VecMath.vec_dot(col("bv"), col("bv"))).as("dist"),
+          sqrt(VecMath.vec_dot(col("av"), col("av"))).as("nrm"))
+    }
+    dists(e).as("o").join(dists(rotateHD(e)).as("r"), "ai")
+      .select(col("o.dist"), col("r.dist"), col("o.nrm"), col("r.nrm"))
+      .as[(Double, Double, Double, Double)].collect()
+  }
+
+  /** q200 body: driver-built H·D rotation (map-only) + the q186 PQ
+    * chain on the rotated coordinates. */
+  private[pipeline] def rotatedPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val rot = rotateHD(edOf(Tables.t(s, dir, "embeddings")))
     val (svs, cb1, codes) = pqModel(rot)
     val lt = pqLookup(svs, cb1)
     adcTop3(codes.filter(col("vec_id") >= 10)

@@ -257,7 +257,7 @@ class PlanSpec extends SparkSpec {
 
   test("q186/q190 PQ family: lookup tables broadcast, bounded top-k, no cartesian") {
     Seq("q186_pq_adc_topk", "q190_ivfpq_topk", "q194_ivfpq_residual_topk",
-        "q195_mrl_rerank_topk").foreach { name =>
+        "q195_mrl_rerank_topk", "q200_rotated_pq_topk").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name: ADC scoring must ride the (j, code) equi join")

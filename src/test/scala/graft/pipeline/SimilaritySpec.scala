@@ -90,4 +90,20 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Seq[Float])].collect()
     assertInClusterExact(out, assigned)
   }
+
+  test("q200 H·D rotation is orthonormal: pairwise distances survive it") {
+    // (H·D)/√64 with H the 64-dim Hadamard and D a ±1 diagonal is an
+    // exact isometry — the whole point of the OPQ preconditioner is
+    // that PQ quantizes ROTATED coordinates whose geometry is the
+    // original's. Pin ‖r(a) − r(b)‖ = ‖a − b‖ (and norms) to fp
+    // tolerance on real corpus vectors; a sign/scale bug here would
+    // still often produce a plausible-looking top-k.
+    val e = Similarity.rotatedTestPair(spark, sf)
+    e.foreach { case (origDist, rotDist, origNrm, rotNrm) =>
+      assert(math.abs(origDist - rotDist) < 1e-9 * (1.0 + origDist),
+        s"rotation distorted a pairwise distance: $origDist vs $rotDist")
+      assert(math.abs(origNrm - rotNrm) < 1e-9 * (1.0 + origNrm),
+        s"rotation distorted a norm: $origNrm vs $rotNrm")
+    }
+  }
 }
