@@ -13,6 +13,25 @@ sfdir, outdir, rnd, note = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(n for n in oracle if n != "q61_graph_cc")
 
+# SELF-ENFORCING SWEEP GUARD (r12, verdict item 1): the dump's own
+# key-count guard catches a SHRUNKEN registry, but a registry grown
+# AFTER the sweep shipped stale artifacts three rounds running
+# (r9 q183-q185, r11 q196-q200). Compare the dump being assembled
+# against the registry size of the CURRENT code — mismatch means the
+# sweep predates a registry change: RE-RUN it, don't ship.
+rs = subprocess.run(["tools/runj.sh", "graft.tools.RegistrySize"],
+                    capture_output=True, text=True)
+m = re.search(r"registry_size=(\d+)", rs.stdout)
+if not m:
+    sys.exit(f"GUARD ERROR: could not read registry size "
+             f"(stdout={rs.stdout[-200:]!r} stderr={rs.stderr[-200:]!r})")
+registry_size = int(m.group(1))
+if len(oracle) != registry_size:
+    sys.exit(f"STALE SWEEP: dump at {outdir} covers {len(oracle)} queries "
+             f"but the current registry has {registry_size} — the registry "
+             f"changed after this sweep ran. Re-run graft.Verify on the "
+             f"current classes and re-assemble.")
+
 res = subprocess.run(
     [sys.executable, "tools/check.py", sfdir, outdir] + names,
     capture_output=True, text=True)
@@ -42,8 +61,13 @@ else:
     art["q61_graph_cc"] = {"pass": False, "detail": cc.stdout[:300]}
     nfail += 1
 
+if npass + nfail != registry_size:
+    sys.exit(f"INCOMPLETE ARTIFACT: {npass + nfail} rows assembled but the "
+             f"registry has {registry_size} queries — a query produced "
+             f"neither PASS nor FAIL (crashed dump or check).")
 out = {"_meta": {"sf": "0.1", "round": rnd, "note": note,
-                 "pass": npass, "fail": nfail}}
+                 "pass": npass, "fail": nfail,
+                 "registry_size_at_assembly": registry_size}}
 out.update(dict(sorted(art.items())))
 path = f"CORRECTNESS_sf01_r{rnd:02d}.json"
 json.dump(out, open(path, "w"), indent=1)
