@@ -101,7 +101,14 @@ object Bench {
     "q197_segment_dedup",
     "q198_mmr_diversified",
     "q199_temperature_mix",
-    "q200_rotated_pq_topk")
+    "q200_rotated_pq_topk",
+    // r12 additions: corpus composition analytics
+    "q201_stratified_sample",
+    "q202_vocab_stats",
+    "q203_freq_spectrum",
+    "q204_sif_embeddings",
+    "q205_source_overlap",
+    "q206_source_minhash_sim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,6 +46,7 @@ object Registry {
     graft.pipeline.Dedup,
     graft.pipeline.Similarity,
     graft.pipeline.TextAnalysis,
+    graft.pipeline.CorpusStats,
     graft.pipeline.Multimodal,
     graft.cep.CepQueries,
     graft.table.TableQueries,

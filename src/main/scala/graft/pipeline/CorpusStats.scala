@@ -1,0 +1,330 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus composition analytics for a training-data pipeline —
+  * stratified sampling, vocabulary statistics, frequency spectra,
+  * hashed SIF document embeddings, and cross-source overlap (exact
+  * and sketched). The reference (linweijiang/Flink-1.8-SourceCode)
+  * carries the relational machinery these compose from
+  * (flink-table aggregations/joins); the operators themselves are
+  * the corpus-curation layer a 100 TB pipeline runs on top, same
+  * family as TextAnalysis/Dedup.
+  *
+  * House determinism rules apply throughout: cross-engine content
+  * hashes are md5 hex prefixes; every floating-point value emitted
+  * is either a single IEEE op on exact integers (identical in any
+  * engine) or an integer-micro-unit sum (order-free), rounded at the
+  * output boundary.
+  */
+object CorpusStats extends QueryModule {
+
+  /** First 13 hex chars of md5 as a 52-bit long (exact in double). */
+  private def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  private def duckH52(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,14), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(13-hx))))) AS BIGINT)"
+
+  /** First 8 hex chars of md5 as a 32-bit long. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def duckH32(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // ----- stratified sampling, equal allocation: admit ~T docs per
+    // (source, lang) cell — the corpus-balancing primitive behind
+    // eval-set construction and per-domain calibration samples.
+    // Deterministic (q165/q199 contract): each doc's 52-bit salted
+    // content hash is a uniform u; admit iff u < min(1, T/n_cell).
+    // Plan: one map-side-combined cell count, the tiny cell-rate
+    // table broadcasts back, admission is a pure map — zero
+    // corpus-wide shuffle beyond the count. At 100 TB: cells are
+    // source×lang (thousands), the rate table stays broadcast-sized
+    // no matter the corpus. -----
+    q("q201_stratified_sample",
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(list_sum(list_transform(range(1,14),
+        |      hx -> (strpos('0123456789abcdef', substr(md5('strat:' || text), hx, 1))-1)
+        |            * (2**(4*(13-hx))))) AS BIGINT)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents),
+        |c AS (SELECT source, lang, count(*) AS n_cell
+        |      FROM d GROUP BY source, lang),
+        |r AS (SELECT source, lang, n_cell,
+        |        least(1.0::DOUBLE, 20.0 / n_cell::DOUBLE) AS accept_p
+        |      FROM c)
+        |SELECT d.doc_id, d.source, d.lang, CAST(r.n_cell AS BIGINT) AS n_cell,
+        |  r.accept_p, d.u, CAST(d.u < r.accept_p AS INTEGER) AS admitted
+        |FROM d JOIN r USING (source, lang)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          (h52(concat(lit("strat:"), col("text")))
+            / lit(4503599627370496.0)).as("u"))
+      val rates = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_cell"))
+        .withColumn("accept_p",
+          least(lit(1.0), lit(20.0) / col("n_cell").cast("double")))
+      d.join(broadcast(rates), Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_cell").cast("long").as("n_cell"), col("accept_p"),
+          col("u"), (col("u") < col("accept_p")).cast("int").as("admitted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- per-source vocabulary statistics: token/type counts,
+    // type-token ratio, hapax fraction, and the modal term — the
+    // corpus-health dashboard row. Two aggregations, both map-side
+    // combined (word counts shuffle on (source, word) hash; the
+    // rollup on source); the modal term rides the bounded TopK
+    // aggregate (k=1), NOT a vocab-wide window — one task never
+    // holds a source's whole vocabulary (the q179/q193 lesson,
+    // applied at design time). Emitted ratios are single IEEE
+    // divisions of exact counts. -----
+    q("q202_vocab_stats",
+      """WITH w AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_types,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |      FROM c GROUP BY source),
+        |t AS (SELECT source, word AS top_term, c AS top_freq,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY c DESC, word) AS rn FROM c)
+        |SELECT s.source, s.n_tokens, CAST(s.n_types AS BIGINT) AS n_types,
+        |  round(s.n_types::DOUBLE / s.n_tokens::DOUBLE, 6) AS ttr,
+        |  round(s.hapax::DOUBLE / s.n_types::DOUBLE, 6) AS hapax_frac,
+        |  t.top_term, CAST(t.top_freq AS BIGINT) AS top_freq
+        |FROM s JOIN t USING (source) WHERE t.rn = 1
+        |ORDER BY s.source""") { (s, dir) =>
+      import graft.functions.TopK
+      val counts = Tables.t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          TopK.topKStr(1)(col("c").cast("double"), col("word")).as("top"))
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_types").cast("long").as("n_types"),
+          round(col("n_types").cast("double")
+            / col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("hapax").cast("double")
+            / col("n_types").cast("double"), 6).as("hapax_frac"),
+          element_at(col("top"), 1).getField("id").as("top_term"),
+          element_at(col("top"), 1).getField("score")
+            .cast("long").as("top_freq"))
+        .orderBy(col("source"))
+    },
+
+    // ----- corpus term-frequency spectrum (the Zipf diagnostic):
+    // how many distinct terms occur exactly f times. Two cascaded
+    // map-side-combined aggregations — vocab-sized shuffle on the
+    // term, then the tiny spectrum on f — plus one broadcast of the
+    // one-row type total. The spectrum's cardinality is ~log-scale
+    // in the corpus (distinct frequency VALUES), so the output and
+    // every post-vocab stage stay tiny at 100 TB. -----
+    q("q203_freq_spectrum",
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |sp AS (SELECT c AS freq, count(*) AS n_terms FROM c GROUP BY c),
+        |tot AS (SELECT CAST(sum(n_terms) AS BIGINT) AS nt FROM sp)
+        |SELECT CAST(freq AS BIGINT) AS freq, CAST(n_terms AS BIGINT) AS n_terms,
+        |  round(n_terms::DOUBLE / nt::DOUBLE, 6) AS vocab_frac
+        |FROM sp, tot ORDER BY freq""") { (s, dir) =>
+      val sp = Tables.t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c").as("freq")).agg(count(lit(1)).as("n_terms"))
+      sp.crossJoin(broadcast(sp.agg(sum(col("n_terms")).as("nt"))))
+        .select(col("freq").cast("long").as("freq"),
+          col("n_terms").cast("long").as("n_terms"),
+          round(col("n_terms").cast("double")
+            / col("nt").cast("double"), 6).as("vocab_frac"))
+        .orderBy(col("freq"))
+    },
+
+    // ----- hashed SIF document embeddings (Arora et al. 2017 smooth
+    // inverse frequency weighting, over a 16-dim feature-hashed word
+    // space — no pretrained vectors needed): each token contributes
+    // sign(word) · a/(a + p(word)) to dimension hash(word) mod 16,
+    // normalized by doc length. The common-component removal of the
+    // paper is orthogonal (a later PCA pass) and omitted. Exactness:
+    // per-token weights quantize to integer micro-units BEFORE the
+    // sum (fp addition is order-dependent; integer sums are not —
+    // the q199 device), and the weight itself is a fixed IEEE op
+    // sequence on exact counts, so both engines floor the same
+    // double. Plan: vocab aggregation + an equi join of tokens to
+    // word stats + one (doc, dim) map-side-combined agg; the doc
+    // filter sits on the token side, BEFORE the join. -----
+    q("q204_sif_embeddings",
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |n AS (SELECT doc_id, count(*) AS n_tok FROM w GROUP BY doc_id),
+        |f AS (SELECT word, count(*) AS f FROM w GROUP BY word),
+        |tt AS (SELECT CAST(sum(f) AS BIGINT) AS tt FROM f),
+        |q AS (SELECT word,
+        |    CAST(list_sum(list_transform(range(1,9),
+        |      hx -> (strpos('0123456789abcdef', substr(md5(word), hx, 1))-1)
+        |            * (2**(4*(8-hx))))) AS BIGINT) % 16 AS dim,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(word), 9, 1))-1) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn,
+        |    CAST(floor(1000000.0 * (0.001 / (0.001 + f::DOUBLE / tt::DOUBLE)))
+        |      AS BIGINT) AS qw
+        |  FROM f, tt),
+        |s AS (SELECT w.doc_id, q.dim, CAST(sum(q.sgn * q.qw) AS BIGINT) AS sv
+        |      FROM w JOIN q USING (word) WHERE w.doc_id < 50
+        |      GROUP BY w.doc_id, q.dim)
+        |SELECT s.doc_id, CAST(s.dim AS INTEGER) AS dim,
+        |  round(sv::DOUBLE / (n.n_tok::DOUBLE * 1000000.0), 6) AS val
+        |FROM s JOIN n USING (doc_id)
+        |ORDER BY doc_id, dim""") { (s, dir) =>
+      val w = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("word"))
+      val n = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val f = w.groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val qtab = f
+        .crossJoin(broadcast(f.agg(sum(col("f")).as("tt"))))
+        .select(col("word"),
+          pmod(h32(col("word")), lit(16)).as("dim"),
+          when((conv(substring(md5(col("word")), 9, 1), 16, 10)
+            .cast("long") % 2) === 0, 1L).otherwise(-1L).as("sgn"),
+          floor(lit(1000000.0) * (lit(0.001) / (lit(0.001)
+            + col("f").cast("double") / col("tt").cast("double"))))
+            .cast("long").as("qw"))
+      w.filter(col("doc_id") < 50)
+        .join(qtab, "word")
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn") * col("qw")).as("sv"))
+        .join(n, "doc_id")
+        .select(col("doc_id"), col("dim").cast("int").as("dim"),
+          round(col("sv").cast("double")
+            / (col("n_tok").cast("double") * lit(1000000.0)), 6).as("val"))
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
+    // ----- exact cross-source overlap matrix: word-3-gram Jaccard
+    // between every source pair — the contamination / provenance
+    // diagnostic run before mixing corpora. Distinct (source, gram
+    // hash) rows shuffle once; the pair space rides a gram-hash
+    // equi self-join whose fan-out per gram is ≤ (#sources choose
+    // 2) — bounded by the source count, NOT the corpus, so the join
+    // is linear in gram volume at any scale. The full matrix frame
+    // (sizes × sizes, tiny) broadcasts; pairs sharing nothing emit
+    // inter = 0. -----
+    q("q205_source_overlap",
+      s"""WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |            FROM documents),
+        |g0 AS (SELECT source,
+        |         unnest(list_transform(range(1, len(w)-1),
+        |           i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS gram
+        |       FROM w WHERE len(w) >= 3),
+        |g AS (SELECT DISTINCT source, ${duckH52("gram")} AS gh FROM g0),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |       FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+        |       GROUP BY a.source, b.source),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         a.n AS n_a, b.n AS n_b
+        |       FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT pr.src_a, pr.src_b, CAST(pr.n_a AS BIGINT) AS n_a,
+        |  CAST(pr.n_b AS BIGINT) AS n_b,
+        |  CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+        |  round(coalesce(iv.inter, 0)::DOUBLE
+        |    / (pr.n_a + pr.n_b - coalesce(iv.inter, 0))::DOUBLE, 6) AS jaccard
+        |FROM pr LEFT JOIN iv USING (src_a, src_b)
+        |ORDER BY src_a, src_b""") { (s, dir) =>
+      val g = Tables.t(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(w)-3),
+            |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+          .as("gram"))
+        .select(col("source"), h52(col("gram")).as("gh"))
+        .distinct()
+      val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val iv = g.select(col("source").as("src_a"), col("gh"))
+        .join(g.select(col("source").as("src_b"), col("gh")), "gh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      val pr = sz.select(col("source").as("src_a"), col("n").as("n_a"))
+        .crossJoin(sz.select(col("source").as("src_b"), col("n").as("n_b")))
+        .filter(col("src_a") < col("src_b"))
+      broadcast(pr).join(iv, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          coalesce(col("inter"), lit(0L)).cast("long").as("inter"),
+          round(coalesce(col("inter"), lit(0L)).cast("double")
+            / (col("n_a") + col("n_b")
+              - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ----- MinHash-sketched source similarity: q205's matrix from
+    // 16-permutation per-source MinHash signatures instead of the
+    // exact gram intersection — the sketch a 100 TB pipeline keeps
+    // STANDING (signatures are sources × 16 rows; comparing a new
+    // corpus against every existing source costs 16 mins over the
+    // newcomer's grams, never a cross-corpus join). Each permutation
+    // is a salted 52-bit gram hash; min is a map-side-combined
+    // aggregate; the estimate is signature agreement / 16
+    // (Broder 1997 — resemblance from min-wise samples). The exact
+    // q205 matrix is the in-registry accuracy reference. -----
+    q("q206_source_minhash_sim",
+      s"""WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |            FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        unnest(list_transform(range(1, len(w)-1),
+        |          i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS gram
+        |      FROM w WHERE len(w) >= 3),
+        |p AS (SELECT source, j,
+        |        min(${duckH52("j || ':' || gram")}) AS mh
+        |      FROM g, (SELECT unnest(range(16)) AS j)
+        |      GROUP BY source, j),
+        |ag AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |       FROM p a JOIN p b ON a.j = b.j AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, agree,
+        |  round(agree::DOUBLE / 16.0, 6) AS est_jaccard
+        |FROM ag ORDER BY src_a, src_b""") { (s, dir) =>
+      val g = Tables.t(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(w)-3),
+            |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+          .as("gram"))
+        .distinct()
+      val p = g
+        .select(col("source"), posexplode(array((0 until 16).map(j =>
+          h52(concat(lit(s"$j:"), col("gram")))): _*)).as(Seq("j", "hj")))
+        .groupBy(col("source"), col("j"))
+        .agg(min(col("hj")).as("mh"))
+      p.select(col("source").as("src_a"), col("j"), col("mh").as("ma"))
+        .join(p.select(col("source").as("src_b"), col("j"), col("mh").as("mb")),
+          "j")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree"))
+        .select(col("src_a"), col("src_b"), col("agree").cast("long").as("agree"),
+          round(col("agree").cast("double") / lit(16.0), 6).as("est_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
+  )
+}

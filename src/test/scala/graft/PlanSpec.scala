@@ -310,6 +310,36 @@ class PlanSpec extends SparkSpec {
       "candidate pair sims must ride the query_id equi join")
   }
 
+  test("q202 vocab stats: modal term via bounded TopK agg, never a vocab window") {
+    // one task holding a source's whole vocabulary to rank it is the
+    // q179/q193 skew shape — the modal term must ride the TopK
+    // aggregate with a map-side partial
+    val p = plan("q202_vocab_stats")
+    assert(!p.contains("Window"),
+      "modal term must be the bounded TopK aggregate, not row_number")
+    assert(p.contains("partial_topkstragg"),
+      "TopK must combine map-side")
+  }
+
+  test("q204 SIF embeddings: doc filter reaches the scan, vocab scan prunes to text") {
+    val p = plan("q204_sif_embeddings")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]")
+      || p.contains("PushedFilters: [LessThan(doc_id,50), IsNotNull(doc_id)]"),
+      "the doc subset filter must reach the parquet scan")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "the corpus-wide vocab pass must read ONLY the text column")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q205/q206 source overlap: gram pairing is an equi join, matrix frame tiny") {
+    Seq("q205_source_overlap", "q206_source_minhash_sim").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: pair space must ride an equi join, not a cartesian")
+      assert(!p.contains("Window"), s"$name: aggregates only")
+    }
+  }
+
   test("q197 segment dedup: hashes shuffle, segment strings never do") {
     val p = plan("q197_segment_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
