@@ -108,7 +108,8 @@ object Bench {
     "q203_freq_spectrum",
     "q204_sif_embeddings",
     "q205_source_overlap",
-    "q206_source_minhash_sim")
+    "q206_source_minhash_sim",
+    "q207_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1304,7 +1304,92 @@ object Similarity extends QueryModule {
         |             ORDER BY adist, vec_id) AS rn FROM sc)
         |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
-        |ORDER BY query_id, rn""") { (s, dir) => rotatedPqTopK(s, dir) }
+        |ORDER BY query_id, rn""") { (s, dir) => rotatedPqTopK(s, dir) },
+
+    // ----- ANN recall evaluation harness: recall@3 of the IVF path
+    // (q58b routing) against the exact brute-force ranking (q56),
+    // per query — the in-engine quality gate every approximate index
+    // needs before it replaces an exact scan in production. Composes
+    // the two registered pipelines verbatim (any fix to either is
+    // automatically what gets measured) and reduces to one
+    // bounded-size equi join: both sides are queries × 3 rows, so
+    // the eval costs the two searches plus epsilon. At 100 TB the
+    // brute-force side runs on a SAMPLED query set (the standard
+    // recall-estimation protocol) — the corpus scan is one
+    // embarrassingly-parallel pass with probes broadcast. On THIS
+    // corpus the measured recall is low (0-1/3 per query): isotropic
+    // random embeddings are the documented adversarial regime for
+    // coarse routing (distance concentration, PLANS.md two-level
+    // tables) — surfacing exactly that is what the harness is for;
+    // on clustered real embeddings the same probe reads high. -----
+    q("q207_ann_recall",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                unnest(range(len(embedding))) AS i FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |bdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(fa.x * fb.x) AS dot
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  WHERE a.vec_id < 10
+        |  GROUP BY 1, 2),
+        |bscored AS (
+        |  SELECT query_id, bdots.vec_id AS vec_id,
+        |    round(dot / (na.nrm * nb.nrm), 6) AS score
+        |  FROM bdots JOIN norms na ON na.vec_id = query_id
+        |             JOIN norms nb ON nb.vec_id = bdots.vec_id),
+        |brute AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM bscored) WHERE rn <= 3),
+        |reps AS (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label),
+        |probe2rep AS (
+        |  SELECT q.vec_id AS query_id, reps.label,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(sum(fq.x * fr.x) / (nq.nrm * nr.nrm), 6) DESC, reps.label) AS rk
+        |  FROM e q JOIN reps ON true
+        |  JOIN flat fq ON fq.vec_id = q.vec_id
+        |  JOIN flat fr ON fr.vec_id = reps.rep_id AND fr.i = fq.i
+        |  JOIN norms nq ON nq.vec_id = q.vec_id
+        |  JOIN norms nr ON nr.vec_id = reps.rep_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id, reps.label, nq.nrm, nr.nrm),
+        |routed AS (SELECT query_id, label FROM probe2rep WHERE rk = 1),
+        |iscored AS (
+        |  SELECT r.query_id, b.vec_id,
+        |    round(sum(fa.x * fb.x) / (na.nrm * nb.nrm), 6) AS score
+        |  FROM routed r JOIN e b ON b.label = r.label
+        |  JOIN flat fa ON fa.vec_id = r.query_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN norms na ON na.vec_id = r.query_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  WHERE b.vec_id <> r.query_id
+        |  GROUP BY r.query_id, b.vec_id, na.nrm, nb.nrm),
+        |ivf AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM iscored) WHERE rn <= 3),
+        |hits AS (SELECT query_id, count(*) AS h
+        |         FROM brute JOIN ivf USING (query_id, vec_id) GROUP BY query_id),
+        |qs AS (SELECT DISTINCT query_id FROM brute)
+        |SELECT qs.query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+        |  round(coalesce(hits.h, 0)::DOUBLE / 3.0, 6) AS recall_at_3
+        |FROM qs LEFT JOIN hits USING (query_id)
+        |ORDER BY qs.query_id""") { (s, dir) =>
+      val defs = queries
+      val brute = defs.find(_.name == "q56_ann_bruteforce").get.fn(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = defs.find(_.name == "q58b_ann_ivf").get.fn(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      val qids = brute.select(col("query_id")).distinct()
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).cast("long").as("hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") / lit(3.0), 6)
+            .as("recall_at_3"))
+        .orderBy(col("query_id"))
+    }
   )
 
   /** The H·D rotation of q200 as a MAP over (vec_id, ev):
