@@ -705,6 +705,15 @@ object Dedup extends QueryModule {
       docBuckets: Int = DedupIndex.docBuckets): DataFrame = {
     val hasPb = corpusBands.columns.contains("pb")
     val hasPd = corpusShingles.columns.contains("pd")
+    // "pb" on the SHINGLE table = the r12 colocated layout: the
+    // verification row is stored under every band bucket of the
+    // doc's bands, so the join below can carry the candidate's
+    // MATCHED band bucket and dynamic partition pruning restricts
+    // the shingle scan to the delta's band footprint (pd pruning
+    // never bites — the r11 honest negative).
+    val hasSpb = corpusShingles.columns.contains("pb")
+    require(!hasSpb || hasPb,
+      "colocated shingle layout requires a pb-partitioned band table")
     val dBandsAll = DedupIndex.bandRows(delta)
       .select(col("doc_id").as("doc_n"), col("band"), col("bval"))
     // over-wide (boilerplate) buckets drop from the DELTA side via a
@@ -716,21 +725,44 @@ object Dedup extends QueryModule {
       else broadcast(dBands0.withColumn("pb",
         pmod(col("bval"), lit(bandBuckets))))
     val bandKeys = if (hasPb) Seq("pb", "band", "bval") else Seq("band", "bval")
-    val cand = dBands
+    val candRaw = dBands
       .join(corpusBands.select(
         (col("doc_id").as("doc_o") +: bandKeys.map(col)): _*), bandKeys)
-      .select(col("doc_n"), col("doc_o")).distinct()
+    // under the colocated layout each candidate keeps ONE matched
+    // band bucket (min for determinism) — any matched bucket works,
+    // because doc_o's shingle row is stored under every bucket its
+    // bands hash to, and a band match proves this bucket is one
+    val cand =
+      if (hasSpb) candRaw.groupBy(col("doc_n"), col("doc_o"))
+        .agg(min(col("pb")).as("spb"))
+      else candRaw.select(col("doc_n"), col("doc_o")).distinct()
     val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
       size(array_distinct(concat(col("x_sh"), col("y_sh"))))
     val candX = cand
       .join(DedupIndex.shingleRows(delta)
         .select(col("doc_id").as("doc_n"), col("shingles").as("x_sh")), "doc_n")
     val shKeyed =
-      if (!hasPd) candX
-      else candX.withColumn("pd", pmod(col("doc_o"), lit(docBuckets)))
-    val shKeys = if (hasPd) Seq("doc_o", "pd") else Seq("doc_o")
+      if (hasSpb) candX.withColumnRenamed("spb", "pb")
+      else if (hasPd) candX.withColumn("pd", pmod(col("doc_o"), lit(docBuckets)))
+      else candX
+    val shKeys = if (hasSpb) Seq("doc_o", "pb")
+      else if (hasPd) Seq("doc_o", "pd") else Seq("doc_o")
+    // STATIC partition pruning for the colocated layout: the shingle
+    // probe's pb values are a subset of the DELTA's band buckets, a
+    // ≤ bandBuckets-element set — broadcast-sized control metadata,
+    // collected once (same budget class as assignTwoLevel's centroid
+    // collect). A literal IN filter prunes the scan deterministically;
+    // dynamic pruning would need the probe side broadcast, which the
+    // candidate×shingle frame is not.
+    val shinglesPruned =
+      if (!hasSpb) corpusShingles
+      else {
+        val pbVals = dBands.select(col("pb").cast("int")).distinct()
+          .collect().map(_.getInt(0))
+        corpusShingles.filter(col("pb").isin(pbVals.toIndexedSeq: _*))
+      }
     val agg = shKeyed
-      .join(corpusShingles.select(
+      .join(shinglesPruned.select(
         (col("doc_id").as("doc_o") +: (shKeys.drop(1).map(col) :+
           col("shingles").as("y_sh"))): _*), shKeys)
       .filter(jacc >= 0.1)

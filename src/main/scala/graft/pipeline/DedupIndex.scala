@@ -49,8 +49,22 @@ object DedupIndex {
 
   /** Index-layout metadata, persisted by [[save]] and read back by
     * every consumer — the fan-outs are a property OF THE INDEX, not
-    * of the code that happens to probe it. */
-  final case class Meta(bandBuckets: Int, docBuckets: Int)
+    * of the code that happens to probe it.
+    *
+    * `shingleLayout`: "pd" (default — shingles partitioned by
+    * doc_id % docBuckets) or "pb" (r12 — COLOCATED with the band
+    * index: each doc's shingle row is stored once under every band
+    * bucket its bands hash to, ≤ 4 copies). The r11 fan-out probe's
+    * honest negative was that pd pruning never bites — candidate
+    * owners spread over the whole id space, so the verification scan
+    * reads every doc bucket regardless of fan-out. Under "pb" the
+    * verification join carries the candidate's MATCHED band bucket,
+    * and dynamic partition pruning restricts the shingle scan to the
+    * delta's own band footprint — the same 2-3 % the band side
+    * already achieves — at a ≤ 4× shingle storage cost (the classic
+    * payload-colocation trade). */
+  final case class Meta(bandBuckets: Int, docBuckets: Int,
+      shingleLayout: String = "pd")
 
   // Metadata rides Hadoop's FileSystem API, NOT java.nio: the index
   // data goes through Spark's Hadoop writer, so an hdfs://, s3a://
@@ -89,18 +103,22 @@ object DedupIndex {
   private def writeMeta(path: String, m: Meta): Unit =
     storeProps(path, "index_meta.properties",
       Map("bandBuckets" -> m.bandBuckets.toString,
-        "docBuckets" -> m.docBuckets.toString),
+        "docBuckets" -> m.docBuckets.toString,
+        "shingleLayout" -> m.shingleLayout),
       "graft DedupIndex layout — fan-outs are load-bearing")
 
   /** Load the index's persisted layout; loud failure if absent — a
     * probe guessing fan-outs that disagree with the files on disk
     * would silently break partition pruning (and with it the
-    * per-delta cost contract), so there is no fallback. */
+    * per-delta cost contract), so there is no fallback. Indexes
+    * written before the shingleLayout key read as "pd" (the layout
+    * they were written with). */
   def meta(path: String): Meta =
     loadProps(path, "index_meta.properties") match {
       case Some(p) =>
         Meta(p.getProperty("bandBuckets").toInt,
-          p.getProperty("docBuckets").toInt)
+          p.getProperty("docBuckets").toInt,
+          Option(p.getProperty("shingleLayout")).getOrElse("pd"))
       case None => throw new IllegalStateException(
         s"$path/index_meta.properties missing: not a DedupIndex (or " +
           "written by a pre-metadata version); rebuild with DedupIndex.save")
@@ -123,10 +141,30 @@ object DedupIndex {
     * bands and shingles it persists `bucket_stats` — per-(band, bval)
     * member counts, APPENDED on every update and summed at read, so
     * bucket widths are known without ever rescanning the corpus. */
+  /** The shingle table under a given layout (see [[Meta]]): "pd"
+    * keys each doc's single row by doc_id % docBuckets; "pb"
+    * colocates the row with the band index — one copy under every
+    * DISTINCT band bucket of the doc's bands (≤ 4). */
+  private def shingleTable(delta: DataFrame, bands: DataFrame,
+      m: Meta): (DataFrame, String) = m.shingleLayout match {
+    case "pd" =>
+      (shingleRows(delta)
+        .withColumn("pd", pmod(col("doc_id"), lit(m.docBuckets))), "pd")
+    case "pb" =>
+      (shingleRows(delta).join(
+        bands.select(col("doc_id"),
+          pmod(col("bval"), lit(m.bandBuckets)).as("pb")).distinct(),
+        "doc_id"), "pb")
+    case other => throw new IllegalStateException(
+      s"unknown shingleLayout '$other' in index metadata")
+  }
+
   def save(corpus: DataFrame, path: String,
       bandBuckets: Int = DedupIndex.bandBuckets,
-      docBuckets: Int = DedupIndex.docBuckets): Unit = {
+      docBuckets: Int = DedupIndex.docBuckets,
+      shingleLayout: String = "pd"): Unit = {
     require(bandBuckets > 0 && docBuckets > 0, "fan-outs must be positive")
+    val m = Meta(bandBuckets, docBuckets, shingleLayout)
     // repartition ON the partition column before partitionBy: without
     // it every write task emits one file per bucket value it holds
     // (tasks × buckets small files — at a raised fan-out that is a
@@ -139,11 +177,10 @@ object DedupIndex {
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/bucket_stats")
-    shingleRows(corpus)
-      .withColumn("pd", pmod(col("doc_id"), lit(docBuckets)))
-      .repartition(col("pd"))
-      .write.mode("overwrite").partitionBy("pd").parquet(s"$path/shingles")
-    writeMeta(path, Meta(bandBuckets, docBuckets))
+    val (sh, pcol) = shingleTable(corpus, bands, m)
+    sh.repartition(col(pcol))
+      .write.mode("overwrite").partitionBy(pcol).parquet(s"$path/shingles")
+    writeMeta(path, m)
   }
 
   /** Append a COMMITTED delta to the index (after its dedup verdict
@@ -159,10 +196,9 @@ object DedupIndex {
       .write.mode("append").partitionBy("pb").parquet(s"$path/bands")
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/bucket_stats")
-    shingleRows(delta)
-      .withColumn("pd", pmod(col("doc_id"), lit(m.docBuckets)))
-      .repartition(col("pd"))
-      .write.mode("append").partitionBy("pd").parquet(s"$path/shingles")
+    val (sh, pcol) = shingleTable(delta, bands, m)
+    sh.repartition(col(pcol))
+      .write.mode("append").partitionBy(pcol).parquet(s"$path/shingles")
   }
 
   /** Score a delta against the stored index: same (doc_id, n_dups,

@@ -939,7 +939,11 @@ object Similarity extends QueryModule {
     // fit, so cluster assignment, pair scores, and the keep-list all
     // hash-match. -----
     q("q167_semdedup",
-      if (semSuperK >= 2)
+      // loud oracle whenever the BODY will route approximate: explicit
+      // superK >= 2, or auto-routing (-1) with k at/over the measured
+      // threshold (r12 — the -1 escape previously left the exact
+      // oracle standing against an approximate result)
+      if (semSuperK >= 2 || (semSuperK < 0 && semK >= twoLevelThreshold))
         "SELECT error('GRAFT_SEMDEDUP_SUPERK is set: two-level assignment " +
           "is approximate and has no SQL oracle — unset it for correctness sweeps')"
       else

@@ -36,11 +36,12 @@ object IndexProbe {
           .getOrElse(graft.pipeline.DedupIndex.bandBuckets)
         val db = args.lift(4).map(_.toInt)
           .getOrElse(graft.pipeline.DedupIndex.docBuckets)
+        val layout = args.lift(5).getOrElse("pd")
         val t0 = System.nanoTime()
         graft.pipeline.DedupIndex.save(
           graft.Tables.t(spark, dataDir, "documents")
-            .filter(col("doc_id") % 10 =!= 9), indexPath, bb, db)
-        println(f"[indexprobe] build ${(System.nanoTime() - t0) / 1e9}%.1f s bandBuckets=$bb docBuckets=$db")
+            .filter(col("doc_id") % 10 =!= 9), indexPath, bb, db, layout)
+        println(f"[indexprobe] build ${(System.nanoTime() - t0) / 1e9}%.1f s bandBuckets=$bb docBuckets=$db shingleLayout=$layout")
       case "delta" =>
         val delta = graft.Tables.t(spark, dataDir, "documents")
           .filter(col("doc_id") % 10 === 9)

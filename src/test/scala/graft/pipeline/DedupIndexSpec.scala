@@ -46,6 +46,42 @@ class DedupIndexSpec extends SparkSpec {
       "aged index (save + update) diverged from a full rebuild")
   }
 
+  test("colocated shingle layout: verdict identical, aging parity, rows replicated by band bucket") {
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val pd = tmp(); val pb = tmp()
+    DedupIndex.save(corpus, pd)
+    DedupIndex.save(corpus, pb, shingleLayout = "pb")
+    assert(DedupIndex.meta(pb).shingleLayout == "pb")
+    // verdict must be layout-independent: every candidate's matched
+    // band bucket holds exactly one copy of the owner's shingle row
+    val a = verdictStrings(DedupIndex.dedupDelta(spark, delta, pd))
+    val b = verdictStrings(DedupIndex.dedupDelta(spark, delta, pb))
+    assert(a.nonEmpty && a.sameElements(b),
+      "colocated layout changed the dedup verdict")
+    // replication factor = distinct band buckets per doc (≤ 4)
+    val perDoc = spark.read.parquet(s"$pb/shingles")
+      .groupBy("doc_id").count()
+      .agg(max(col("count")), min(col("count"))).head
+    assert(perDoc.getLong(0) <= 4 && perDoc.getLong(1) >= 1,
+      s"unexpected shingle replication: $perDoc")
+    // aging under the colocated layout still equals a rebuild
+    val day0 = docs.filter(col("doc_id") % 10 < 8)
+    val day1 = docs.filter(col("doc_id") % 10 === 8)
+    val aged = tmp()
+    DedupIndex.save(day0, aged, shingleLayout = "pb")
+    DedupIndex.update(day1, aged)
+    val c = verdictStrings(DedupIndex.dedupDelta(spark, delta, aged))
+    val full = tmp()
+    DedupIndex.save(docs.filter(col("doc_id") % 10 =!= 9), full,
+      shingleLayout = "pb")
+    val d = verdictStrings(DedupIndex.dedupDelta(spark, delta, full))
+    assert(c.sameElements(d),
+      "aged colocated index diverged from a colocated rebuild")
+    assert(c.sameElements(a),
+      "colocated aged verdict diverged from the pd-layout verdict")
+  }
+
   test("bucket-width safety valve: stats persist additively, capping only drops wide buckets") {
     val day0 = docs.filter(col("doc_id") % 10 < 8)
     val day1 = docs.filter(col("doc_id") % 10 === 8)
