@@ -109,7 +109,12 @@ object Bench {
     "q204_sif_embeddings",
     "q205_source_overlap",
     "q206_source_minhash_sim",
-    "q207_ann_recall")
+    "q207_ann_recall",
+    // r12 additions: quality curation
+    "q208_gopher_rules",
+    "q209_shard_manifest",
+    "q210_psi_drift",
+    "q211_quality_canonical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,6 +47,7 @@ object Registry {
     graft.pipeline.Similarity,
     graft.pipeline.TextAnalysis,
     graft.pipeline.CorpusStats,
+    graft.pipeline.Quality,
     graft.pipeline.Multimodal,
     graft.cep.CepQueries,
     graft.table.TableQueries,

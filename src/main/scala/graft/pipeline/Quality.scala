@@ -1,0 +1,447 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality curation operators — the rule-based filtering,
+  * sharding, drift-monitoring, and quality-aware canonicalization
+  * layer of a training-data pipeline. The reference
+  * (linweijiang/Flink-1.8-SourceCode) supplies the relational
+  * machinery these compose from (flink-table scalar functions,
+  * aggregations and joins — flink-table/flink-table-planner);
+  * the operators themselves implement public-paper curation
+  * heuristics (Rae et al. 2021 "Gopher" §A1.1 quality rules;
+  * population-stability-index drift monitoring; RefinedWeb-style
+  * quality-ranked duplicate canonicalization, Penedo et al. 2023).
+  *
+  * House determinism rules: every emitted float is a single IEEE op
+  * on exact integer counts (identical in any engine) or an integer
+  * micro-unit sum (order-free), rounded at the output boundary;
+  * cross-engine hashes are md5 hex prefixes.
+  */
+object Quality extends QueryModule {
+
+  /** First 13 hex chars of md5 as a 52-bit long (exact in double). */
+  private def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  private def duckH52(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,14), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(13-hx))))) AS BIGINT)"
+
+  /** First 8 hex chars of md5 as a 32-bit long. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def duckH32(e: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), hx -> (strpos('0123456789abcdef', substr(md5($e), hx, 1))-1) * (2**(4*(8-hx))))) AS BIGINT)"
+
+  private val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // ----- Gopher-style quality ruleset (Rae et al. 2021 §A1.1): the
+    // composite rule filter every web-scale curation pipeline runs
+    // before anything expensive — word-count bounds, mean-word-length
+    // band, symbol-to-char ratio, stopword evidence, duplicate-word
+    // fraction. Emits the full diagnostic row (each measured value,
+    // the rule bitmask, the verdict) so downstream can audit WHY a
+    // doc was dropped, not just that it was. Plan: pure per-doc map
+    // over the scan — zero corpus shuffle at any scale (PlanSpec:
+    // no exchange before the output sort); at 100 TB this is the
+    // cheap first pass that shrinks everything after it. Thresholds
+    // are calibrated to this corpus family so every rule has both
+    // passing and failing docs (r3's symbol rule is the exception —
+    // the synthetic text is alphanumeric — and is kept because the
+    // ruleset is the operator, not one threshold). -----
+    q("q208_gopher_rules",
+      s"""WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(replace(text, ' ', ''))::DOUBLE
+        |      / len(string_split(text, ' ')) AS mwl,
+        |    length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |      / n_chars AS sym,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |      [${stopList.map("'" + _ + "'").mkString(",")}])) AS stop_hits,
+        |    1.0 - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS dup
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_words, mwl, sym, stop_hits, dup,
+        |    CAST(n_words BETWEEN 30 AND 100000 AS INTEGER) AS r1,
+        |    CAST(mwl BETWEEN 3.0 AND 5.0 AS INTEGER) AS r2,
+        |    CAST(sym <= 0.1 AS INTEGER) AS r3,
+        |    CAST(stop_hits >= 1 AS INTEGER) AS r4,
+        |    CAST(dup <= 0.6 AS INTEGER) AS r5
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mwl, 6) AS mean_word_len, round(sym, 6) AS symbol_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  round(dup, 6) AS dup_word_frac,
+        |  CAST(r1 + 2*r2 + 4*r3 + 8*r4 + 16*r5 AS INTEGER) AS rules,
+        |  CAST(r1*r2*r3*r4*r5 AS INTEGER) AS passed
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      val w = split(col("text"), " ")
+      val wl = split(lower(col("text")), " ")
+      val m = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(w).as("n_words"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(w)).as("mwl"),
+          (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+            .cast("double") / col("n_chars")).as("sym"),
+          size(array_intersect(array_distinct(wl),
+            array(stopList.map(lit): _*))).as("stop_hits"),
+          (lit(1.0) - size(array_distinct(wl)).cast("double") / size(w))
+            .as("dup"))
+      val r1 = (col("n_words") >= 30 && col("n_words") <= 100000).cast("int")
+      val r2 = (col("mwl") >= 3.0 && col("mwl") <= 5.0).cast("int")
+      val r3 = (col("sym") <= 0.1).cast("int")
+      val r4 = (col("stop_hits") >= 1).cast("int")
+      val r5 = (col("dup") <= 0.6).cast("int")
+      m.select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          round(col("mwl"), 6).as("mean_word_len"),
+          round(col("sym"), 6).as("symbol_frac"),
+          col("stop_hits").cast("long").as("stop_hits"),
+          round(col("dup"), 6).as("dup_word_frac"),
+          (r1 + r2 * 2 + r3 * 4 + r4 * 8 + r5 * 16).as("rules"),
+          (r1 * r2 * r3 * r4 * r5).as("passed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- deterministic training-shard assignment: the write path
+    // of a training-data build — every doc hashes to a shard, and
+    // within a shard the write order is a stable content-independent
+    // hash (the global shuffle training ingestion needs, with no
+    // global sort: at 100 TB the physical form is
+    // repartition(shard) + sortWithinPartitions(u), each shard file
+    // written independently). This op emits the shard MANIFEST the
+    // build would ship: per-shard doc/char totals, the corpus
+    // fraction, and the first three docs in shard order — the heads
+    // ride the bounded TopK aggregate (k=3, score = −u), NOT a
+    // per-shard window sort, so no task ever holds a shard's full
+    // contents (the q179/q193 lesson; PlanSpec: no Window). -----
+    q("q209_shard_manifest",
+      s"""WITH d AS (SELECT doc_id, n_chars,
+        |    ${duckH32("'shard:' || doc_id")} % 8 AS shard,
+        |    ${duckH52("'ord:' || doc_id")} AS u
+        |  FROM documents),
+        |s AS (SELECT shard, count(*) AS n_docs, sum(n_chars) AS tot_chars
+        |      FROM d GROUP BY shard),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt FROM s),
+        |r AS (SELECT shard, doc_id,
+        |        row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS rn
+        |      FROM d)
+        |SELECT CAST(s.shard AS INTEGER) AS shard,
+        |  CAST(s.n_docs AS BIGINT) AS n_docs,
+        |  CAST(s.tot_chars AS BIGINT) AS tot_chars,
+        |  round(s.n_docs::DOUBLE / t.nt::DOUBLE, 6) AS frac,
+        |  CAST(max(CASE WHEN r.rn = 1 THEN r.doc_id END) AS BIGINT) AS d1,
+        |  CAST(max(CASE WHEN r.rn = 2 THEN r.doc_id END) AS BIGINT) AS d2,
+        |  CAST(max(CASE WHEN r.rn = 3 THEN r.doc_id END) AS BIGINT) AS d3
+        |FROM s JOIN r USING (shard), t
+        |GROUP BY s.shard, s.n_docs, s.tot_chars, t.nt
+        |ORDER BY shard""") { (s, dir) =>
+      import graft.functions.TopK
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          pmod(h32(concat(lit("shard:"), col("doc_id"))), lit(8)).as("shard"),
+          h52(concat(lit("ord:"), col("doc_id"))).as("u"))
+      val manifest = d.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"),
+          TopK.topK(3)(-col("u").cast("double"), col("doc_id")).as("head"))
+      manifest
+        .crossJoin(broadcast(manifest.agg(sum(col("n_docs")).as("nt"))))
+        .select(col("shard").cast("int").as("shard"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("tot_chars").cast("long").as("tot_chars"),
+          round(col("n_docs").cast("double") / col("nt").cast("double"), 6)
+            .as("frac"),
+          element_at(col("head"), 1).getField("id").as("d1"),
+          element_at(col("head"), 2).getField("id").as("d2"),
+          element_at(col("head"), 3).getField("id").as("d3"))
+        .orderBy(col("shard"))
+    },
+
+    // ----- distribution-drift monitor (population stability index):
+    // compare a reference slice of the corpus against the current
+    // slice over a bucketized quality proxy (doc length) — the
+    // standing health check a continuously-ingesting pipeline runs
+    // to catch upstream drift before it poisons a training mix.
+    // Slices here are doc_id parity (the reproducible stand-in for
+    // "last month vs this month"); buckets are fixed-width with
+    // add-one smoothing so empty cells stay defined. PSI terms are
+    // (p_cur−p_ref)·log2(p_cur/p_ref) — each p a single division of
+    // exact counts, each term quantized to integer micro-bits BEFORE
+    // the total (fp addition is order-dependent; integer sums are
+    // not — the q199/q204 device). Plan: one map-side-combined
+    // (slice, bucket) count — 20 groups — then arithmetic on a
+    // 10-row frame; nothing after the first agg scales with the
+    // corpus. -----
+    q("q210_psi_drift",
+      """WITH d AS (SELECT doc_id % 2 AS grp,
+        |    least(9, CAST(floor(n_chars / 64) AS BIGINT)) AS bucket
+        |  FROM documents),
+        |b AS (SELECT unnest(range(10)) AS bucket),
+        |cr AS (SELECT bucket, count(*) AS n FROM d WHERE grp = 0 GROUP BY bucket),
+        |cc AS (SELECT bucket, count(*) AS n FROM d WHERE grp = 1 GROUP BY bucket),
+        |j AS (SELECT b.bucket,
+        |        coalesce(cr.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur
+        |      FROM b LEFT JOIN cr USING (bucket) LEFT JOIN cc USING (bucket)),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+        |p AS (SELECT bucket, n_ref, n_cur,
+        |        (n_ref + 1)::DOUBLE / (t.tr + 10)::DOUBLE AS p_ref,
+        |        (n_cur + 1)::DOUBLE / (t.tc + 10)::DOUBLE AS p_cur
+        |      FROM j, t),
+        |q AS (SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+        |        CAST(floor(1000000.0 * ((p_cur - p_ref) * log2(p_cur / p_ref)))
+        |          AS BIGINT) AS tq
+        |      FROM p)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |  tq::DOUBLE / 1000000.0 AS psi_term,
+        |  (SELECT sum(tq) FROM q)::DOUBLE / 1000000.0 AS psi_total
+        |FROM q ORDER BY bucket""") { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select((col("doc_id") % 2).as("grp"),
+          least(lit(9), floor(col("n_chars") / 64).cast("long")).as("bucket"))
+      val counts = d.groupBy(col("grp"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val buckets = s.range(10).select(col("id").as("bucket"))
+      val j = buckets
+        .join(counts.filter(col("grp") === 0)
+          .select(col("bucket"), col("n").as("n_ref")), Seq("bucket"), "left")
+        .join(counts.filter(col("grp") === 1)
+          .select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val withP = j
+        .crossJoin(broadcast(j.agg(sum(col("n_ref")).as("tr"),
+          sum(col("n_cur")).as("tc"))))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          ((col("n_ref") + 1).cast("double")
+            / (col("tr") + 10).cast("double")).as("p_ref"),
+          ((col("n_cur") + 1).cast("double")
+            / (col("tc") + 10).cast("double")).as("p_cur"))
+      val qd = withP.withColumn("tq",
+        floor(lit(1000000.0) * ((col("p_cur") - col("p_ref"))
+          * log2(col("p_cur") / col("p_ref")))).cast("long"))
+      qd.crossJoin(broadcast(qd.agg(sum(col("tq")).as("tot"))))
+        .select(col("bucket").cast("int").as("bucket"),
+          col("n_ref").cast("long").as("n_ref"),
+          col("n_cur").cast("long").as("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          (col("tq").cast("double") / lit(1000000.0)).as("psi_term"),
+          (col("tot").cast("double") / lit(1000000.0)).as("psi_total"))
+        .orderBy(col("bucket"))
+    },
+
+    // ----- quality-aware duplicate canonicalization (the RefinedWeb
+    // policy, Penedo et al. 2023): when a near-dup cluster is found,
+    // keep the HIGHEST-QUALITY member, not the arbitrary smallest id
+    // (q133's min-label canonical is the lineage-stable choice; this
+    // is the quality-greedy one — both policies over the SAME cluster
+    // machinery, q52 LSH pairs → Pregel components). Canonical =
+    // argmax by (quality score, doc_id) — resolved relationally as
+    // max-score-then-max-id (two tiny per-cluster aggs), never a
+    // cluster-wide window. Singletons keep themselves. Plan adds two
+    // cluster-keyed aggs + equi joins on top of q133's bucketed
+    // shapes — nothing quadratic, nothing cluster-size-bounded in
+    // one task. -----
+    q("q211_quality_canonical",
+      Dedup.duckPairsCtes(recursive = true) +
+        s""",
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+          |          UNION SELECT doc_b, doc_a FROM good),
+          |walk(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION SELECT a, a FROM edges
+          |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+          |m AS (SELECT d.doc_id,
+          |        coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+          |        ${TextAnalysis.duckQuality} AS q
+          |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          |bq AS (SELECT cluster_id, max(q) AS best_q FROM m GROUP BY cluster_id),
+          |bd AS (SELECT m.cluster_id, max(m.doc_id) AS best_doc
+          |       FROM m JOIN bq ON m.cluster_id = bq.cluster_id
+          |                     AND m.q = bq.best_q
+          |       GROUP BY m.cluster_id)
+          |SELECT m.doc_id, m.cluster_id, m.q,
+          |  CAST(m.doc_id = bd.best_doc AS INTEGER) AS keep
+          |FROM m JOIN bd USING (cluster_id)
+          |ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val pairs = Dedup.lshVerifiedPairs(docs)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val clusters = graft.graph.Graph.fromEdges(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents()
+      // m feeds three consumers (bq, bd, the final join) — truncate
+      // the CC lineage so the Pregel supersteps run once (r5 lesson)
+      val m = docs
+        .join(clusters.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          TextAnalysis.quality(col("text")).as("q"))
+        .localCheckpoint()
+      val bq = m.groupBy(col("cluster_id")).agg(max(col("q")).as("best_q"))
+      val bd = m.join(bq, "cluster_id")
+        .filter(col("q") === col("best_q"))
+        .groupBy(col("cluster_id")).agg(max(col("doc_id")).as("best_doc"))
+      m.join(bd, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("q"),
+          (col("doc_id") === col("best_doc")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- IN-ENGINE quality-classifier training: full-batch
+    // logistic regression over feature-hashed word counts, trained
+    // by gradient descent INSIDE the engine — the fastText-style
+    // quality filter (Joulin et al. 2016) that GPT-3 (Brown et al.
+    // 2020 §A) and DCLM (Li et al. 2024) pipelines train to replace
+    // hand rules; here distilling the q58/q138 heuristic teacher
+    // into a dense linear student. Each epoch is ONE map-side-
+    // combined aggregation (the gradient is a 9-number partial sum —
+    // executors combine locally, the driver folds 9 longs), weights
+    // are driver-held broadcast-sized state exactly like q135's
+    // k-means centroids; T epochs = T corpus passes with nothing
+    // shuffled but the 9-cell partials. At 100 TB this is textbook
+    // distributed full-batch GD. Exactness: per-doc gradient terms
+    // quantize to integer micro-units BEFORE the sum (order-free —
+    // the q199/q204 device); the dot product folds in fixed dim
+    // order; weight updates are a fixed IEEE sequence on exact
+    // integer sums, so both engines walk identical weight
+    // trajectories. Output: the weight table after each epoch
+    // (dim 8 = bias). -----
+    q("q212_quality_logreg", duckLogregSql) { (s, dir) =>
+      val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
+      val hist = trainLogreg(feats, 3)
+      import s.implicits._
+      hist.zipWithIndex.flatMap { case ((b, w), i) =>
+        (0 until nDim).map(d => (i + 1, d, w(d))) :+ ((i + 1, nDim, b))
+      }.toDF("iter", "dim", "w_raw")
+        .select(col("iter"), col("dim"), round(col("w_raw"), 6).as("w"))
+        .orderBy(col("iter"), col("dim"))
+    },
+
+    // ----- the trained classifier APPLIED as a corpus gate: score
+    // every doc with the epoch-3 weights, admit at p ≥ 0.5, and
+    // report agreement with the heuristic teacher — the distillation
+    // fidelity audit that decides whether the learned filter can
+    // replace the rules. Training reruns the q212 trajectory
+    // (weights are deterministic, so the composition is too);
+    // scoring is a pure map over the feature frame. -----
+    q("q213_classifier_gate", duckGateSql) { (s, dir) =>
+      val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
+      val (b, w) = trainLogreg(feats, 3).last
+      feats.withColumn("p",
+          lit(1.0) / (lit(1.0) + exp(-zCol(b, w))))
+        .select(col("doc_id"), col("y"), round(col("p"), 6).as("score"),
+          (col("p") >= 0.5).cast("int").as("admitted"),
+          ((col("p") >= 0.5) === (col("y") === 1)).cast("int").as("agree"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // ---- q212/q213 machinery ----------------------------------------
+
+  private val nDim = 8
+
+  /** Per-doc training row: teacher label (the q58 heuristic at its
+    * q138 threshold) + 8 feature-hashed word counts. Counts are exact
+    * ints; the teacher is the already-cross-engine-pinned quality
+    * score. */
+  private def logregFeats(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+      (TextAnalysis.quality(col("text")) >= 0.5).cast("int").as("y"),
+      expr("""transform(sequence(0, 7), d ->
+        |  size(filter(split(lower(text), ' '),
+        |    w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 8 = d)))"""
+        .stripMargin).as("x"))
+
+  /** b + Σ_d w_d·x_d folded in dim order — the identical IEEE
+    * sequence the oracle's generated SQL writes out. */
+  private def zCol(b: Double, w: Seq[Double]): Column =
+    (0 until nDim).foldLeft(lit(b): Column)((acc, d) =>
+      acc + lit(w(d)) * col("x").getItem(d).cast("double"))
+
+  /** T full-batch GD epochs (lr = 0.5, zero init). One aggregation
+    * per epoch; gradient terms floor-quantized to micro-units so the
+    * distributed sum is order-free. Returns (bias, weights) after
+    * every epoch. */
+  private def trainLogreg(feats: org.apache.spark.sql.DataFrame,
+      iters: Int): Seq[(Double, Array[Double])] = {
+    var b = 0.0
+    var w = Array.fill(nDim)(0.0)
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]()
+    for (_ <- 1 to iters) {
+      val withP = feats.withColumn("p",
+        lit(1.0) / (lit(1.0) + exp(-zCol(b, w))))
+      val gExprs = (0 until nDim).map(d =>
+        sum(floor(lit(1000000.0) * (col("p") - col("y"))
+          * col("x").getItem(d)).cast("long")).as(s"g$d")) ++ Seq(
+        sum(floor(lit(1000000.0) * (col("p") - col("y"))).cast("long")).as("gb"),
+        count(lit(1)).as("cnt"))
+      val row = withP.agg(gExprs.head, gExprs.tail: _*).collect()(0)
+      val cnt = row.getAs[Long]("cnt").toDouble
+      w = (0 until nDim).map(d =>
+        w(d) - 0.5 * ((row.getAs[Long](s"g$d").toDouble / 1000000.0) / cnt))
+        .toArray
+      b = b - 0.5 * ((row.getAs[Long]("gb").toDouble / 1000000.0) / cnt)
+      out += ((b, w))
+    }
+    out.toSeq
+  }
+
+  /** The identical training trajectory, unrolled as DuckDB CTEs —
+    * wt0 is the zero init, p_i/g_i/wt_i one epoch each. */
+  private def duckLogregCtes: String = {
+    val xs = (0 until nDim).map(d =>
+      s"len(list_filter(string_split(lower(text), ' '), w -> ${duckH32("w")} % 8 = $d)) AS x$d")
+      .mkString(",\n    ")
+    val zExpr = "w.b" + (0 until nDim).map(d => s" + w.w$d*f.x$d").mkString
+    def iterCtes(i: Int): String = {
+      val gs = (0 until nDim).map(d =>
+        s"sum(CAST(floor(1000000.0 * (p - y) * x$d) AS BIGINT)) AS g$d")
+        .mkString(", ")
+      val ws = (0 until nDim).map(d =>
+        s"w.w$d - 0.5*((g.g$d::DOUBLE/1000000.0)/g.cnt) AS w$d").mkString(", ")
+      s"""p$i AS (SELECT f.*, 1.0/(1.0 + exp(-($zExpr))) AS p FROM f, wt${i - 1} w),
+         |g$i AS (SELECT $gs, sum(CAST(floor(1000000.0 * (p - y)) AS BIGINT)) AS gb, count(*) AS cnt FROM p$i),
+         |wt$i AS (SELECT w.b - 0.5*((g.gb::DOUBLE/1000000.0)/g.cnt) AS b, $ws FROM wt${i - 1} w, g$i g)""".stripMargin
+    }
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST(${TextAnalysis.duckQuality} >= 0.5 AS INTEGER) AS y,
+       |    $xs
+       |  FROM documents),
+       |wt0 AS (SELECT 0.0 AS b, ${(0 until nDim).map(d => s"0.0 AS w$d").mkString(", ")}),
+       |${iterCtes(1)},
+       |${iterCtes(2)},
+       |${iterCtes(3)}""".stripMargin
+  }
+
+  private def duckLogregSql: String = {
+    val rows = (1 to 3).flatMap(i =>
+      (0 until nDim).map(d =>
+        s"SELECT $i AS iter, $d AS dim, round(w$d, 6) AS w FROM wt$i") :+
+        s"SELECT $i AS iter, 8 AS dim, round(b, 6) AS w FROM wt$i")
+      .mkString("\nUNION ALL ")
+    duckLogregCtes + "\n" + rows + "\nORDER BY iter, dim"
+  }
+
+  private def duckGateSql: String = {
+    val zExpr = "w.b" + (0 until nDim).map(d => s" + w.w$d*f.x$d").mkString
+    duckLogregCtes +
+      s""",
+         |pf AS (SELECT f.doc_id, f.y,
+         |         1.0/(1.0 + exp(-($zExpr))) AS p FROM f, wt3 w)
+         |SELECT doc_id, y, round(p, 6) AS score,
+         |  CAST(p >= 0.5 AS INTEGER) AS admitted,
+         |  CAST((p >= 0.5) = (y = 1) AS INTEGER) AS agree
+         |FROM pf ORDER BY doc_id""".stripMargin
+  }
+}

@@ -348,4 +348,38 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(seg#".r.findAllIn(p).nonEmpty,
       "segment strings must never reach an exchange")
   }
+
+  test("q208 gopher rules is a pure per-doc map: no exchange before the output sort") {
+    val p = plan("q208_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "rule evaluation must not shuffle the corpus")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "rules are per-doc expressions — no window, no join")
+  }
+
+  test("q209 shard manifest: heads ride the bounded TopK agg, never a per-shard window") {
+    val p = plan("q209_shard_manifest")
+    assert(!p.contains("Window"),
+      "shard heads must use the bounded TopK aggregate — a window " +
+        "partitioned by shard puts a shard's full contents in one task")
+    assert(p.contains("partial_topkagg"),
+      "TopK must combine map-side (shuffle carries shards × k rows)")
+  }
+
+  test("q210 PSI drift: one corpus agg, everything after is bucket-sized") {
+    val p = plan("q210_psi_drift")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // the only corpus-cardinality exchange is the (grp, bucket) count;
+    // the bucket/total joins run on ≤ 10-row frames
+    assert("Exchange hashpartitioning\\((grp|bucket)#".r.findAllIn(p).nonEmpty,
+      "slice histogram must be a map-side-combined count agg")
+  }
+
+  test("q211 quality canonical: cluster argmax is two aggs, never a cluster window") {
+    val p = plan("q211_quality_canonical")
+    assert(!p.contains("Window"),
+      "per-cluster best must be max aggs + equi join-back, not row_number")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "membership and join-backs must stay equi joins")
+  }
 }
