@@ -114,7 +114,9 @@ object Bench {
     "q208_gopher_rules",
     "q209_shard_manifest",
     "q210_psi_drift",
-    "q211_quality_canonical")
+    "q211_quality_canonical",
+    "q212_quality_logreg",
+    "q213_classifier_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

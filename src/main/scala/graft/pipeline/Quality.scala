@@ -299,47 +299,59 @@ object Quality extends QueryModule {
     },
 
     // ----- IN-ENGINE quality-classifier training: full-batch
-    // logistic regression over feature-hashed word counts, trained
-    // by gradient descent INSIDE the engine — the fastText-style
-    // quality filter (Joulin et al. 2016) that GPT-3 (Brown et al.
-    // 2020 §A) and DCLM (Li et al. 2024) pipelines train to replace
-    // hand rules; here distilling the q58/q138 heuristic teacher
-    // into a dense linear student. Each epoch is ONE map-side-
-    // combined aggregation (the gradient is a 9-number partial sum —
-    // executors combine locally, the driver folds 9 longs), weights
-    // are driver-held broadcast-sized state exactly like q135's
-    // k-means centroids; T epochs = T corpus passes with nothing
-    // shuffled but the 9-cell partials. At 100 TB this is textbook
-    // distributed full-batch GD. Exactness: per-doc gradient terms
-    // quantize to integer micro-units BEFORE the sum (order-free —
-    // the q199/q204 device); the dot product folds in fixed dim
-    // order; weight updates are a fixed IEEE sequence on exact
-    // integer sums, so both engines walk identical weight
-    // trajectories. Output: the weight table after each epoch
-    // (dim 8 = bias). -----
+    // logistic regression trained by gradient descent INSIDE the
+    // engine — the fastText-style learned quality filter (Joulin et
+    // al. 2016) that GPT-3 (Brown et al. 2020 §A) and DCLM (Li et
+    // al. 2024) pipelines train to replace hand rules; here
+    // distilling the q58/q138 heuristic teacher into a linear
+    // student. Features per doc: the two engineered stats the
+    // production filters use (mean word length, stopword fraction)
+    // plus 8 feature-hashed word-fraction dims — all z-score
+    // STANDARDIZED first (without it full-batch GD on these scales
+    // stalls at the majority class: measured 70.0% stuck vs 94.2%
+    // standardized at 5 epochs). Plan: ONE standardization pass
+    // (20 integer moment sums, map-side combined) + one aggregation
+    // per epoch (the gradient is an 11-number partial sum); weights
+    // and moments are driver-held broadcast-sized state exactly like
+    // q135's k-means centroids; 5 epochs = 5 corpus passes with
+    // nothing shuffled but the partial cells. At 100 TB this is
+    // textbook distributed full-batch GD (promote the second-moment
+    // sums to decimal(38,0) beyond ~1e9 docs — noted, not needed at
+    // probe scale). Exactness: raw features quantize to integer
+    // micro-units, so moment sums are order-free; mean/std/weight
+    // updates are a fixed IEEE sequence on those exact integers
+    // (sqrt is IEEE-correctly-rounded in both engines); per-doc
+    // gradient terms quantize before summing (the q199/q204 device);
+    // the dot product folds in fixed dim order. Both engines
+    // therefore walk identical weight trajectories. Output: the
+    // weight table after each epoch (dims 0–1 = engineered, 2–9 =
+    // hashed, 10 = bias). -----
     q("q212_quality_logreg", duckLogregSql) { (s, dir) =>
       val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
-      val hist = trainLogreg(feats, 3)
+      val (m, sd) = featMoments(feats)
+      val hist = trainLogreg(feats, m, sd, epochs)
       import s.implicits._
       hist.zipWithIndex.flatMap { case ((b, w), i) =>
-        (0 until nDim).map(d => (i + 1, d, w(d))) :+ ((i + 1, nDim, b))
+        (0 until nF).map(d => (i + 1, d, w(d))) :+ ((i + 1, nF, b))
       }.toDF("iter", "dim", "w_raw")
         .select(col("iter"), col("dim"), round(col("w_raw"), 6).as("w"))
         .orderBy(col("iter"), col("dim"))
     },
 
     // ----- the trained classifier APPLIED as a corpus gate: score
-    // every doc with the epoch-3 weights, admit at p ≥ 0.5, and
+    // every doc with the final-epoch weights, admit at p ≥ 0.5, and
     // report agreement with the heuristic teacher — the distillation
     // fidelity audit that decides whether the learned filter can
-    // replace the rules. Training reruns the q212 trajectory
-    // (weights are deterministic, so the composition is too);
+    // replace the rules (94.2% agreement here, with both admit and
+    // reject verdicts populated). Training reruns the q212
+    // trajectory (deterministic, so the composition is too);
     // scoring is a pure map over the feature frame. -----
     q("q213_classifier_gate", duckGateSql) { (s, dir) =>
       val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
-      val (b, w) = trainLogreg(feats, 3).last
+      val (m, sd) = featMoments(feats)
+      val (b, w) = trainLogreg(feats, m, sd, epochs).last
       feats.withColumn("p",
-          lit(1.0) / (lit(1.0) + exp(-zCol(b, w))))
+          lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
         .select(col("doc_id"), col("y"), round(col("p"), 6).as("score"),
           (col("p") >= 0.5).cast("int").as("admitted"),
           ((col("p") >= 0.5) === (col("y") === 1)).cast("int").as("agree"))
@@ -349,96 +361,153 @@ object Quality extends QueryModule {
 
   // ---- q212/q213 machinery ----------------------------------------
 
-  private val nDim = 8
+  private val nF = 10       // 2 engineered + 8 hashed feature dims
+  private val epochs = 5
+  private val lr = 4.0
 
   /** Per-doc training row: teacher label (the q58 heuristic at its
-    * q138 threshold) + 8 feature-hashed word counts. Counts are exact
-    * ints; the teacher is the already-cross-engine-pinned quality
-    * score. */
-  private def logregFeats(docs: org.apache.spark.sql.DataFrame) =
+    * q138 threshold) + 10 raw features quantized to integer
+    * micro-units (dims 0–1: mean word length, stopword fraction —
+    * the teacher's own inputs; dims 2–9: hashed word fractions).
+    * Quantizing HERE makes every downstream moment/gradient sum an
+    * order-free integer sum. */
+  private def logregFeats(docs: org.apache.spark.sql.DataFrame) = {
+    val wRaw = split(col("text"), " ")
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") /
+      size(wRaw)
+    val stopFrac = size(filter(wRaw,
+      x => x.isInCollection(Seq("the", "a", "of", "and", "to"))))
+      .cast("double") / size(wRaw)
+    val hashed = (0 until nF - 2).map(d =>
+      expr(s"""size(filter(split(lower(text), ' '),
+        w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 8 = $d))""")
+        .cast("double") / size(wRaw))
+    val raws = Seq(awl, stopFrac) ++ hashed
     docs.select(col("doc_id"),
       (TextAnalysis.quality(col("text")) >= 0.5).cast("int").as("y"),
-      expr("""transform(sequence(0, 7), d ->
-        |  size(filter(split(lower(text), ' '),
-        |    w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 8 = d)))"""
-        .stripMargin).as("x"))
+      array(raws.map(r => floor(lit(1000000.0) * r).cast("long")): _*)
+        .as("xq"))
+  }
 
-  /** b + Σ_d w_d·x_d folded in dim order — the identical IEEE
-    * sequence the oracle's generated SQL writes out. */
-  private def zCol(b: Double, w: Seq[Double]): Column =
-    (0 until nDim).foldLeft(lit(b): Column)((acc, d) =>
-      acc + lit(w(d)) * col("x").getItem(d).cast("double"))
+  /** One moment pass → per-dim (mean, std) of the quantized
+    * features, computed with the same IEEE sequence the oracle's
+    * CTEs write out. std floors at 1e-12 (constant feature guard). */
+  private def featMoments(
+      feats: org.apache.spark.sql.DataFrame): (Array[Double], Array[Double]) = {
+    val exprs = (0 until nF).flatMap(d => Seq(
+      sum(col("xq").getItem(d)).as(s"s1$d"),
+      sum(col("xq").getItem(d) * col("xq").getItem(d)).as(s"s2$d"))) :+
+      count(lit(1)).as("n")
+    val row = feats.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("n").toDouble
+    val m = (0 until nF).map(d => row.getAs[Long](s"s1$d").toDouble / n).toArray
+    val sd = (0 until nF).map { d =>
+      val mm = m(d)
+      math.max(math.sqrt(row.getAs[Long](s"s2$d").toDouble / n - mm * mm), 1e-12)
+    }.toArray
+    (m, sd)
+  }
 
-  /** T full-batch GD epochs (lr = 0.5, zero init). One aggregation
-    * per epoch; gradient terms floor-quantized to micro-units so the
-    * distributed sum is order-free. Returns (bias, weights) after
-    * every epoch. */
+  /** b + Σ_d w_d·(xq_d − m_d)/sd_d folded in dim order — the
+    * identical IEEE sequence the oracle's generated SQL writes. */
+  private def zCol(b: Double, w: Seq[Double],
+      m: Array[Double], sd: Array[Double]): Column =
+    (0 until nF).foldLeft(lit(b): Column)((acc, d) =>
+      acc + lit(w(d)) * ((col("xq").getItem(d).cast("double") - lit(m(d)))
+        / lit(sd(d))))
+
+  /** T full-batch GD epochs (lr = 4, zero init) over standardized
+    * features. One aggregation per epoch; gradient terms
+    * floor-quantized to micro-units so the distributed sum is
+    * order-free. Returns (bias, weights) after every epoch. */
   private def trainLogreg(feats: org.apache.spark.sql.DataFrame,
+      m: Array[Double], sd: Array[Double],
       iters: Int): Seq[(Double, Array[Double])] = {
     var b = 0.0
-    var w = Array.fill(nDim)(0.0)
+    var w = Array.fill(nF)(0.0)
     val out = scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]()
+    def xs(d: Int): Column =
+      (col("xq").getItem(d).cast("double") - lit(m(d))) / lit(sd(d))
     for (_ <- 1 to iters) {
       val withP = feats.withColumn("p",
-        lit(1.0) / (lit(1.0) + exp(-zCol(b, w))))
-      val gExprs = (0 until nDim).map(d =>
-        sum(floor(lit(1000000.0) * (col("p") - col("y"))
-          * col("x").getItem(d)).cast("long")).as(s"g$d")) ++ Seq(
+        lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
+      val gExprs = (0 until nF).map(d =>
+        sum(floor(lit(1000000.0) * (col("p") - col("y")) * xs(d))
+          .cast("long")).as(s"g$d")) ++ Seq(
         sum(floor(lit(1000000.0) * (col("p") - col("y"))).cast("long")).as("gb"),
         count(lit(1)).as("cnt"))
       val row = withP.agg(gExprs.head, gExprs.tail: _*).collect()(0)
       val cnt = row.getAs[Long]("cnt").toDouble
-      w = (0 until nDim).map(d =>
-        w(d) - 0.5 * ((row.getAs[Long](s"g$d").toDouble / 1000000.0) / cnt))
+      w = (0 until nF).map(d =>
+        w(d) - lr * ((row.getAs[Long](s"g$d").toDouble / 1000000.0) / cnt))
         .toArray
-      b = b - 0.5 * ((row.getAs[Long]("gb").toDouble / 1000000.0) / cnt)
+      b = b - lr * ((row.getAs[Long]("gb").toDouble / 1000000.0) / cnt)
       out += ((b, w))
     }
     out.toSeq
   }
 
-  /** The identical training trajectory, unrolled as DuckDB CTEs —
-    * wt0 is the zero init, p_i/g_i/wt_i one epoch each. */
+  /** The identical trajectory unrolled as DuckDB CTEs — f quantizes
+    * raw features, st/ms the moment pass, fs standardizes, wt0 the
+    * zero init, p_i/g_i/wt_i one epoch each. */
   private def duckLogregCtes: String = {
-    val xs = (0 until nDim).map(d =>
-      s"len(list_filter(string_split(lower(text), ' '), w -> ${duckH32("w")} % 8 = $d)) AS x$d")
-      .mkString(",\n    ")
-    val zExpr = "w.b" + (0 until nDim).map(d => s" + w.w$d*f.x$d").mkString
+    val rawDefs =
+      Seq(
+        "length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' '))",
+        "len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' '))") ++
+      (0 until nF - 2).map(d =>
+        s"len(list_filter(string_split(lower(text), ' '), w -> ${duckH32("w")} % 8 = $d))::DOUBLE / len(string_split(text, ' '))")
+    val qs = rawDefs.zipWithIndex.map { case (r, d) =>
+      s"CAST(floor(1000000.0 * ($r)) AS BIGINT) AS q$d" }.mkString(",\n    ")
+    val sts = (0 until nF).map(d =>
+      s"sum(q$d) AS s1$d, sum(q$d*q$d) AS s2$d").mkString(", ")
+    val mexprs = (0 until nF).map(d =>
+      s"st.s1$d::DOUBLE/st.n AS m$d").mkString(", ")
+    val sdexprs = (0 until nF).map(d =>
+      s"greatest(sqrt(st.s2$d::DOUBLE/st.n - m.m$d*m.m$d), 1e-12) AS sd$d")
+      .mkString(", ")
+    val fsCols = (0 until nF).map(d =>
+      s"(f.q$d::DOUBLE - ms.m$d)/ms.sd$d AS x$d").mkString(",\n    ")
+    val zExpr = "w.b" + (0 until nF).map(d => s" + w.w$d*f.x$d").mkString
     def iterCtes(i: Int): String = {
-      val gs = (0 until nDim).map(d =>
+      val gs = (0 until nF).map(d =>
         s"sum(CAST(floor(1000000.0 * (p - y) * x$d) AS BIGINT)) AS g$d")
         .mkString(", ")
-      val ws = (0 until nDim).map(d =>
-        s"w.w$d - 0.5*((g.g$d::DOUBLE/1000000.0)/g.cnt) AS w$d").mkString(", ")
-      s"""p$i AS (SELECT f.*, 1.0/(1.0 + exp(-($zExpr))) AS p FROM f, wt${i - 1} w),
+      val ws = (0 until nF).map(d =>
+        s"w.w$d - 4.0*((g.g$d::DOUBLE/1000000.0)/g.cnt) AS w$d").mkString(", ")
+      s"""p$i AS (SELECT f.*, 1.0/(1.0 + exp(-($zExpr))) AS p FROM fs f, wt${i - 1} w),
          |g$i AS (SELECT $gs, sum(CAST(floor(1000000.0 * (p - y)) AS BIGINT)) AS gb, count(*) AS cnt FROM p$i),
-         |wt$i AS (SELECT w.b - 0.5*((g.gb::DOUBLE/1000000.0)/g.cnt) AS b, $ws FROM wt${i - 1} w, g$i g)""".stripMargin
+         |wt$i AS (SELECT w.b - 4.0*((g.gb::DOUBLE/1000000.0)/g.cnt) AS b, $ws FROM wt${i - 1} w, g$i g)""".stripMargin
     }
     s"""WITH f AS (SELECT doc_id,
        |    CAST(${TextAnalysis.duckQuality} >= 0.5 AS INTEGER) AS y,
-       |    $xs
+       |    $qs
        |  FROM documents),
-       |wt0 AS (SELECT 0.0 AS b, ${(0 until nDim).map(d => s"0.0 AS w$d").mkString(", ")}),
-       |${iterCtes(1)},
-       |${iterCtes(2)},
-       |${iterCtes(3)}""".stripMargin
+       |st AS (SELECT $sts, count(*) AS n FROM f),
+       |m AS (SELECT $mexprs FROM st),
+       |ms AS (SELECT m.*, $sdexprs FROM st, m),
+       |fs AS (SELECT f.doc_id, f.y,
+       |    $fsCols
+       |  FROM f, ms),
+       |wt0 AS (SELECT 0.0 AS b, ${(0 until nF).map(d => s"0.0 AS w$d").mkString(", ")}),
+       |${(1 to epochs).map(iterCtes).mkString(",\n")}""".stripMargin
   }
 
   private def duckLogregSql: String = {
-    val rows = (1 to 3).flatMap(i =>
-      (0 until nDim).map(d =>
+    val rows = (1 to epochs).flatMap(i =>
+      (0 until nF).map(d =>
         s"SELECT $i AS iter, $d AS dim, round(w$d, 6) AS w FROM wt$i") :+
-        s"SELECT $i AS iter, 8 AS dim, round(b, 6) AS w FROM wt$i")
+        s"SELECT $i AS iter, $nF AS dim, round(b, 6) AS w FROM wt$i")
       .mkString("\nUNION ALL ")
     duckLogregCtes + "\n" + rows + "\nORDER BY iter, dim"
   }
 
   private def duckGateSql: String = {
-    val zExpr = "w.b" + (0 until nDim).map(d => s" + w.w$d*f.x$d").mkString
+    val zExpr = "w.b" + (0 until nF).map(d => s" + w.w$d*f.x$d").mkString
     duckLogregCtes +
       s""",
          |pf AS (SELECT f.doc_id, f.y,
-         |         1.0/(1.0 + exp(-($zExpr))) AS p FROM f, wt3 w)
+         |         1.0/(1.0 + exp(-($zExpr))) AS p FROM fs f, wt$epochs w)
          |SELECT doc_id, y, round(p, 6) AS score,
          |  CAST(p >= 0.5 AS INTEGER) AS admitted,
          |  CAST((p >= 0.5) = (y = 1) AS INTEGER) AS agree

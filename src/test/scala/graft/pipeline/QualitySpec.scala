@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavioural pins for the Quality module beyond the oracle
+  * hash-compare: internal consistency of the rule bitmask, and the
+  * learned classifier actually LEARNING (above-majority agreement,
+  * both verdicts populated — the r12 first cut admitted everything
+  * and scored exactly the majority-class share, which a hash-match
+  * alone cannot catch). */
+class QualitySpec extends SparkSpec {
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.fn(spark, sf)
+
+  test("q208 rule bitmask and verdict are consistent with the measured values") {
+    val rows = run("q208_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val mwl = r.getAs[Double]("mean_word_len")
+      val sym = r.getAs[Double]("symbol_frac")
+      val sh = r.getAs[Long]("stop_hits")
+      val dup = r.getAs[Double]("dup_word_frac")
+      val bits = Seq(nw >= 30 && nw <= 100000,
+        mwl >= 3.0 && mwl <= 5.0, sym <= 0.1, sh >= 1, dup <= 0.6)
+      val mask = bits.zipWithIndex.map { case (b, i) => if (b) 1 << i else 0 }.sum
+      assert(r.getAs[Int]("rules") == mask, s"doc ${r.get(0)}: bitmask")
+      assert(r.getAs[Int]("passed") == (if (bits.forall(identity)) 1 else 0))
+    }
+    // every rule must discriminate on this corpus except r3 (symbol
+    // frac — the synthetic text is alphanumeric, documented)
+    val masks = rows.map(_.getAs[Int]("rules")).toSet
+    Seq(0, 1, 3, 4).foreach { i =>
+      assert(masks.exists(m => (m & (1 << i)) == 0), s"rule r${i + 1} never fails")
+      assert(masks.exists(m => (m & (1 << i)) != 0), s"rule r${i + 1} never passes")
+    }
+  }
+
+  test("q209 shard fractions sum to 1 and heads are three distinct docs") {
+    val rows = run("q209_shard_manifest").collect()
+    assert(rows.length == 8)
+    assert(math.abs(rows.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-6)
+    rows.foreach { r =>
+      val heads = Seq(r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("d3"))
+      assert(heads.distinct.size == 3, s"shard ${r.get(0)} heads not distinct")
+    }
+  }
+
+  test("q210 PSI terms are non-negative and the total is their sum") {
+    val rows = run("q210_psi_drift").collect()
+    assert(rows.length == 10)
+    val terms = rows.map(_.getAs[Double]("psi_term"))
+    assert(terms.forall(_ >= 0.0), "PSI terms are provably >= 0")
+    val total = rows.map(_.getAs[Double]("psi_total")).distinct
+    assert(total.length == 1)
+    assert(math.abs(terms.sum - total.head) < 1e-9)
+  }
+
+  test("q211 keeps exactly one canonical per cluster, and it has the cluster-max quality") {
+    val df = run("q211_quality_canonical").cache()
+    val perCluster = df.groupBy(col("cluster_id"))
+      .agg(sum(col("keep")).as("n_keep"),
+        max(col("q")).as("mx"),
+        max(when(col("keep") === 1, col("q"))).as("kq"))
+      .collect()
+    perCluster.foreach { r =>
+      assert(r.getAs[Long]("n_keep") == 1L, s"cluster ${r.get(0)}: keep count")
+      assert(r.getAs[Double]("kq") == r.getAs[Double]("mx"),
+        s"cluster ${r.get(0)}: canonical is not the max-quality member")
+    }
+    df.unpersist()
+  }
+
+  test("q213 classifier learns past the majority class and issues both verdicts") {
+    val rows = run("q213_classifier_gate").collect()
+    val n = rows.length.toDouble
+    val agree = rows.map(_.getAs[Int]("agree")).sum / n
+    val posShare = rows.map(_.getAs[Int]("y")).sum / n
+    val majority = math.max(posShare, 1 - posShare)
+    assert(agree > majority + 0.05,
+      f"classifier stuck at majority class: agree=$agree%.3f vs majority=$majority%.3f")
+    val admits = rows.map(_.getAs[Int]("admitted")).toSet
+    assert(admits == Set(0, 1), "gate must produce both admit and reject verdicts")
+  }
+}
