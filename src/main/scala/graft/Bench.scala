@@ -116,7 +116,12 @@ object Bench {
     "q210_psi_drift",
     "q211_quality_canonical",
     "q212_quality_logreg",
-    "q213_classifier_gate")
+    "q213_classifier_gate",
+    // r12 additions: LM training / tokenizer training
+    "q214_kn_bigram_lm",
+    "q215_kn_heldout_ppl",
+    "q216_bpe_train",
+    "q217_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,6 +48,7 @@ object Registry {
     graft.pipeline.TextAnalysis,
     graft.pipeline.CorpusStats,
     graft.pipeline.Quality,
+    graft.pipeline.LangModel,
     graft.pipeline.Multimodal,
     graft.cep.CepQueries,
     graft.table.TableQueries,

@@ -382,4 +382,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "membership and join-backs must stay equi joins")
   }
+
+  test("q214 KN model: marginals aggregate the checkpointed bigram table, not the corpus") {
+    val p = plan("q214_kn_bigram_lm")
+    // the single corpus pass happens inside the checkpointed bigram
+    // count (LangModelSpec pins that plan); the model arithmetic must
+    // not touch parquet again
+    assert(!"Scan parquet[^\n]*documents".r.findAllIn(p).hasNext,
+      "a marginal re-derived the corpus explode instead of reading the bigram table")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "smoothing arithmetic must stay on equi-joined aggregates")
+  }
+
+  test("q215 held-out scoring joins the model by word keys, no window") {
+    val p = plan("q215_kn_heldout_ppl")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "per-pair probability lookup must be hash equi joins")
+    // the 1-row ntot side rides a broadcast, never a shuffled cross
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q217 BPE application: one corpus scan + equi join on word types") {
+    val p = plan("q217_bpe_tokenize")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "application must touch the corpus once (rewrites happen per word type)")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "token counts are a doc-keyed agg over an equi join")
+  }
 }

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavioural pins for the LangModel module beyond the oracle
+  * hash-compare: the KN model's probability-mass invariants (the
+  * smoothing identity a hash-match of one corpus cannot pin), the
+  * BPE encoding's lossless-segmentation invariant, and monotone
+  * token-count reduction under merges. */
+class LangModelSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.fn(spark, sf)
+
+  test("q214 KN invariants: discounted mass + lambda = 1 per context; p_cont sums to 1") {
+    val m = run("q214_kn_bigram_lm").collect()
+    assert(m.nonEmpty)
+    // per context w1: sum of discounted ML terms = 1 - lambda(w1)
+    m.groupBy(_.getAs[String]("w1")).foreach { case (w1, rows) =>
+      val ctx = rows.head.getAs[Long]("ctx").toDouble
+      val lam = rows.head.getAs[Double]("lambda")
+      val disc = rows.map(r => math.max(r.getAs[Long]("c") - 0.75, 0.0) / ctx).sum
+      assert(math.abs(disc + lam - 1.0) < 1e-6, s"context $w1 mass")
+      // every row of one context agrees on lambda
+      assert(rows.forall(r => math.abs(r.getAs[Double]("lambda") - lam) < 1e-9))
+    }
+    // continuation distribution: one value per w2, summing to 1
+    val pc = m.groupBy(_.getAs[String]("w2"))
+      .map(_._2.head.getAs[Double]("p_cont")).sum
+    assert(math.abs(pc - 1.0) < 1e-4, s"p_cont total $pc")
+  }
+
+  test("q214 bigram-count build scans the corpus exactly once (pre-checkpoint plan)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val pre = LangModel.bigrams(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val p = pre.queryExecution.executedPlan.toString
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "the bigram count is THE one corpus pass; everything downstream " +
+        "reads its checkpoint")
+  }
+
+  test("q215 held-out scoring: only odd docs, ppl = exp(cross_entropy), finite") {
+    val rows = run("q215_kn_heldout_ppl").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 == 1)
+      val h = r.getAs[Double]("cross_entropy")
+      val p = r.getAs[Double]("ppl")
+      assert(h > 0.0 && p > 1.0 && p.isFinite)
+      assert(math.abs(p - math.exp(h)) < math.max(1e-4, p * 1e-5))
+    }
+  }
+
+  test("q216 merges are deterministic, and segmentation stays lossless under them") {
+    val merges = run("q216_bpe_train").collect()
+    assert(merges.length == 6)
+    assert(merges.map(_.getAs[Int]("iter")).toSeq == (1 to 6))
+    merges.foreach(r => assert(r.getAs[Long]("cnt") > 0))
+    // losslessness: concatenating any word's final symbols reproduces
+    // word + the end marker (checked via the internal vocab frame)
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val vocab = LangModel.vocabAfterTraining(docs)
+    val bad = vocab
+      .select(col("word"),
+        regexp_replace(trim(col("sym")), "  ", "").as("joined"))
+      .filter(col("joined") =!= concat(col("word"), lit("_")))
+      .count()
+    assert(bad == 0, "a merge corrupted some word's segmentation")
+  }
+
+  test("q217 fertility: tokens per word within (1, chars+1]; merges reduced tokens") {
+    val t = run("q217_bpe_tokenize").collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      assert(f > 1.0, "end-of-word marker guarantees >= 2 tokens pre-merge, > 1 after")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"),
+        "every word is at least one token")
+    }
+    // corpus total with merges strictly below the unmerged total
+    // (chars + 1 marker per word occurrence)
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val unmerged = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .agg(sum(length(col("word")) + 1)).collect()(0).getLong(0)
+    val merged = t.map(_.getAs[Long]("n_tokens")).sum
+    assert(merged < unmerged, s"merges must reduce tokens: $merged vs $unmerged")
+  }
+}
