@@ -121,7 +121,9 @@ object Bench {
     "q214_kn_bigram_lm",
     "q215_kn_heldout_ppl",
     "q216_bpe_train",
-    "q217_bpe_tokenize")
+    "q217_bpe_tokenize",
+    "q218_cluster_balanced_keep",
+    "q219_stream_classifier_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -356,8 +356,55 @@ object Quality extends QueryModule {
           (col("p") >= 0.5).cast("int").as("admitted"),
           ((col("p") >= 0.5) === (col("y") === 1)).cast("int").as("agree"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- the trained gate AT INGEST (the q171↔q172 pattern:
+    // stream hash-equal to the batch relation): weights/moments are
+    // trained ONCE on the frozen batch corpus (the offline half of
+    // the offline-train / online-serve deployment every learned
+    // filter runs), then arriving docs score through a pure
+    // stateless map — feature projection + sigmoid are per-row
+    // expressions, so ingest carries NO state at all (no watermark,
+    // no window): the cheapest possible streaming operator shape,
+    // admitting or rejecting each doc the moment it lands. -----
+    q("q219_stream_classifier_gate",
+      duckLogregCtes +
+        s""",
+           |pf AS (SELECT f.doc_id,
+           |         1.0/(1.0 + exp(-(${(0 until nF).map(d => s"w.w$d*f.x$d")
+                      .mkString("w.b + ", " + ", "")}))) AS p
+           |       FROM fs f, wt$epochs w)
+           |SELECT doc_id, round(p, 6) AS score,
+           |  CAST(p >= 0.5 AS INTEGER) AS admitted
+           |FROM pf ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      streamGate(s, dir)
     }
   )
+
+  /** q219's engine: batch-train the q212 trajectory, then score a
+    * document stream with the frozen weights through a stateless map
+    * into an append-mode memory sink. */
+  private def streamGate(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
+    val (m, sd) = featMoments(feats)
+    val (b, w) = trainLogreg(feats, m, sd, epochs).last
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    val scored = logregFeats(stream)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
+      .select(col("doc_id"), round(col("p"), 6).as("score"),
+        (col("p") >= 0.5).cast("int").as("admitted"))
+    s.catalog.dropTempView("graft_stream_gate")
+    val query = scored.writeStream.format("memory")
+      .queryName("graft_stream_gate").outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    s.table("graft_stream_gate").orderBy(col("doc_id"))
+  }
 
   // ---- q212/q213 machinery ----------------------------------------
 

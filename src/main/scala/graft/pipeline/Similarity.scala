@@ -1393,6 +1393,53 @@ object Similarity extends QueryModule {
           round(coalesce(col("h"), lit(0L)).cast("double") / lit(3.0), 6)
             .as("recall_at_3"))
         .orderBy(col("query_id"))
+    },
+
+    // ----- cluster-balanced corpus selection (the DCLM-style
+    // diversity-preserving sampler, Li et al. 2024; also the
+    // "cluster then sample evenly" step of Tirumala et al. 2023
+    // D4): k-means the embedding space (q135's deterministic fit),
+    // then keep an EQUAL per-cluster budget — rare clusters are
+    // over-represented relative to proportional sampling, which is
+    // the point: the kept set spans the space instead of mirroring
+    // its density. Admission within a cluster is a deterministic
+    // content-independent hash order (reproducible under any
+    // partitioning, no coordination). Scale shape: assignment is
+    // corpus × broadcast(centroids) with a map-side-combinable
+    // argmin (the corpus never shuffles); per-cluster heads ride the
+    // bounded TopK aggregate — the exchange carries clusters × 24
+    // buffers, never a cluster's membership, and there is no Window
+    // anywhere (oracle ranks with one, Spark must not — PlanSpec).
+    // -----
+    q("q218_cluster_balanced_keep",
+      s"""WITH ${duckLloydCtes()},
+        |u AS (SELECT vec_id, cluster,
+        |  CAST(list_sum(list_transform(range(1,14),
+        |    hx -> (strpos('0123456789abcdef',
+        |             substr(md5('cb:' || vec_id), hx, 1))-1)
+        |          * (2**(4*(13-hx))))) AS BIGINT) AS u
+        |  FROM ${lloydFin()}),
+        |r AS (SELECT cluster, vec_id, u,
+        |        row_number() OVER (PARTITION BY cluster
+        |          ORDER BY u, vec_id) AS rn
+        |      FROM u)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rn AS INTEGER) AS rn,
+        |  vec_id, u FROM r WHERE rn <= 24
+        |ORDER BY cluster, rn""") { (s, dir) =>
+      import graft.functions.TopK
+      val uCol = conv(substring(md5(concat(lit("cb:"),
+        col("vec_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      val kept = kmeansClusters(Tables.t(s, dir, "embeddings"), 8, 2)
+        .withColumn("u", uCol)
+        .groupBy(col("cluster"))
+        .agg(TopK.topK(24)(-col("u").cast("double"), col("vec_id")).as("head"))
+        .select(col("cluster"), posexplode(col("head")))
+      kept.select(col("cluster").cast("long").as("cluster"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("vec_id"))
+        .withColumn("u", conv(substring(md5(concat(lit("cb:"),
+          col("vec_id").cast("string"))), 1, 13), 16, 10).cast("long"))
+        .orderBy(col("cluster"), col("rn"))
     }
   )
 

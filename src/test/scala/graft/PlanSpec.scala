@@ -402,6 +402,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q218 cluster-balanced keep: bounded TopK per cluster, never a window") {
+    val p = plan("q218_cluster_balanced_keep")
+    assert(!p.contains("Window"),
+      "per-cluster heads must ride the bounded TopK aggregate — a window " +
+        "partitioned by cluster puts a cluster's full membership in one task")
+    assert(p.contains("partial_topkagg"),
+      "TopK must combine map-side (shuffle carries clusters × 24 buffers)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q217 BPE application: one corpus scan + equi join on word types") {
     val p = plan("q217_bpe_tokenize")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,

@@ -84,4 +84,18 @@ class QualitySpec extends SparkSpec {
     val admits = rows.map(_.getAs[Int]("admitted")).toSet
     assert(admits == Set(0, 1), "gate must produce both admit and reject verdicts")
   }
+
+  test("q219 stream gate is row-identical to the batch gate's serve columns") {
+    // the q171↔q172 contract: scoring at ingest must produce exactly
+    // the batch relation — same weights, same features, same verdicts
+    val batch = run("q213_classifier_gate")
+      .select(col("doc_id"), col("score"), col("admitted")).collect()
+    val stream = run("q219_stream_classifier_gate").collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id"))
+      assert(s.getAs[Double]("score") == b.getAs[Double]("score"))
+      assert(s.getAs[Int]("admitted") == b.getAs[Int]("admitted"))
+    }
+  }
 }
