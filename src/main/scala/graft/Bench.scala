@@ -123,7 +123,8 @@ object Bench {
     "q216_bpe_train",
     "q217_bpe_tokenize",
     "q218_cluster_balanced_keep",
-    "q219_stream_classifier_gate")
+    "q219_stream_classifier_gate",
+    "q220_moore_lewis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,38 +96,23 @@ object LangModel extends QueryModule {
           |  LEFT JOIN ct ON hb.w2 = ct.w2
           |  CROSS JOIN nt)
           |SELECT doc_id, count(*) AS n_pairs,
-          |  round(-(sum(tq)::DOUBLE/1000000.0)/count(*), 6) AS cross_entropy,
-          |  round(exp(-(sum(tq)::DOUBLE/1000000.0)/count(*)), 6) AS ppl
+          |  CAST(floor((-sum(tq))::DOUBLE / count(*)) AS BIGINT)::DOUBLE
+          |    / 1000000.0 AS cross_entropy,
+          |  round(exp(CAST(floor((-sum(tq))::DOUBLE / count(*)) AS BIGINT)::DOUBLE
+          |    / 1000000.0), 6) AS ppl
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
       val model = knModel(bigrams(docs.filter(col("doc_id") % 2 === 0)))
         .localCheckpoint() // feeds three join probes; one materialization
-      val hb = bigrams(docs.filter(col("doc_id") % 2 === 1), withDoc = true)
-      val cx = model.select(col("w1"), col("ctx"), col("nf")).distinct()
-      val ct = model.select(col("w2"), col("np")).distinct()
-      val nt = model.select(col("ntot")).limit(1)
-      val p = when(col("ctx").isNotNull,
-          greatest(coalesce(col("c"), lit(0L)).cast("double") - D, lit(0.0))
-            / col("ctx")
-            + ((lit(D) * col("nf")) / col("ctx"))
-              * (coalesce(col("np"), lit(0L)).cast("double") / col("ntot")))
-        .when(col("np").isNotNull, col("np").cast("double") / col("ntot"))
-        .otherwise(lit(1.0) / col("ntot"))
-      hb.join(model.select(col("w1"), col("w2"), col("c")),
-          Seq("w1", "w2"), "left")
-        .join(cx, Seq("w1"), "left")
-        .join(ct, Seq("w2"), "left")
-        .crossJoin(broadcast(nt))
-        .select(col("doc_id"),
-          floor(lit(1000000.0) * log(greatest(p, lit(1e-9))))
-            .cast("long").as("tq"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("tq")).as("sq"))
+      docScore(bigrams(docs.filter(col("doc_id") % 2 === 1), withDoc = true),
+          model)
         .select(col("doc_id"), col("n_pairs"),
-          round(-(col("sq").cast("double") / 1000000.0) / col("n_pairs"), 6)
-            .as("cross_entropy"),
-          round(exp(-(col("sq").cast("double") / 1000000.0) / col("n_pairs")),
-            6).as("ppl"))
+          // cross-entropy floors in the exact per-pair micro-nat
+          // domain (round(·,6) on the fp quotient hit a .5 boundary
+          // the two engines broke differently at sf0.1 — the q220
+          // delta lesson, applied consistently)
+          hMicro(-col("sq")).as("cross_entropy"),
+          round(exp(hMicro(-col("sq"))), 6).as("ppl"))
         .orderBy(col("doc_id"))
     },
 
@@ -201,6 +186,62 @@ object LangModel extends QueryModule {
           round(col("n_tokens").cast("double") / col("n_words"), 6)
             .as("fertility"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- Moore-Lewis cross-entropy-difference selection (Moore &
+    // Lewis 2010; the CCNet/Wenzek et al. 2020 selection criterion):
+    // score every doc under an IN-DOMAIN LM (trained on src0) and
+    // the GENERAL corpus LM, keep docs where H_in − H_gen ≤ 0 — docs
+    // the target domain explains better than the background. The
+    // classic "select web data that looks like my domain" operator.
+    // Plan: two KN model builds (each one corpus pass into a
+    // checkpointed vocab²-bounded count table — the in-domain pass
+    // scans only the src0 partition), then each scorer re-scans the
+    // corpus once for its bigram probe (two linear passes; at 100 TB
+    // you'd tag-union the two model tables and score both in one
+    // pass — the two-pass form keeps the shared q215 scorer exact
+    // and each pass is the same word-keyed equi-join shape). The
+    // keep verdict compares the RAW micro-nat sums (integer compare,
+    // no fp boundary risk); the printed deltas round at the output.
+    // -----
+    q("q220_moore_lewis",
+      "WITH " + duckKnBody("(SELECT * FROM documents WHERE source = 'src0')",
+        "i_") + ",\n" +
+        duckKnBody("documents", "g_") +
+        """,
+          |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |       FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+          |             FROM (SELECT doc_id, string_split(lower(text),' ') AS w
+          |                   FROM documents)
+          |             WHERE len(w) >= 2)),
+          |""".stripMargin +
+        duckScoreBody("hb", "i_") + ",\n" + duckScoreBody("hb", "g_") +
+        """
+          |SELECT i.doc_id, CAST(i.n AS BIGINT) AS n_pairs,
+          |  CAST(floor((-i.sq)::DOUBLE / i.n) AS BIGINT)::DOUBLE
+          |    / 1000000.0 AS h_in,
+          |  CAST(floor((-g.sq)::DOUBLE / g.n) AS BIGINT)::DOUBLE
+          |    / 1000000.0 AS h_gen,
+          |  CAST(floor((g.sq - i.sq)::DOUBLE / i.n) AS BIGINT)::DOUBLE
+          |    / 1000000.0 AS delta,
+          |  CAST(i.sq >= g.sq AS INTEGER) AS keep
+          |FROM i_ag i JOIN g_ag g USING (doc_id)
+          |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val modelIn = knModel(bigrams(docs.filter(col("source") === "src0")))
+        .localCheckpoint()
+      val modelGen = knModel(bigrams(docs)).localCheckpoint()
+      val si = docScore(bigrams(docs, withDoc = true), modelIn)
+        .select(col("doc_id"), col("n_pairs"), col("sq").as("sq_in"))
+      val sg = docScore(bigrams(docs, withDoc = true), modelGen)
+        .select(col("doc_id"), col("sq").as("sq_gen"))
+      si.join(sg, "doc_id")
+        .select(col("doc_id"), col("n_pairs"),
+          hMicro(-col("sq_in")).as("h_in"),
+          hMicro(-col("sq_gen")).as("h_gen"),
+          hMicro(col("sq_gen") - col("sq_in")).as("delta"),
+          (col("sq_in") >= col("sq_gen")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -239,21 +280,46 @@ object LangModel extends QueryModule {
         col("np"), col("ntot"))
   }
 
-  /** The model CTEs shared by q214/q215, over a parameterized
-    * training relation. Names: cb (bigram counts), cx (context
-    * totals + follower diversity), ct (continuation diversity),
-    * nt (total bigram types), model (all joined). */
-  private def duckKnCtes(rel: String): String =
-    s"""WITH tb AS (SELECT w[i] AS w1, w[i+1] AS w2
+  /** The model CTEs shared by q214/q215/q220, over a parameterized
+    * training relation. Names (prefixed by `p` so two models can
+    * coexist in one statement): {p}cb (bigram counts), {p}cx
+    * (context totals + follower diversity), {p}ct (continuation
+    * diversity), {p}nt (total bigram types), {p}model (all joined).
+    * Emitted WITHOUT a leading WITH so callers can chain several. */
+  private def duckKnBody(rel: String, p: String): String =
+    s"""${p}tb AS (SELECT w[i] AS w1, w[i+1] AS w2
        |      FROM (SELECT unnest(range(1, len(w))) AS i, w
        |            FROM (SELECT string_split(lower(text),' ') AS w FROM $rel)
        |            WHERE len(w) >= 2)),
-       |cb AS (SELECT w1, w2, count(*) AS c FROM tb GROUP BY w1, w2),
-       |cx AS (SELECT w1, sum(c) AS ctx, count(*) AS nf FROM cb GROUP BY w1),
-       |ct AS (SELECT w2, count(*) AS np FROM cb GROUP BY w2),
-       |nt AS (SELECT count(*) AS ntot FROM cb),
-       |model AS (SELECT cb.w1, cb.w2, cb.c, cx.ctx, cx.nf, ct.np, nt.ntot
-       |          FROM cb JOIN cx USING (w1) JOIN ct USING (w2), nt)""".stripMargin
+       |${p}cb AS (SELECT w1, w2, count(*) AS c FROM ${p}tb GROUP BY w1, w2),
+       |${p}cx AS (SELECT w1, sum(c) AS ctx, count(*) AS nf FROM ${p}cb GROUP BY w1),
+       |${p}ct AS (SELECT w2, count(*) AS np FROM ${p}cb GROUP BY w2),
+       |${p}nt AS (SELECT count(*) AS ntot FROM ${p}cb),
+       |${p}model AS (SELECT cb.w1, cb.w2, cb.c, cx.ctx, cx.nf, ct.np, nt.ntot
+       |          FROM ${p}cb cb JOIN ${p}cx cx USING (w1)
+       |          JOIN ${p}ct ct USING (w2), ${p}nt nt)""".stripMargin
+
+  private def duckKnCtes(rel: String): String =
+    "WITH " + duckKnBody(rel, "")
+
+  /** Per-doc quantized-log-prob scoring CTEs against the `{p}model`
+    * family: emits {p}sc (per-pair micro-nats) and {p}ag
+    * (doc_id, n, sq). `hbRel` must provide (doc_id, w1, w2). */
+  private def duckScoreBody(hbRel: String, p: String): String =
+    s"""${p}sc AS (SELECT hb.doc_id,
+       |    CAST(floor(1000000.0 * ln(greatest(CASE
+       |      WHEN cx.ctx IS NOT NULL THEN
+       |        greatest(coalesce(m.c, 0) - 0.75, 0.0)/cx.ctx
+       |        + ((0.75*cx.nf)/cx.ctx)*(coalesce(ct.np, 0)::DOUBLE/nt.ntot)
+       |      WHEN ct.np IS NOT NULL THEN ct.np::DOUBLE/nt.ntot
+       |      ELSE 1.0/nt.ntot END, 1e-9))) AS BIGINT) AS tq
+       |  FROM $hbRel hb
+       |  LEFT JOIN ${p}cb m ON hb.w1 = m.w1 AND hb.w2 = m.w2
+       |  LEFT JOIN ${p}cx cx ON hb.w1 = cx.w1
+       |  LEFT JOIN ${p}ct ct ON hb.w2 = ct.w2
+       |  CROSS JOIN ${p}nt nt),
+       |${p}ag AS (SELECT doc_id, count(*) AS n, sum(tq) AS sq
+       |           FROM ${p}sc GROUP BY doc_id)""".stripMargin
 
   // ---- BPE machinery -------------------------------------------------
 
@@ -303,6 +369,43 @@ object LangModel extends QueryModule {
         .localCheckpoint()
     }
     (v, merges.toSeq)
+  }
+
+  /** Per-pair micro-nat normalization that is engine-identical:
+    * floor of a correctly-rounded quotient of exact integers (the
+    * round(·,6) form hit .5 boundaries the two engines broke
+    * differently). Expects `n_pairs` in scope. */
+  private def hMicro(microSum: Column): Column =
+    floor(microSum.cast("double") / col("n_pairs")).cast("long")
+      .cast("double") / lit(1000000.0)
+
+  /** Per-doc quantized log-prob aggregation of an (doc_id, w1, w2)
+    * bigram frame against a KN model: (doc_id, n_pairs, sq) with sq
+    * = Σ floor(1e6·ln p) — the order-free integer form both engines
+    * sum identically. Full interpolated backoff over the three
+    * join-null regimes (seen context / continuation-only / floor).
+    * Shared by q215 (held-out ppl) and q220 (Moore-Lewis). */
+  private def docScore(hb: DataFrame, model: DataFrame): DataFrame = {
+    val cx = model.select(col("w1"), col("ctx"), col("nf")).distinct()
+    val ct = model.select(col("w2"), col("np")).distinct()
+    val nt = model.select(col("ntot")).limit(1)
+    val p = when(col("ctx").isNotNull,
+        greatest(coalesce(col("c"), lit(0L)).cast("double") - D, lit(0.0))
+          / col("ctx")
+          + ((lit(D) * col("nf")) / col("ctx"))
+            * (coalesce(col("np"), lit(0L)).cast("double") / col("ntot")))
+      .when(col("np").isNotNull, col("np").cast("double") / col("ntot"))
+      .otherwise(lit(1.0) / col("ntot"))
+    hb.join(model.select(col("w1"), col("w2"), col("c")),
+        Seq("w1", "w2"), "left")
+      .join(cx, Seq("w1"), "left")
+      .join(ct, Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * log(greatest(p, lit(1e-9))))
+          .cast("long").as("tq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("tq")).as("sq"))
   }
 
   /** Test hook: the vocab frame (word, freq, sym) after training —

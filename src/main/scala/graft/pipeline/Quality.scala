@@ -438,19 +438,30 @@ object Quality extends QueryModule {
 
   /** One moment pass → per-dim (mean, std) of the quantized
     * features, computed with the same IEEE sequence the oracle's
-    * CTEs write out. std floors at 1e-12 (constant feature guard). */
+    * CTEs write out. std floors at 1e-12 (constant feature guard).
+    * Second moments sum in decimal(38,0): per-row q² reaches ~4e14
+    * (micro-unit features square), so a LONG sum overflows ANSI mode
+    * near ~2e4 corpus rows × replicas — caught by the 100× decade
+    * probe, not theory (the original "safe to ~1e9 docs" note was
+    * wrong). The decimal sum is exact and order-free like the long
+    * one; DuckDB's BIGINT sum is HUGEINT already, and both convert
+    * to double once before the single division, so trajectories are
+    * unchanged at every scale that didn't overflow. */
   private def featMoments(
       feats: org.apache.spark.sql.DataFrame): (Array[Double], Array[Double]) = {
     val exprs = (0 until nF).flatMap(d => Seq(
       sum(col("xq").getItem(d)).as(s"s1$d"),
-      sum(col("xq").getItem(d) * col("xq").getItem(d)).as(s"s2$d"))) :+
+      sum((col("xq").getItem(d) * col("xq").getItem(d))
+        .cast("decimal(38,0)")).as(s"s2$d"))) :+
       count(lit(1)).as("n")
     val row = feats.agg(exprs.head, exprs.tail: _*).collect()(0)
     val n = row.getAs[Long]("n").toDouble
     val m = (0 until nF).map(d => row.getAs[Long](s"s1$d").toDouble / n).toArray
     val sd = (0 until nF).map { d =>
       val mm = m(d)
-      math.max(math.sqrt(row.getAs[Long](s"s2$d").toDouble / n - mm * mm), 1e-12)
+      math.max(math.sqrt(
+        row.getAs[java.math.BigDecimal](s"s2$d").doubleValue() / n - mm * mm),
+        1e-12)
     }.toArray
     (m, sd)
   }

@@ -412,6 +412,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q220 Moore-Lewis: two linear scoring passes, models stay checkpointed tables") {
+    val p = plan("q220_moore_lewis")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size <= 2,
+      "each scorer re-scans the corpus once; model marginals must read checkpoints")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "probability lookups must stay word-keyed hash equi joins")
+  }
+
   test("q217 BPE application: one corpus scan + equi join on word types") {
     val p = plan("q217_bpe_tokenize")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,

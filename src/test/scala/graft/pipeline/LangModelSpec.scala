@@ -53,6 +53,28 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("q220 Moore-Lewis: verdict consistent with the entropies, and it selects the domain") {
+    val rows = run("q220_moore_lewis").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("delta")
+      val h = r.getAs[Double]("h_in") - r.getAs[Double]("h_gen")
+      assert(math.abs(d - h) < 3e-6, "delta must be h_in - h_gen (to quantization)")
+      assert(r.getAs[Int]("keep") == (if (d <= 0) 1 else 0),
+        "keep verdict must match the sign of the cross-entropy difference")
+    }
+    // the in-domain source must be kept at a far higher rate than the
+    // background — the operator's whole point
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val (inD, out) = rows.partition(r => docs(r.getAs[Long]("doc_id")) == "src0")
+    def keepRate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Int]("keep")).sum.toDouble / rs.length
+    assert(keepRate(inD) > keepRate(out) + 0.3,
+      s"in-domain keep rate ${keepRate(inD)} not above background ${keepRate(out)}")
+  }
+
   test("q216 merges are deterministic, and segmentation stays lossless under them") {
     val merges = run("q216_bpe_train").collect()
     assert(merges.length == 6)
