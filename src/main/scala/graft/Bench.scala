@@ -124,7 +124,8 @@ object Bench {
     "q217_bpe_tokenize",
     "q218_cluster_balanced_keep",
     "q219_stream_classifier_gate",
-    "q220_moore_lewis")
+    "q220_moore_lewis",
+    "q221_curation_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,38 @@ object Quality extends QueryModule {
 
   private val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The composite Gopher gate as ONE boolean over a raw documents
+    * frame — the shared predicate q208 reports on and q221 filters
+    * with (QualitySpec's bitmask↔passed check pins the two against
+    * each other; the thresholds live only here and in the oracle
+    * strings). */
+  private[pipeline] def gopherPass: Column = {
+    val w = split(col("text"), " ")
+    val wl = split(lower(col("text")), " ")
+    val nWords = size(w)
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val sym = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+      .cast("double") / col("n_chars")
+    val stopHits = size(array_intersect(array_distinct(wl),
+      array(stopList.map(lit): _*)))
+    val dup = lit(1.0) - size(array_distinct(wl)).cast("double") / nWords
+    (nWords >= 30 && nWords <= 100000) &&
+      (mwl >= 3.0 && mwl <= 5.0) && (sym <= 0.1) &&
+      (stopHits >= 1) && (dup <= 0.6)
+  }
+
+  /** The identical gate as a DuckDB boolean over `documents` rows. */
+  private[pipeline] def duckGopherPass: String =
+    s"""(len(string_split(text, ' ')) BETWEEN 30 AND 100000
+       | AND (length(replace(text, ' ', ''))::DOUBLE
+       |      / len(string_split(text, ' '))) BETWEEN 3.0 AND 5.0
+       | AND (length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |      / n_chars) <= 0.1
+       | AND len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+       |      [${stopList.map("'" + _ + "'").mkString(",")}])) >= 1
+       | AND (1.0 - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+       |      / len(string_split(text, ' '))) <= 0.6)""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
 
     // ----- Gopher-style quality ruleset (Rae et al. 2021 §A1.1): the
@@ -92,7 +124,10 @@ object Quality extends QueryModule {
           size(array_intersect(array_distinct(wl),
             array(stopList.map(lit): _*))).as("stop_hits"),
           (lit(1.0) - size(array_distinct(wl)).cast("double") / size(w))
-            .as("dup"))
+            .as("dup"),
+          // the shared composite gate (q221 filters on exactly this);
+          // QualitySpec pins it against the per-rule bitmask below
+          gopherPass.cast("int").as("passed"))
       val r1 = (col("n_words") >= 30 && col("n_words") <= 100000).cast("int")
       val r2 = (col("mwl") >= 3.0 && col("mwl") <= 5.0).cast("int")
       val r3 = (col("sym") <= 0.1).cast("int")
@@ -104,7 +139,7 @@ object Quality extends QueryModule {
           col("stop_hits").cast("long").as("stop_hits"),
           round(col("dup"), 6).as("dup_word_frac"),
           (r1 + r2 * 2 + r3 * 4 + r4 * 8 + r5 * 16).as("rules"),
-          (r1 * r2 * r3 * r4 * r5).as("passed"))
+          col("passed"))
         .orderBy(col("doc_id"))
     },
 
@@ -378,6 +413,106 @@ object Quality extends QueryModule {
            |  CAST(p >= 0.5 AS INTEGER) AS admitted
            |FROM pf ORDER BY doc_id""".stripMargin) { (s, dir) =>
       streamGate(s, dir)
+    },
+
+    // ----- the END-TO-END training-data build, composed from the
+    // r12 operators (the RefinedWeb/DCLM recipe shape, the r12
+    // sibling of q138's curation keep-list): Gopher rule gate (pure
+    // per-doc map — the cheap first pass that shrinks everything
+    // after it) → MinHash-LSH near-dup clusters over the SURVIVORS
+    // ONLY (q52's bucketed pair join + Pregel CC on the pair graph)
+    // → quality-argmax canonicalization per cluster (the q211
+    // RefinedWeb policy, two cluster-keyed aggs, never a window) →
+    // deterministic shard manifest of the final keep-set (the q209
+    // write path: hash shards, stable intra-shard order, heads via
+    // the bounded TopK aggregate). Every stage reuses the exact
+    // operator the standalone query registered, so the composition's
+    // oracle is their CTEs chained; the corpus is scanned once for
+    // the gate+shingles and once for the quality join — no stage
+    // introduces a shuffle beyond its standalone shape. -----
+    q("q221_curation_build",
+      Dedup.duckPairsCtes(recursive = true,
+        leadingCtes = s"gated AS (SELECT * FROM documents WHERE $duckGopherPass),\n",
+        source = "gated") +
+        s""",
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+          |          UNION SELECT doc_b, doc_a FROM good),
+          |walk(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION SELECT a, a FROM edges
+          |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+          |m AS (SELECT d.doc_id,
+          |        coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+          |        ${TextAnalysis.duckQuality} AS q, d.n_chars
+          |      FROM gated d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          |bq AS (SELECT cluster_id, max(q) AS best_q FROM m GROUP BY cluster_id),
+          |bd AS (SELECT m.cluster_id, max(m.doc_id) AS best_doc
+          |       FROM m JOIN bq ON m.cluster_id = bq.cluster_id
+          |                     AND m.q = bq.best_q
+          |       GROUP BY m.cluster_id),
+          |surv AS (SELECT m.doc_id, m.n_chars
+          |         FROM m JOIN bd USING (cluster_id)
+          |         WHERE m.doc_id = bd.best_doc),
+          |dd AS (SELECT doc_id, n_chars,
+          |    ${duckH32("'shard:' || doc_id")} % 8 AS shard,
+          |    ${duckH52("'ord:' || doc_id")} AS u
+          |  FROM surv),
+          |ss AS (SELECT shard, count(*) AS n_docs, sum(n_chars) AS tot_chars
+          |       FROM dd GROUP BY shard),
+          |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt FROM ss),
+          |rr AS (SELECT shard, doc_id,
+          |         row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS rn
+          |       FROM dd)
+          |SELECT CAST(ss.shard AS INTEGER) AS shard,
+          |  CAST(ss.n_docs AS BIGINT) AS n_docs,
+          |  CAST(ss.tot_chars AS BIGINT) AS tot_chars,
+          |  round(ss.n_docs::DOUBLE / tt.nt::DOUBLE, 6) AS frac,
+          |  CAST(max(CASE WHEN rr.rn = 1 THEN rr.doc_id END) AS BIGINT) AS d1,
+          |  CAST(max(CASE WHEN rr.rn = 2 THEN rr.doc_id END) AS BIGINT) AS d2,
+          |  CAST(max(CASE WHEN rr.rn = 3 THEN rr.doc_id END) AS BIGINT) AS d3
+          |FROM ss JOIN rr USING (shard), tt
+          |GROUP BY ss.shard, ss.n_docs, ss.tot_chars, tt.nt
+          |ORDER BY shard""".stripMargin) { (s, dir) =>
+      import graft.functions.TopK
+      val gated = Tables.t(s, dir, "documents").filter(gopherPass)
+        .localCheckpoint() // feeds shingling, the quality join, survivors
+      val pairs = Dedup.lshVerifiedPairs(gated)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val clusters = graft.graph.Graph.fromEdges(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents()
+      val m = gated
+        .join(clusters.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          TextAnalysis.quality(col("text")).as("q"), col("n_chars"))
+        .localCheckpoint() // feeds bq, bd, the survivor join (r5 lesson)
+      val bq = m.groupBy(col("cluster_id")).agg(max(col("q")).as("best_q"))
+      val bd = m.join(bq, "cluster_id")
+        .filter(col("q") === col("best_q"))
+        .groupBy(col("cluster_id")).agg(max(col("doc_id")).as("best_doc"))
+      val surv = m.join(bd, "cluster_id")
+        .filter(col("doc_id") === col("best_doc"))
+        .select(col("doc_id"), col("n_chars"))
+      val dd = surv.select(col("doc_id"), col("n_chars"),
+        pmod(h32(concat(lit("shard:"), col("doc_id"))), lit(8)).as("shard"),
+        h52(concat(lit("ord:"), col("doc_id"))).as("u"))
+      val manifest = dd.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"),
+          TopK.topK(3)(-col("u").cast("double"), col("doc_id")).as("head"))
+      manifest
+        .crossJoin(broadcast(manifest.agg(sum(col("n_docs")).as("nt"))))
+        .select(col("shard").cast("int").as("shard"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("tot_chars").cast("long").as("tot_chars"),
+          round(col("n_docs").cast("double") / col("nt").cast("double"), 6)
+            .as("frac"),
+          element_at(col("head"), 1).getField("id").as("d1"),
+          element_at(col("head"), 2).getField("id").as("d2"),
+          element_at(col("head"), 3).getField("id").as("d3"))
+        .orderBy(col("shard"))
     }
   )
 

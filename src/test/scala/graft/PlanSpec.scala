@@ -383,6 +383,17 @@ class PlanSpec extends SparkSpec {
       "membership and join-backs must stay equi joins")
   }
 
+  test("q221 build composes its stages' shapes: no window, no cartesian, TopK manifest") {
+    val p = plan("q221_curation_build")
+    assert(!p.contains("Window"),
+      "canonical argmax and shard heads must stay aggs, never a window")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop")
+      || p.contains("BroadcastNestedLoopJoin"),
+      "only the broadcast 1-row total may nested-loop")
+    assert(p.contains("partial_topkagg"),
+      "shard heads must ride the bounded TopK aggregate")
+  }
+
   test("q214 KN model: marginals aggregate the checkpointed bigram table, not the corpus") {
     val p = plan("q214_kn_bigram_lm")
     // the single corpus pass happens inside the checkpointed bigram

@@ -85,6 +85,21 @@ class QualitySpec extends SparkSpec {
     assert(admits == Set(0, 1), "gate must produce both admit and reject verdicts")
   }
 
+  test("q221 build: every shard accounted, fractions total 1, survivors within the gate") {
+    val rows = run("q221_curation_build").collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val gated = graft.Tables.t(spark, sf, "documents")
+      .filter(Quality.gopherPass).count()
+    assert(total > 0 && total <= gated,
+      s"survivors $total must be a non-empty subset of the $gated gated docs")
+    assert(math.abs(rows.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0 && r.getAs[Long]("tot_chars") > 0)
+      assert(r.getAs[Long]("d1") != 0 || r.get(4) != null)
+    }
+  }
+
   test("q219 stream gate is row-identical to the batch gate's serve columns") {
     // the q171↔q172 contract: scoring at ingest must produce exactly
     // the batch relation — same weights, same features, same verdicts
