@@ -102,10 +102,10 @@ object LangModel extends QueryModule {
           |    / 1000000.0), 6) AS ppl
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
-      val model = knModel(bigrams(docs.filter(col("doc_id") % 2 === 0)))
-        .localCheckpoint() // feeds three join probes; one materialization
+      // bigramCounts is already checkpointed — the three marginal
+      // aggs and the probe join all read that one materialization
       docScore(bigrams(docs.filter(col("doc_id") % 2 === 1), withDoc = true),
-          model)
+          bigramCounts(bigrams(docs.filter(col("doc_id") % 2 === 0))))
         .select(col("doc_id"), col("n_pairs"),
           // cross-entropy floors in the exact per-pair micro-nat
           // domain (round(·,6) on the fp quotient hit a .5 boundary
@@ -228,12 +228,11 @@ object LangModel extends QueryModule {
           |FROM i_ag i JOIN g_ag g USING (doc_id)
           |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
-      val modelIn = knModel(bigrams(docs.filter(col("source") === "src0")))
-        .localCheckpoint()
-      val modelGen = knModel(bigrams(docs)).localCheckpoint()
-      val si = docScore(bigrams(docs, withDoc = true), modelIn)
+      val cbIn = bigramCounts(bigrams(docs.filter(col("source") === "src0")))
+      val cbGen = bigramCounts(bigrams(docs))
+      val si = docScore(bigrams(docs, withDoc = true), cbIn)
         .select(col("doc_id"), col("n_pairs"), col("sq").as("sq_in"))
-      val sg = docScore(bigrams(docs, withDoc = true), modelGen)
+      val sg = docScore(bigrams(docs, withDoc = true), cbGen)
         .select(col("doc_id"), col("sq").as("sq_gen"))
       si.join(sg, "doc_id")
         .select(col("doc_id"), col("n_pairs"),
@@ -380,15 +379,22 @@ object LangModel extends QueryModule {
       .cast("double") / lit(1000000.0)
 
   /** Per-doc quantized log-prob aggregation of an (doc_id, w1, w2)
-    * bigram frame against a KN model: (doc_id, n_pairs, sq) with sq
-    * = Σ floor(1e6·ln p) — the order-free integer form both engines
+    * bigram frame against a KN model given as its CHECKPOINTED
+    * bigram-count table `cb`: (doc_id, n_pairs, sq) with sq =
+    * Σ floor(1e6·ln p) — the order-free integer form both engines
     * sum identically. Full interpolated backoff over the three
     * join-null regimes (seen context / continuation-only / floor).
-    * Shared by q215 (held-out ppl) and q220 (Moore-Lewis). */
-  private def docScore(hb: DataFrame, model: DataFrame): DataFrame = {
-    val cx = model.select(col("w1"), col("ctx"), col("nf")).distinct()
-    val ct = model.select(col("w2"), col("np")).distinct()
-    val nt = model.select(col("ntot")).limit(1)
+    * Marginals aggregate cb directly — the first cut selected them
+    * out of the WIDE joined model frame via corpus-sized distinct()s,
+    * which went superlinear at the 1000× probe (replica-suffixed
+    * corpora make the bigram table corpus-sized, the worst case);
+    * this form mirrors the oracle's CTEs one-to-one. Shared by q215
+    * (held-out ppl) and q220 (Moore-Lewis). */
+  private def docScore(hb: DataFrame, cb: DataFrame): DataFrame = {
+    val cx = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"), count(lit(1)).as("nf"))
+    val ct = cb.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val nt = cb.agg(count(lit(1)).as("ntot"))
     val p = when(col("ctx").isNotNull,
         greatest(coalesce(col("c"), lit(0L)).cast("double") - D, lit(0.0))
           / col("ctx")
@@ -396,7 +402,7 @@ object LangModel extends QueryModule {
             * (coalesce(col("np"), lit(0L)).cast("double") / col("ntot")))
       .when(col("np").isNotNull, col("np").cast("double") / col("ntot"))
       .otherwise(lit(1.0) / col("ntot"))
-    hb.join(model.select(col("w1"), col("w2"), col("c")),
+    hb.join(cb.select(col("w1"), col("w2"), col("c")),
         Seq("w1", "w2"), "left")
       .join(cx, Seq("w1"), "left")
       .join(ct, Seq("w2"), "left")
