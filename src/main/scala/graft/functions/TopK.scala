@@ -60,8 +60,28 @@ object TopK {
   private[graft] class TopKStrAgg(k: Int)
       extends Aggregator[ScoredS, Seq[ScoredS], Seq[ScoredS]] {
 
+    // Tie-break in UTF-8 byte order (unsigned), NOT JVM String `<`
+    // (UTF-16 code-unit order): both Spark's UTF8String sort and
+    // DuckDB's default collation are UTF-8-byte/code-point order, and
+    // the two diverge from UTF-16 for supplementary-plane ids
+    // (surrogates 0xD800+ sort below BMP 0xE000+ in UTF-16 but 4-byte
+    // UTF-8 sorts above all BMP). Keeps q193/q202 oracle-stable for
+    // any vocab.
+    private def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val xa = x(i) & 0xff; val yb = y(i) & 0xff
+        if (xa != yb) return xa < yb
+        i += 1
+      }
+      x.length < y.length
+    }
+
     private def better(a: ScoredS, b: ScoredS): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+      a.score > b.score || (a.score == b.score && utf8Less(a.id, b.id))
 
     private def insert(buf: Seq[ScoredS], v: ScoredS): Seq[ScoredS] = {
       val (pre, post) = buf.span(better(_, v))

@@ -143,6 +143,12 @@ object CorpusStats extends QueryModule {
         |SELECT CAST(freq AS BIGINT) AS freq, CAST(n_terms AS BIGINT) AS n_terms,
         |  round(n_terms::DOUBLE / nt::DOUBLE, 6) AS vocab_frac
         |FROM sp, tot ORDER BY freq""") { (s, dir) =>
+      // The total self-join does NOT re-run the corpus pass: the
+      // broadcast branch's plan is identical up to the spectrum
+      // exchange, so AQE exchange reuse dedupes it (final plan shows
+      // ONE parquet scan + a ReusedExchange — probed r13, and PlanSpec
+      // pins it). A localCheckpoint here would truncate lineage and
+      // hide the agg shape from the plan guards for no work saved.
       val sp = Tables.t(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
@@ -194,6 +200,8 @@ object CorpusStats extends QueryModule {
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("word"))
       val n = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      // the total's branch rides AQE exchange reuse off f's own
+      // exchange — one corpus scan in the final plan (r13 probe)
       val f = w.groupBy(col("word")).agg(count(lit(1)).as("f"))
       val qtab = f
         .crossJoin(broadcast(f.agg(sum(col("f")).as("tt"))))

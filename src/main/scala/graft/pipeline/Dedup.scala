@@ -702,7 +702,8 @@ object Dedup extends QueryModule {
       corpusBands: DataFrame, corpusShingles: DataFrame,
       wideBuckets: Option[DataFrame] = None,
       bandBuckets: Int = DedupIndex.bandBuckets,
-      docBuckets: Int = DedupIndex.docBuckets): DataFrame = {
+      docBuckets: Int = DedupIndex.docBuckets,
+      shingleGroups: Int = DedupIndex.bandBuckets): DataFrame = {
     val hasPb = corpusBands.columns.contains("pb")
     val hasPd = corpusShingles.columns.contains("pd")
     // "pb" on the SHINGLE table = the r12 colocated layout: the
@@ -742,7 +743,10 @@ object Dedup extends QueryModule {
       .join(DedupIndex.shingleRows(delta)
         .select(col("doc_id").as("doc_n"), col("shingles").as("x_sh")), "doc_n")
     val shKeyed =
-      if (hasSpb) candX.withColumnRenamed("spb", "pb")
+      // the stored shingle pb is GROUPED (pb % shingleGroups, the r13
+      // compaction dial) — map the matched band bucket the same way
+      if (hasSpb) candX.withColumn("pb",
+        pmod(col("spb"), lit(shingleGroups))).drop("spb")
       else if (hasPd) candX.withColumn("pd", pmod(col("doc_o"), lit(docBuckets)))
       else candX
     val shKeys = if (hasSpb) Seq("doc_o", "pb")
@@ -759,7 +763,9 @@ object Dedup extends QueryModule {
       else {
         val pbVals = dBands.select(col("pb").cast("int")).distinct()
           .collect().map(_.getInt(0))
-        corpusShingles.filter(col("pb").isin(pbVals.toIndexedSeq: _*))
+        val groups = pbVals.map(v => ((v % shingleGroups)
+          + shingleGroups) % shingleGroups).distinct
+        corpusShingles.filter(col("pb").isin(groups.toIndexedSeq: _*))
       }
     val agg = shKeyed
       .join(shinglesPruned.select(

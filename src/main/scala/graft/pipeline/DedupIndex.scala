@@ -62,9 +62,27 @@ object DedupIndex {
     * and dynamic partition pruning restricts the shingle scan to the
     * delta's own band footprint — the same 2-3 % the band side
     * already achieves — at a ≤ 4× shingle storage cost (the classic
-    * payload-colocation trade). */
+    * payload-colocation trade).
+    *
+    * `shingleGroups` (r13, the pb file-compaction dial): the pb
+    * shingle table physically partitions on pb % shingleGroups
+    * instead of pb, so `shingleGroups` directories hold ~one file
+    * each of bandBuckets/shingleGroups buckets' rows — the knob that
+    * reconciles the sandbox wall (8192 KB-sized files paid per-file
+    * open costs that erased the 2.4 %-partition-read win, PLANS.md
+    * r12) with the 100 TB metric (where buckets are GB-sized and the
+    * default, shingleGroups = bandBuckets, keeps full pruning
+    * granularity). Pruning under a coarser grouping reads
+    * min(1, footprint-in-groups/shingleGroups) of the table; the
+    * verification join itself stays exact — grouping only widens the
+    * scan, never the candidate set. Ignored by "pd". */
   final case class Meta(bandBuckets: Int, docBuckets: Int,
-      shingleLayout: String = "pd")
+      shingleLayout: String = "pd", shingleGroups: Int = 0) {
+    /** Effective grouping: 0 (the default, and every pre-r13 index)
+      * means one directory per band bucket — the ungrouped layout. */
+    def effShingleGroups: Int =
+      if (shingleGroups <= 0) bandBuckets else shingleGroups
+  }
 
   // Metadata rides Hadoop's FileSystem API, NOT java.nio: the index
   // data goes through Spark's Hadoop writer, so an hdfs://, s3a://
@@ -104,7 +122,8 @@ object DedupIndex {
     storeProps(path, "index_meta.properties",
       Map("bandBuckets" -> m.bandBuckets.toString,
         "docBuckets" -> m.docBuckets.toString,
-        "shingleLayout" -> m.shingleLayout),
+        "shingleLayout" -> m.shingleLayout,
+        "shingleGroups" -> m.shingleGroups.toString),
       "graft DedupIndex layout — fan-outs are load-bearing")
 
   /** Load the index's persisted layout; loud failure if absent — a
@@ -118,7 +137,9 @@ object DedupIndex {
       case Some(p) =>
         Meta(p.getProperty("bandBuckets").toInt,
           p.getProperty("docBuckets").toInt,
-          Option(p.getProperty("shingleLayout")).getOrElse("pd"))
+          Option(p.getProperty("shingleLayout")).getOrElse("pd"),
+          // pre-r13 indexes carry no grouping key: ungrouped (0)
+          Option(p.getProperty("shingleGroups")).map(_.toInt).getOrElse(0))
       case None => throw new IllegalStateException(
         s"$path/index_meta.properties missing: not a DedupIndex (or " +
           "written by a pre-metadata version); rebuild with DedupIndex.save")
@@ -151,20 +172,29 @@ object DedupIndex {
       (shingleRows(delta)
         .withColumn("pd", pmod(col("doc_id"), lit(m.docBuckets))), "pd")
     case "pb" =>
+      // the stored pb is the GROUPED bucket (pb % shingleGroups) —
+      // distinct AFTER grouping, so two band buckets of one doc that
+      // fall in the same group store one copy, not two
       (shingleRows(delta).join(
         bands.select(col("doc_id"),
-          pmod(col("bval"), lit(m.bandBuckets)).as("pb")).distinct(),
+          pmod(pmod(col("bval"), lit(m.bandBuckets)),
+            lit(m.effShingleGroups)).as("pb")).distinct(),
         "doc_id"), "pb")
     case other => throw new IllegalStateException(
       s"unknown shingleLayout '$other' in index metadata")
   }
 
+  /** @param shingleGroups pb-layout file-compaction dial (see
+    *   [[Meta]]); 0 = one directory per band bucket. */
   def save(corpus: DataFrame, path: String,
       bandBuckets: Int = DedupIndex.bandBuckets,
       docBuckets: Int = DedupIndex.docBuckets,
-      shingleLayout: String = "pd"): Unit = {
+      shingleLayout: String = "pd",
+      shingleGroups: Int = 0): Unit = {
     require(bandBuckets > 0 && docBuckets > 0, "fan-outs must be positive")
-    val m = Meta(bandBuckets, docBuckets, shingleLayout)
+    require(shingleGroups <= bandBuckets,
+      "shingleGroups coarsens band buckets — more groups than buckets is a typo")
+    val m = Meta(bandBuckets, docBuckets, shingleLayout, shingleGroups)
     // repartition ON the partition column before partitionBy: without
     // it every write task emits one file per bucket value it holds
     // (tasks × buckets small files — at a raised fan-out that is a
@@ -233,7 +263,8 @@ object DedupIndex {
       s.read.parquet(s"$path/bands"),
       s.read.parquet(s"$path/shingles"),
       wideBuckets = deltaPruned._2,
-      bandBuckets = m.bandBuckets, docBuckets = m.docBuckets)
+      bandBuckets = m.bandBuckets, docBuckets = m.docBuckets,
+      shingleGroups = m.effShingleGroups)
   }
 
   /** The q185 ingest loop with CRASH-SAFE delivery — the composition

@@ -201,8 +201,11 @@ object LangModel extends QueryModule {
     // you'd tag-union the two model tables and score both in one
     // pass — the two-pass form keeps the shared q215 scorer exact
     // and each pass is the same word-keyed equi-join shape). The
-    // keep verdict compares the RAW micro-nat sums (integer compare,
-    // no fp boundary risk); the printed deltas round at the output.
+    // keep verdict derives from the SAME floor-quantized delta the
+    // row emits (keep == (delta <= 0) by construction — r12 ADVICE:
+    // a raw-sum keep with a floored delta disagreed on docs where
+    // 0 < sq_gen - sq_in < n_pairs). floor of an exact-integer
+    // quotient, so still no fp boundary risk.
     // -----
     q("q220_moore_lewis",
       "WITH " + duckKnBody("(SELECT * FROM documents WHERE source = 'src0')",
@@ -224,7 +227,7 @@ object LangModel extends QueryModule {
           |    / 1000000.0 AS h_gen,
           |  CAST(floor((g.sq - i.sq)::DOUBLE / i.n) AS BIGINT)::DOUBLE
           |    / 1000000.0 AS delta,
-          |  CAST(i.sq >= g.sq AS INTEGER) AS keep
+          |  CAST(floor((g.sq - i.sq)::DOUBLE / i.n) <= 0 AS INTEGER) AS keep
           |FROM i_ag i JOIN g_ag g USING (doc_id)
           |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
@@ -238,8 +241,8 @@ object LangModel extends QueryModule {
         .select(col("doc_id"), col("n_pairs"),
           hMicro(-col("sq_in")).as("h_in"),
           hMicro(-col("sq_gen")).as("h_gen"),
-          hMicro(col("sq_gen") - col("sq_in")).as("delta"),
-          (col("sq_in") >= col("sq_gen")).cast("int").as("keep"))
+          hMicro(col("sq_gen") - col("sq_in")).as("delta"))
+        .withColumn("keep", (col("delta") <= 0).cast("int"))
         .orderBy(col("doc_id"))
     }
   )
@@ -390,7 +393,25 @@ object LangModel extends QueryModule {
     * corpora make the bigram table corpus-sized, the worst case);
     * this form mirrors the oracle's CTEs one-to-one. Shared by q215
     * (held-out ppl) and q220 (Moore-Lewis). */
-  private def docScore(hb: DataFrame, cb: DataFrame): DataFrame = {
+  private def docScore(hb: DataFrame, cb: DataFrame): DataFrame =
+    termX(hb, cb)
+      .select(col("doc_id"), floor(col("x")).cast("long").as("tq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("tq")).as("sq"))
+
+  /** The pre-quantization per-pair frame: (doc_id, x) with
+    * x = 1e6·ln p — the exact double BOTH engines floor. Factored out
+    * of docScore so the sweep-time quantization-boundary guard
+    * (quantMargins) measures the SAME expression the scorer floors.
+    *
+    * Determinism assumption (documented per r12 ADVICE): IEEE 754
+    * guarantees correct rounding only for +,-,*,/,sqrt — ln/exp/log2
+    * may differ by 1 ulp between the JVM's Math and DuckDB's libm. A
+    * 1-ulp difference only flips floor(x) when x lies within ~1 ulp
+    * (≲1e-8 at x ~ 1e7) of an integer; quantMargins flags any corpus
+    * where a per-term x gets that close, turning a latent hash
+    * mismatch into an instant diagnosis. */
+  private def termX(hb: DataFrame, cb: DataFrame): DataFrame = {
     val cx = cb.groupBy(col("w1"))
       .agg(sum(col("c")).as("ctx"), count(lit(1)).as("nf"))
     val ct = cb.groupBy(col("w2")).agg(count(lit(1)).as("np"))
@@ -408,10 +429,44 @@ object LangModel extends QueryModule {
       .join(ct, Seq("w2"), "left")
       .crossJoin(broadcast(nt))
       .select(col("doc_id"),
-        floor(lit(1000000.0) * log(greatest(p, lit(1e-9))))
-          .cast("long").as("tq"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("tq")).as("sq"))
+        (lit(1000000.0) * log(greatest(p, lit(1e-9)))).as("x"))
+  }
+
+  /** Sweep-time transcendental-boundary margins (r12 ADVICE medium):
+    * for every floor(1e6·ln p) site (q215 scoring, q220's two model
+    * passes) the distance of the pre-floor double to the nearest
+    * integer, and for q215's round(exp(h), 6) the distance of
+    * 1e6·exp(h) to the nearest half-integer (the round-half
+    * boundary). A margin below ~1e-7 means a 1-ulp libm divergence
+    * could flip the quantizer and fail the hash oracle — the guard
+    * makes Verify print a greppable RISK line instead of leaving a
+    * mystery mismatch. */
+  private[graft] def quantMargins(
+      s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val docs = Tables.t(s, dir, "documents")
+    def intMargin(xs: DataFrame): Double =
+      xs.agg(min(abs(col("x") - round(col("x"), 0)))).collect()(0).getDouble(0)
+    val x215 = termX(
+      bigrams(docs.filter(col("doc_id") % 2 === 1), withDoc = true),
+      bigramCounts(bigrams(docs.filter(col("doc_id") % 2 === 0))))
+    val hbAll = bigrams(docs, withDoc = true)
+    val x220i = termX(hbAll,
+      bigramCounts(bigrams(docs.filter(col("source") === "src0"))))
+    val x220g = termX(hbAll, bigramCounts(bigrams(docs)))
+    // q215 ppl: y = 1e6·exp(h); the round(·,6) danger zone is y near
+    // k + 0.5 (engines already agree on h — it is floor-quantized)
+    val yPpl = docScore(
+        bigrams(docs.filter(col("doc_id") % 2 === 1), withDoc = true),
+        bigramCounts(bigrams(docs.filter(col("doc_id") % 2 === 0))))
+      .select((lit(1000000.0) * exp(hMicro(-col("sq")))).as("y"))
+    val halfMargin = yPpl
+      .agg(min(abs(abs(col("y") - floor(col("y"))) - lit(0.5))))
+      .collect()(0).getDouble(0)
+    Seq(
+      "q215_ln_int" -> intMargin(x215),
+      "q220_ln_in_int" -> intMargin(x220i),
+      "q220_ln_gen_int" -> intMargin(x220g),
+      "q215_exp_half" -> halfMargin)
   }
 
   /** Test hook: the vocab frame (word, freq, sym) after training —

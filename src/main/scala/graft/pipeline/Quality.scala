@@ -181,9 +181,18 @@ object Quality extends QueryModule {
         .select(col("doc_id"), col("n_chars"),
           pmod(h32(concat(lit("shard:"), col("doc_id"))), lit(8)).as("shard"),
           h52(concat(lit("ord:"), col("doc_id"))).as("u"))
+      // persist the 8-row manifest before self-joining its total:
+      // unlike q203 (where AQE exchange reuse dedupes the branches),
+      // column pruning rewrites the total branch into a DIFFERENT
+      // cheaper aggregation (count-only, no TopK) whose exchange
+      // cannot be reused — probed r13: without this the corpus is
+      // scanned twice. persist (not localCheckpoint) keeps the full
+      // lineage visible to the plan guards; the cached payload is
+      // 8 rows.
       val manifest = d.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"),
           TopK.topK(3)(-col("u").cast("double"), col("doc_id")).as("head"))
+        .persist()
       manifest
         .crossJoin(broadcast(manifest.agg(sum(col("n_docs")).as("nt"))))
         .select(col("shard").cast("int").as("shard"),
@@ -237,31 +246,8 @@ object Quality extends QueryModule {
         |  tq::DOUBLE / 1000000.0 AS psi_term,
         |  (SELECT sum(tq) FROM q)::DOUBLE / 1000000.0 AS psi_total
         |FROM q ORDER BY bucket""") { (s, dir) =>
-      val d = Tables.t(s, dir, "documents")
-        .select((col("doc_id") % 2).as("grp"),
-          least(lit(9), floor(col("n_chars") / 64).cast("long")).as("bucket"))
-      val counts = d.groupBy(col("grp"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
-      val buckets = s.range(10).select(col("id").as("bucket"))
-      val j = buckets
-        .join(counts.filter(col("grp") === 0)
-          .select(col("bucket"), col("n").as("n_ref")), Seq("bucket"), "left")
-        .join(counts.filter(col("grp") === 1)
-          .select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "left")
-        .select(col("bucket"),
-          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      val withP = j
-        .crossJoin(broadcast(j.agg(sum(col("n_ref")).as("tr"),
-          sum(col("n_cur")).as("tc"))))
-        .select(col("bucket"), col("n_ref"), col("n_cur"),
-          ((col("n_ref") + 1).cast("double")
-            / (col("tr") + 10).cast("double")).as("p_ref"),
-          ((col("n_cur") + 1).cast("double")
-            / (col("tc") + 10).cast("double")).as("p_cur"))
-      val qd = withP.withColumn("tq",
-        floor(lit(1000000.0) * ((col("p_cur") - col("p_ref"))
-          * log2(col("p_cur") / col("p_ref")))).cast("long"))
+      val qd = psiWithP(s, dir).withColumn("tq",
+        floor(psiPreQuant).cast("long"))
       qd.crossJoin(broadcast(qd.agg(sum(col("tq")).as("tot"))))
         .select(col("bucket").cast("int").as("bucket"),
           col("n_ref").cast("long").as("n_ref"),
@@ -350,9 +336,10 @@ object Quality extends QueryModule {
     // and moments are driver-held broadcast-sized state exactly like
     // q135's k-means centroids; 5 epochs = 5 corpus passes with
     // nothing shuffled but the partial cells. At 100 TB this is
-    // textbook distributed full-batch GD (promote the second-moment
-    // sums to decimal(38,0) beyond ~1e9 docs — noted, not needed at
-    // probe scale). Exactness: raw features quantize to integer
+    // textbook distributed full-batch GD (second-moment sums ARE in
+    // decimal(38,0) — a LONG sum overflows ANSI near ~2e4 rows, the
+    // 100× probe caught it; see featMoments). Exactness: raw
+    // features quantize to integer
     // micro-units, so moment sums are order-free; mean/std/weight
     // updates are a fixed IEEE sequence on those exact integers
     // (sqrt is IEEE-correctly-rounded in both engines); per-doc
@@ -382,9 +369,10 @@ object Quality extends QueryModule {
     // trajectory (deterministic, so the composition is too);
     // scoring is a pure map over the feature frame. -----
     q("q213_classifier_gate", duckGateSql) { (s, dir) =>
-      val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
-      val (m, sd) = featMoments(feats)
-      val (b, w) = trainLogreg(feats, m, sd, epochs).last
+      // gateModel at sampleFrac=1.0 — the dial's neutral setting is
+      // on the oracle-checked path, so any drift in it fails the hash
+      val (b, w, m, sd) = gateModel(s, dir)
+      val feats = logregFeats(Tables.t(s, dir, "documents"))
       feats.withColumn("p",
           lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
         .select(col("doc_id"), col("y"), round(col("p"), 6).as("score"),
@@ -502,6 +490,9 @@ object Quality extends QueryModule {
       val manifest = dd.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"),
           TopK.topK(3)(-col("u").cast("double"), col("doc_id")).as("head"))
+      // total self-join branch dedupes via AQE exchange reuse (one
+      // survivor-join chain in the final plan — r13 probe); m's own
+      // localCheckpoint above already caps recompute of the gate
       manifest
         .crossJoin(broadcast(manifest.agg(sum(col("n_docs")).as("nt"))))
         .select(col("shard").cast("int").as("shard"),
@@ -516,13 +507,65 @@ object Quality extends QueryModule {
     }
   )
 
+  /** q210's smoothed (bucket, n_ref, n_cur, p_ref, p_cur) frame —
+    * factored out so the sweep-time quantization guard measures the
+    * SAME pre-floor expression the query floors. */
+  private def psiWithP(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select((col("doc_id") % 2).as("grp"),
+        least(lit(9), floor(col("n_chars") / 64).cast("long")).as("bucket"))
+    val counts = d.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val buckets = s.range(10).select(col("id").as("bucket"))
+    val j = buckets
+      .join(counts.filter(col("grp") === 0)
+        .select(col("bucket"), col("n").as("n_ref")), Seq("bucket"), "left")
+      .join(counts.filter(col("grp") === 1)
+        .select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // the totals branch rides AQE exchange reuse off the (grp,bucket)
+    // count's own exchange — one corpus scan in the final plan
+    j.crossJoin(broadcast(j.agg(sum(col("n_ref")).as("tr"),
+        sum(col("n_cur")).as("tc"))))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + 1).cast("double")
+          / (col("tr") + 10).cast("double")).as("p_ref"),
+        ((col("n_cur") + 1).cast("double")
+          / (col("tc") + 10).cast("double")).as("p_cur"))
+  }
+
+  /** The pre-floor PSI term: 1e6·(p_cur − p_ref)·log2(p_cur/p_ref).
+    * log2 is a transcendental (not IEEE-correctly-rounded), so a
+    * 1-ulp JVM-vs-libm divergence flips floor() only when this value
+    * is within ~1e-8 of an integer — quantMarginPsi flags that. */
+  private def psiPreQuant: Column =
+    lit(1000000.0) * ((col("p_cur") - col("p_ref"))
+      * log2(col("p_cur") / col("p_ref")))
+
+  /** Sweep-time transcendental-boundary margin for q210 (r12 ADVICE
+    * medium): min distance of the pre-floor PSI term to the nearest
+    * integer, over the 10 buckets. Buckets with p_cur == p_ref are
+    * excluded: their term is 0 · log2(1) — an exact zero in ANY libm
+    * (multiplication by +0.0 is IEEE-exact), so landing on the
+    * integer carries no cross-engine risk. Returns +inf if every
+    * bucket is exact-zero. */
+  private[graft] def quantMarginPsi(s: SparkSession, dir: String): Double = {
+    val r = psiWithP(s, dir)
+      .filter(col("p_cur") =!= col("p_ref"))
+      .select(psiPreQuant.as("x"))
+      .agg(min(abs(col("x") - round(col("x"), 0))))
+      .collect()(0)
+    if (r.isNullAt(0)) Double.PositiveInfinity else r.getDouble(0)
+  }
+
   /** q219's engine: batch-train the q212 trajectory, then score a
     * document stream with the frozen weights through a stateless map
     * into an append-mode memory sink. */
   private def streamGate(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
-    val (m, sd) = featMoments(feats)
-    val (b, w) = trainLogreg(feats, m, sd, epochs).last
+    val (b, w, m, sd) = gateModel(s, dir)
     val raw = s.read.parquet(s"$dir/documents.parquet").schema
     val stream =
       (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
@@ -569,6 +612,52 @@ object Quality extends QueryModule {
       (TextAnalysis.quality(col("text")) >= 0.5).cast("int").as("y"),
       array(raws.map(r => floor(lit(1000000.0) * r).cast("long")): _*)
         .as("xq"))
+  }
+
+  /** Production training-sample dial (r12 verdict item 3): train the
+    * gate on a deterministic content-hash sample and serve everywhere
+    * — at 100 TB, six full corpus passes to fit 11 weights is
+    * wasteful; production fits on ~1-10% and the serve side (a
+    * stateless per-row map) is unchanged. Selection is the q165
+    * device — u = h52("trn:" || doc_id) / 2^52 < frac — so the sample
+    * is reproducible, partitioning-independent, and content-unbiased.
+    * frac >= 1 returns the input UNTOUCHED (not even a trivially-true
+    * filter), so the registered q212/q213/q219 trajectories are
+    * bit-identical to pre-dial — QualitySpec pins both properties. */
+  private[pipeline] def trainSample(
+      feats: org.apache.spark.sql.DataFrame,
+      frac: Double): org.apache.spark.sql.DataFrame =
+    if (frac >= 1.0) feats
+    else feats.filter(
+      (conv(substring(md5(concat(lit("trn:"), col("doc_id"))), 1, 13), 16, 10)
+        .cast("long") / lit(4503599627370496.0)) < frac)
+
+  /** The trained gate model (bias, weights, moments): the one entry
+    * point the batch gate (q213), the stream gate (q219), and the
+    * sample-dial probes share. sampleFrac only thins the TRAINING
+    * corpus; moments are computed on the same sample (the served
+    * standardization must match what training saw). */
+  private[graft] def gateModel(s: SparkSession, dir: String,
+      sampleFrac: Double = 1.0)
+      : (Double, Seq[Double], Array[Double], Array[Double]) = {
+    val feats = trainSample(
+      logregFeats(Tables.t(s, dir, "documents")), sampleFrac)
+      .localCheckpoint()
+    val (m, sd) = featMoments(feats)
+    val (b, w) = trainLogreg(feats, m, sd, epochs).last
+    (b, w, m, sd)
+  }
+
+  /** Serve-side gate verdicts (doc_id, admitted) for a given model —
+    * lets the spec/probes measure cross-model agreement without
+    * duplicating the scoring expression. */
+  private[graft] def gateVerdicts(s: SparkSession, dir: String,
+      model: (Double, Seq[Double], Array[Double], Array[Double]))
+      : org.apache.spark.sql.DataFrame = {
+    val (b, w, m, sd) = model
+    logregFeats(Tables.t(s, dir, "documents"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
+      .select(col("doc_id"), (col("p") >= 0.5).cast("int").as("admitted"))
   }
 
   /** One moment pass → per-dim (mean, std) of the quantized

@@ -1723,6 +1723,8 @@ object TextAnalysis extends QueryModule {
       val sw = docs.groupBy(col("source"))
         .agg(sum(col("n_tok")).as("n_i"))
         .withColumn("w", floor(sqrt(col("n_i")) * lit(1000000.0)).cast("long"))
+      // the total's branch rides AQE exchange reuse off sw's own
+      // exchange — one corpus scan in the final plan (r13 probe)
       val rates = sw
         .crossJoin(broadcast(sw.agg(sum(col("w")).as("wt"))))
         .select(col("source"), col("n_i"),

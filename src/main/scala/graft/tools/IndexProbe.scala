@@ -37,11 +37,13 @@ object IndexProbe {
         val db = args.lift(4).map(_.toInt)
           .getOrElse(graft.pipeline.DedupIndex.docBuckets)
         val layout = args.lift(5).getOrElse("pd")
+        val groups = args.lift(6).map(_.toInt).getOrElse(0)
         val t0 = System.nanoTime()
         graft.pipeline.DedupIndex.save(
           graft.Tables.t(spark, dataDir, "documents")
-            .filter(col("doc_id") % 10 =!= 9), indexPath, bb, db, layout)
-        println(f"[indexprobe] build ${(System.nanoTime() - t0) / 1e9}%.1f s bandBuckets=$bb docBuckets=$db shingleLayout=$layout")
+            .filter(col("doc_id") % 10 =!= 9), indexPath, bb, db, layout,
+          groups)
+        println(f"[indexprobe] build ${(System.nanoTime() - t0) / 1e9}%.1f s bandBuckets=$bb docBuckets=$db shingleLayout=$layout shingleGroups=$groups")
       case "delta" =>
         val delta = graft.Tables.t(spark, dataDir, "documents")
           .filter(col("doc_id") % 10 === 9)

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: generate a SEEDED ZIPF-DRAWN documents corpus (plus a
+  * clustered embeddings table) for scale probes in regimes the
+  * replica-suffix transform provably cannot produce (r12 verdict
+  * item 1, PLANS.md r12 correction):
+  *
+  *  - replica suffixing freezes every hot term's document frequency
+  *    while N grows, so df-FRACTION dials (BM25 maxDfFrac) prune
+  *    nothing at any scale — on a Zipf draw the head terms keep a
+  *    constant df fraction as N grows, the regime real corpora are in
+  *    (and the regime where such dials CAN fire);
+  *  - replica embeddings are exact copies (100 identical twins per
+  *    base vector), making distance ties rampant; here vectors are
+  *    drawn around k well-separated cluster centers with per-vector
+  *    noise, so approximate-vs-exact agreement measures routing, not
+  *    tie-breaking.
+  *
+  * Everything derives from xxhash64(seed, ids...) — no RNG state, so
+  * any slice of any size regenerates bit-identically and the corpus
+  * is embarrassingly parallel to produce.
+  *
+  * Word draw: u = uniform52(seed, doc, pos) in [0,1); rank =
+  * ceil(V^u) gives p(rank = r) ~ 1/r (Zipf s=1) over a vocab of V
+  * word types — the standard inverse-CDF trick, since the Zipf CDF is
+  * ~ ln r / ln V. Doc length is 30 + (h mod 120) words, mean ~90,
+  * in the band of the driver's testdata documents.
+  *
+  * Usage: ZipfGen <outDir> <nDocs> [vocab=50000] [dim=16] [seed=13]
+  * Writes documents.parquet + embeddings.parquet under outDir; copy
+  * the remaining TPC-H tables from a real sf dir if a probe needs
+  * them (the dedup/retrieval probes only read these two).
+  */
+object ZipfGen {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toLong
+    val vocab = if (args.length > 2) args(2).toInt else 50000
+    val dim = if (args.length > 3) args(3).toInt else 16
+    val seed = if (args.length > 4) args(4).toLong else 13L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // uniform in [0,1) from the top 52 bits of xxhash64 (exact in a
+    // double; the repo's h52 device with a cheaper hash — md5 at
+    // 1e8+ tokens is the generator's own bottleneck)
+    def u52(cols: org.apache.spark.sql.Column*) =
+      (shiftrightunsigned(xxhash64(lit(seed) +: cols: _*), 12)
+        .cast("double") / lit(4503599627370496.0))
+
+    val docs = spark.range(0, nDocs, 1, 32)
+      .select(col("id").as("doc_id"),
+        (lit(30) + pmod(xxhash64(lit(seed), lit("len"), col("id")), lit(120)))
+          .cast("int").as("n_words"))
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(1), col("n_words")),
+            p => concat(lit("w"),
+              ceil(pow(lit(vocab.toDouble),
+                u52(lit("w"), col("doc_id"), p))).cast("long"))),
+          " ").as("text"))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(5))).as("source"),
+        length(col("text")).as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[zipfgen] documents: $nDocs docs, vocab $vocab, seed $seed")
+
+    // clustered embeddings: 64 centers on a [-1,1]^dim lattice drawn
+    // from the same hash, each vector = its center + N-ish noise of
+    // ~0.15 amplitude (sum of two uniforms, cheap and deterministic) —
+    // well-separated clusters, no twin vectors, labels = cluster id
+    val nClusters = 64
+    val emb = spark.range(0, nDocs, 1, 32)
+      .select(col("id").as("vec_id"),
+        pmod(xxhash64(lit(seed), lit("c"), col("id")), lit(nClusters))
+          .cast("int").as("label"))
+      .select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          ((u52(lit("ctr"), col("label"), d) * 2.0 - 1.0)
+            + (u52(lit("n1"), col("vec_id"), d)
+              + u52(lit("n2"), col("vec_id"), d) - 1.0) * 0.3)
+            .cast("float")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[zipfgen] embeddings: $nDocs vecs, dim $dim, $nClusters clusters")
+    spark.stop()
+  }
+}

@@ -10,6 +10,16 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The FINAL adaptive plan: drives this queryExecution (toRdd keeps
+    * the same execution — a .collect() would too, but not .write),
+    * then drops the repeated "== Initial Plan ==" section. Needed for
+    * AQE-only shapes (ReusedExchange stage dedup). */
+  private def finalPlan(name: String): String = {
+    val df = Registry.all.find(_.name == name).get.fn(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
   test("q01 pushes filter and prunes columns at the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -366,6 +376,31 @@ class PlanSpec extends SparkSpec {
       "TopK must combine map-side (shuffle carries shards × k rows)")
   }
 
+  test("total self-joins execute their corpus pass once (r12 ADVICE, probed r13)") {
+    // `X.crossJoin(broadcast(X.agg(total)))` risks running X's
+    // corpus-scale aggregation once per branch. Two distinct
+    // mechanisms keep it single-pass, and both are pinned here:
+    // q203 — the branches stay plan-identical up to X's exchange, so
+    // AQE swaps the second into a ReusedExchange (one scan, free);
+    // q209 — column pruning rewrites the total branch into a
+    // DIFFERENT count-only aggregation (no reuse possible), so the
+    // 8-row manifest is persist()ed: one scan builds the cache, both
+    // branches read InMemoryTableScan, and the full agg lineage stays
+    // visible (a localCheckpoint would hide the TopK shape above).
+    val p203 = finalPlan("q203_freq_spectrum")
+    assert(p203.contains("ReusedExchange"),
+      "q203 total branch must reuse the spectrum exchange")
+    assert("FileScan parquet".r.findAllIn(p203).size == 1,
+      "q203 final plan must read the corpus exactly once")
+    val p209 = finalPlan("q209_shard_manifest")
+    // (>= 1, not 2: AQE's final rendering prints a completed stage's
+    // subtree once, so the second InMemoryTableScan may not re-render)
+    assert("InMemoryTableScan".r.findAllIn(p209).size >= 1,
+      "q209 branches must read the persisted manifest")
+    assert("FileScan parquet".r.findAllIn(p209.split("InMemoryRelation")(0)).size == 0,
+      "q209 must not scan the corpus outside the cached manifest build")
+  }
+
   test("q210 PSI drift: one corpus agg, everything after is bucket-sized") {
     val p = plan("q210_psi_drift")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
@@ -387,8 +422,8 @@ class PlanSpec extends SparkSpec {
     val p = plan("q221_curation_build")
     assert(!p.contains("Window"),
       "canonical argmax and shard heads must stay aggs, never a window")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop")
-      || p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct") &&
+      (!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin")),
       "only the broadcast 1-row total may nested-loop")
     assert(p.contains("partial_topkagg"),
       "shard heads must ride the bounded TopK aggregate")

@@ -58,4 +58,19 @@ class FlinkFunctionsSpec extends SparkSpec {
       .agg(FlinkFunctions.collectMultisetString(col("x"))).as[String].collect()
     assert(r.toSeq == Seq("a:1,b:2"))
   }
+
+  test("topKStr tie-breaks in UTF-8 byte order, not UTF-16 code units") {
+    // U+FFFD (UTF-8 EF BF BD) vs U+1F600 (UTF-8 F0 9F 98 80): UTF-16
+    // puts the surrogate pair (D83D DE00) BELOW FFFD; UTF-8 byte order
+    // — Spark's UTF8String sort and DuckDB's default collation — puts
+    // it ABOVE. The score-tied top-1 must be U+FFFD (r12 ADVICE).
+    val repl = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(repl > emoji, "JVM UTF-16 order must differ for this pair")
+    val r = Seq((1.0, emoji), (1.0, repl)).toDF("score", "id")
+      .agg(TopK.topKStr(1)(col("score"), col("id")).as("t"))
+      .select(element_at(col("t"), 1).getField("id")).as[String].collect()
+    assert(r.toSeq == Seq(repl),
+      "score-tied topKStr must pick the UTF-8-smaller id")
+  }
 }

@@ -82,6 +82,42 @@ class DedupIndexSpec extends SparkSpec {
       "colocated aged verdict diverged from the pd-layout verdict")
   }
 
+  test("shingleGroups compaction dial: verdict identical, dirs capped, meta persisted") {
+    // r12 verdict item 6: pb's pruning win paid a small-file wall
+    // cost at sandbox scale (≤ bandBuckets KB-sized dirs); grouping
+    // the physical partitioning to pb % shingleGroups trades scan
+    // granularity for file size WITHOUT touching the candidate set —
+    // the verdict must be bit-identical to pd and ungrouped pb.
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val pd = tmp(); val pbg = tmp()
+    DedupIndex.save(corpus, pd)
+    DedupIndex.save(corpus, pbg, shingleLayout = "pb", shingleGroups = 8)
+    assert(DedupIndex.meta(pbg) == DedupIndex.Meta(256, 64, "pb", 8))
+    val a = verdictStrings(DedupIndex.dedupDelta(spark, delta, pd))
+    val b = verdictStrings(DedupIndex.dedupDelta(spark, delta, pbg))
+    assert(a.nonEmpty && a.sameElements(b),
+      "grouped colocated layout changed the dedup verdict")
+    // physical layout: at most 8 partition directories
+    val dirs = new java.io.File(s"$pbg/shingles").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+    assert(dirs.nonEmpty && dirs.length <= 8,
+      s"expected <= 8 grouped shingle dirs, found ${dirs.length}")
+    // aging parity under the grouped layout
+    val day0 = docs.filter(col("doc_id") % 10 < 8)
+    val day1 = docs.filter(col("doc_id") % 10 === 8)
+    val aged = tmp()
+    DedupIndex.save(day0, aged, shingleLayout = "pb", shingleGroups = 8)
+    DedupIndex.update(day1, aged)
+    val c = verdictStrings(DedupIndex.dedupDelta(spark, delta, aged))
+    val full = tmp()
+    DedupIndex.save(docs.filter(col("doc_id") % 10 =!= 9), full,
+      shingleLayout = "pb", shingleGroups = 8)
+    val d = verdictStrings(DedupIndex.dedupDelta(spark, delta, full))
+    assert(c.sameElements(d) && c.sameElements(a),
+      "aged grouped index diverged from rebuild or from pd verdict")
+  }
+
   test("bucket-width safety valve: stats persist additively, capping only drops wide buckets") {
     val day0 = docs.filter(col("doc_id") % 10 < 8)
     val day1 = docs.filter(col("doc_id") % 10 === 8)

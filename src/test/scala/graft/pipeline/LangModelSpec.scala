@@ -111,4 +111,20 @@ class LangModelSpec extends SparkSpec {
     val merged = t.map(_.getAs[Long]("n_tokens")).sum
     assert(merged < unmerged, s"merges must reduce tokens: $merged vs $unmerged")
   }
+  test("quantization-boundary guard: transcendental margins are comfortable") {
+    // Documents the cross-engine determinism assumption (r12 ADVICE):
+    // ln/exp/log2 are not IEEE-correctly-rounded, so floor(1e6*f(x))
+    // only stays engine-identical while no pre-floor value sits within
+    // ~1 ulp (~1e-8 at 1e7 magnitude) of its quantization boundary.
+    // Verify prints these margins per sweep; here we pin that the test
+    // corpus clears the flag threshold and that the guard runs.
+    val ms = LangModel.quantMargins(spark, sf) :+
+      ("q210_psi_int" -> Quality.quantMarginPsi(spark, sf))
+    assert(ms.map(_._1).toSet == Set(
+      "q215_ln_int", "q220_ln_in_int", "q220_ln_gen_int",
+      "q215_exp_half", "q210_psi_int"))
+    ms.foreach { case (n, m) =>
+      assert(m > 1e-7, s"$n margin $m is inside the libm 1-ulp danger zone")
+    }
+  }
 }

@@ -100,6 +100,32 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("sampleFrac dial: neutral at 1.0, and a half-sample gate still serves the full corpus") {
+    // r12 verdict item 3: production trains the gate on a sample and
+    // serves everywhere. Pin (a) frac >= 1 is the IDENTITY — the
+    // registered q212/q213/q219 paths are untouched by the dial;
+    // (b) trajectory equality: gateModel() == gateModel(sampleFrac=1);
+    // (c) a 50%-content-hash-sample model agrees with the full model
+    // on the great majority of serve verdicts (the dial's fitness
+    // claim; the PLANS.md probe row records 10% at sf0.01).
+    val feats = run("q212_quality_logreg") // any frame; identity check
+    assert(Quality.trainSample(feats, 1.0) eq feats,
+      "frac >= 1 must return the input frame untouched")
+    val full = Quality.gateModel(spark, sf)
+    val full1 = Quality.gateModel(spark, sf, 1.0)
+    assert(full._1 == full1._1 && full._2 == full1._2,
+      "explicit sampleFrac=1 must reproduce the default trajectory exactly")
+    val half = Quality.gateModel(spark, sf, 0.5)
+    val v = Quality.gateVerdicts(spark, sf, full)
+      .withColumnRenamed("admitted", "a_full")
+      .join(Quality.gateVerdicts(spark, sf, half)
+        .withColumnRenamed("admitted", "a_half"), "doc_id")
+    val n = v.count()
+    val agree = v.filter(col("a_full") === col("a_half")).count()
+    assert(n > 0 && agree.toDouble / n > 0.85,
+      s"half-sample gate agreement ${agree.toDouble / n} too low ($agree/$n)")
+  }
+
   test("q219 stream gate is row-identical to the batch gate's serve columns") {
     // the q171↔q172 contract: scoring at ingest must produce exactly
     // the batch relation — same weights, same features, same verdicts

@@ -38,14 +38,35 @@ res = subprocess.run(
 print(res.stdout[-2000:])
 art = {}
 npass = nfail = 0
+
+
+def row(passed, rows_match, schema_match, hash_match, **extra):
+    """Driver-schema artifact row (r12 verdict item 7): the three
+    booleans the driver's CORRECTNESS_r{N}.json carries, so naive
+    checkers that read rows_match/schema_match/hash_match see the
+    true verdict instead of treating every entry as failed. `pass` is
+    kept for continuity with the r09-r12 artifacts."""
+    return {"pass": passed, "rows_match": rows_match,
+            "schema_match": schema_match, "hash_match": hash_match, **extra}
+
+
 for line in res.stdout.splitlines():
     m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
     if m:
-        art[m.group(1)] = {"pass": True, "rows": int(m.group(2))}
+        art[m.group(1)] = row(True, True, True, True, rows=int(m.group(2)))
         npass += 1
     elif line.startswith("FAIL"):
         qn = line.split()[1].rstrip(":")
-        art[qn] = {"pass": False, "detail": line[:300]}
+        detail = line[:300]
+        # map check.py's failure mode onto the driver booleans
+        if ": cols " in line:
+            art[qn] = row(False, False, False, False, detail=detail)
+        elif ": rows " in line:
+            art[qn] = row(False, False, True, False, detail=detail)
+        elif ": row " in line:
+            art[qn] = row(False, True, True, False, detail=detail)
+        else:  # no output / exec error
+            art[qn] = row(False, False, False, False, detail=detail)
         nfail += 1
 
 cc = subprocess.run(
@@ -54,11 +75,12 @@ cc = subprocess.run(
 print(cc.stdout.strip())
 m = re.search(r"PASS q61_graph_cc \(certificate, (\d+) rows\)", cc.stdout)
 if m:
-    art["q61_graph_cc"] = {"pass": True, "rows": int(m.group(1)),
-                           "method": "cc_cert certificate"}
+    art["q61_graph_cc"] = row(True, True, True, True, rows=int(m.group(1)),
+                              method="cc_cert certificate")
     npass += 1
 else:
-    art["q61_graph_cc"] = {"pass": False, "detail": cc.stdout[:300]}
+    art["q61_graph_cc"] = row(False, False, False, False,
+                              detail=cc.stdout[:300])
     nfail += 1
 
 if npass + nfail != registry_size:
