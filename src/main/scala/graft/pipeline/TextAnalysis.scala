@@ -529,6 +529,27 @@ object TextAnalysis extends QueryModule {
   def bm25TopK(s: SparkSession, dir: String, k: Int = 3,
       maxDfFrac: Double = 1.0): DataFrame = {
     import graft.functions.TopK
+    val contrib = bm25Contrib(s, dir, maxDfFrac)
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(hw, c))),
+          |  s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+        .as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(k)(round(col("score"), 4), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The per-(query, doc, term) contribution frame bm25TopK
+    * aggregates — exposed so Bm25Probe can COUNT it: contribution
+    * rows are the postings volume entering the score join, the
+    * deterministic work metric behind the maxDfFrac dial (wall
+    * clocks at probe scale swing ±30%; this does not). */
+  private[graft] def bm25Contrib(s: SparkSession, dir: String,
+      maxDfFrac: Double): DataFrame = {
     val h = Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .withColumn("hw", hexHash(col("word")))
@@ -557,23 +578,12 @@ object TextAnalysis extends QueryModule {
     // join df (tiny, already pruned) onto the query terms FIRST: a
     // dialed-out hot term disappears here, before its postings list
     // is ever read by the corp join — pruning at the cheapest point
-    val contrib = qt.join(df, "hw")
+    qt.join(df, "hw")
       .join(corp, "hw")
       .join(dk, "doc_id")
       .select(col("query_id"), col("doc_id"), col("hw"),
         round(col("idf")
           * (col("tf") * 2.2 / (col("tf") + col("k1dl"))), 6).as("c"))
-    contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(hw, c))),
-          |  s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
-        .as("score"))
-      .groupBy(col("query_id"))
-      .agg(TopK.topK(k)(round(col("score"), 4), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("doc_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   override def queries: Seq[QueryDef] = Seq(

@@ -41,8 +41,13 @@ object Bm25Probe {
     dials.foreach { d =>
       val ts = times(d).sorted
       val med = ts(ts.length / 2)
-      println(f"[bm25probe] maxDfFrac=$d%.1f median=$med%.2f s runs=${
-        ts.map(t => f"$t%.2f").mkString(",")}")
+      // the deterministic work metric: postings volume entering the
+      // score join — the thing the dial exists to cut; immune to the
+      // ±30% wall-clock swings that flipped three r12 attempts
+      val work = graft.pipeline.TextAnalysis
+        .bm25Contrib(spark, sfDir, maxDfFrac = d).count()
+      println(f"[bm25probe] maxDfFrac=$d%.1f median=$med%.2f s " +
+        f"contribRows=$work%d runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
   }
 }

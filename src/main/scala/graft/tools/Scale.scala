@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * Usage: Scale <srcSfDir> <outDir> <multiplier> [table,table,...]
   * With a table list, only those tables are written — a 1000×
   * documents-only corpus doesn't pay for 600 M lineitem rows.
+  *
+  * GRAFT_SCALE_JITTER (r13, verdict item 1): when set to an
+  * amplitude (e.g. "0.05"), replica EMBEDDINGS get a deterministic
+  * per-(vec, replica, dim) perturbation instead of being exact
+  * copies. Without it a scaled embeddings corpus is mult-1 identical
+  * twins per base vector — 6-dp distance ties everywhere, so
+  * exact-vs-approximate agreement probes measure tie-breaking, not
+  * routing (the r12 honest note). Replica 0 stays bit-identical to
+  * the source either way.
   */
 object Scale {
   def main(args: Array[String]): Unit = {
@@ -19,6 +28,8 @@ object Scale {
     val mult = multS.toInt
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").toSet else Set.empty
+    val jitter: Double =
+      sys.env.get("GRAFT_SCALE_JITTER").map(_.toDouble).getOrElse(0.0)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,6 +58,16 @@ object Scale {
                 array_join(
                   transform(split(col(c), " "),
                     x => concat(x, lit("r"), col("__rep"))), " ")).as(c)
+            case None if c == "embedding" && jitter > 0.0 =>
+              // xxhash64-seeded uniform in [-jitter, jitter) per
+              // (vec, replica, dim) — replicas become near-twins with
+              // distinct 6-dp distances instead of exact twins
+              when(col("__rep") === 0, col(c)).otherwise(
+                expr(s"""transform(embedding, (x, d) -> CAST(x +
+                  |  $jitter * (CAST(shiftrightunsigned(
+                  |    xxhash64(vec_id, `__rep`, d), 12) AS DOUBLE)
+                  |    / 2251799813685248.0 - 1.0) AS FLOAT))"""
+                  .stripMargin)).as(c)
             case None => col(c)
           }
         }: _*)

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * ~ ln r / ln V. Doc length is 30 + (h mod 120) words, mean ~90,
   * in the band of the driver's testdata documents.
   *
-  * Usage: ZipfGen <outDir> <nDocs> [vocab=50000] [dim=16] [seed=13]
+  * Usage: ZipfGen <outDir> <nDocs> [vocab=50000] [dim=64] [seed=13]
   * Writes documents.parquet + embeddings.parquet under outDir; copy
   * the remaining TPC-H tables from a real sf dir if a probe needs
   * them (the dedup/retrieval probes only read these two).
@@ -39,7 +39,7 @@ object ZipfGen {
     val out = args(0)
     val nDocs = args(1).toLong
     val vocab = if (args.length > 2) args(2).toInt else 50000
-    val dim = if (args.length > 3) args(3).toInt else 16
+    val dim = if (args.length > 3) args(3).toInt else 64
     val seed = if (args.length > 4) args(4).toLong else 13L
     val spark = SparkSession.builder()
       .master("local[32]")
