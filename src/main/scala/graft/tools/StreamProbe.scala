@@ -39,9 +39,11 @@ object StreamProbe {
         add(counters, "microBatches", 1L)
         add(counters, "inputRows", p.numInputRows)
         p.durationMs.forEach((k, v) => add(dur, k, v.longValue))
-        p.stateOperators.foreach { so =>
-          add(counters, "stateRowsTotalLast", 0L) // replaced below
-          counters.put("stateRowsTotalLast", so.numRowsTotal)
+        p.stateOperators.zipWithIndex.foreach { case (so, i) =>
+          // last-progress state rows PER OPERATOR (r13: q193 has two
+          // stateful stages; a single overwritten counter hid the
+          // first stage's eviction behavior)
+          counters.put(s"stateRowsTotal_op$i", so.numRowsTotal)
           add(dur, "stateAllUpdates", so.allUpdatesTimeMs)
           add(dur, "stateAllRemovals", so.allRemovalsTimeMs)
           add(dur, "stateCommit", so.commitTimeMs)

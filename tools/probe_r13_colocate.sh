@@ -21,7 +21,7 @@ step() {
 }
 export SPARK_GRAFT_CPUS=32
 export JAVA_EXTRA=-Xmx24g
-export SNAP_CP=/root/repo/target/probe_r13/classes
+export SNAP_CP=/root/repo/target/probe_r13/classes_v2
 [ -d "$SNAP_CP" ] || cp -r target/scala-2.13/classes "$SNAP_CP"
 R=tools/runj_snap.sh
 # grouped-pb twin of the raised-fan-out index (8192 band buckets,

@@ -19,7 +19,7 @@ step() {
 }
 export SPARK_GRAFT_CPUS=32
 export JAVA_EXTRA=-Xmx32g
-export SNAP_CP=/root/repo/target/probe_r13/classes
+export SNAP_CP=/root/repo/target/probe_r13/classes_v2
 [ -d "$SNAP_CP" ] || cp -r target/scala-2.13/classes "$SNAP_CP"
 R=tools/runj_snap.sh
 # q218 needs documents + embeddings at the same multiplier
@@ -34,4 +34,8 @@ done
 step q218_x100  env SPARK_GRAFT_SF_DIR=target/sf1x100_both  $R graft.Bench q218_cluster_balanced_keep
 step q218_x1000 env SPARK_GRAFT_SF_DIR=target/sf1x1000_both $R graft.Bench q218_cluster_balanced_keep
 step q211_x1000 env SPARK_GRAFT_SF_DIR=target/sf1x1000_doc  $R graft.Bench q211_quality_canonical
+# verdict item 8: q193's sealed-window shape at 1000x with
+# per-operator state rows recorded (eviction must hold when
+# windows x vocab is genuinely large)
+step q193_state_x1000 $R graft.tools.StreamProbe target/sf1x1000_doc q193_stream_trending_terms
 echo ALLDONE >> "$OUT"
