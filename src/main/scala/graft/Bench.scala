@@ -125,7 +125,9 @@ object Bench {
     "q218_cluster_balanced_keep",
     "q219_stream_classifier_gate",
     "q220_moore_lewis",
-    "q221_curation_build")
+    "q221_curation_build",
+    // r13 addition: domain reweighting
+    "q222_doremi_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -244,8 +244,183 @@ object LangModel extends QueryModule {
           hMicro(col("sq_gen") - col("sq_in")).as("delta"))
         .withColumn("keep", (col("delta") <= 0).cast("int"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- DoReMi-style domain reweighting (Xie et al. 2023,
+    // "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    // Pretraining"; the Group-DRO exponentiated-gradient update of
+    // Sagawa et al. 2020): per-domain EXCESS LOSS — how much worse a
+    // weak proxy model (here the unigram marginal of the corpus
+    // bigram table) scores a domain than a stronger reference (the
+    // interpolated-KN bigram LM of q214) — drives multiplicative
+    // weight updates; domains with the most headroom get upweighted,
+    // and the published output is the AVERAGE of the EG iterates.
+    // Static-model instantiation: with fixed per-domain losses the
+    // EG recursion w_t ∝ w_0·exp(η·t·excess) has a CLOSED FORM, so
+    // the iterates are generated relationally (domains × steps) with
+    // no recursion — t's softmax needs only a per-step max (the
+    // standard log-sum-exp shift: exp(θ−θmax)·n ≤ n keeps the
+    // pre-floor double inside 2^53·1e6 at any corpus size) and a
+    // per-step sum, both over the domain-count-sized frame. Plan: the
+    // ONE corpus pass is the checkpointed bigram-count table (q214's);
+    // both scorers join against its vocab²-bounded aggregates, reduce
+    // per-doc first (the big map-side reduction), then per-source; the
+    // EG grid is |domains|×8 rows. Determinism: per-pair micro-nat
+    // floors before any sum (order-free integer sums, decimal(38,0)
+    // at the domain level — per-pair micro-nats reach −2.07e7, so a
+    // LONG domain sum overflows past ~4e11 pairs), and every emitted
+    // weight is an integer ppb floor of an exact-integer ratio; the
+    // only cross-engine float risk is ln/exp, covered by the
+    // [quant-guard] sweep margins like q215/q220. -----
+    q("q222_doremi_weights",
+      "WITH " + duckKnBody("documents", "g_") +
+        """,
+          |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |       FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+          |             FROM (SELECT doc_id, string_split(lower(text),' ') AS w
+          |                   FROM documents)
+          |             WHERE len(w) >= 2)),
+          |""".stripMargin +
+        duckScoreBody("hb", "g_") +
+        """,
+          |uni AS (SELECT w2, sum(c) AS cu FROM g_cb GROUP BY w2),
+          |utot AS (SELECT sum(c) AS tot FROM g_cb),
+          |usc AS (SELECT hb.doc_id,
+          |    CAST(floor(1000000.0 * ln(greatest(
+          |      coalesce(uni.cu, 0)::DOUBLE / utot.tot::DOUBLE, 1e-9)))
+          |      AS BIGINT) AS tq
+          |  FROM hb LEFT JOIN uni ON hb.w2 = uni.w2 CROSS JOIN utot),
+          |uag AS (SELECT doc_id, sum(tq) AS squ FROM usc GROUP BY doc_id),
+          |dom AS (SELECT d.source, sum(g.n) AS n, sum(g.sq) AS sqk,
+          |               sum(u.squ) AS squ
+          |        FROM g_ag g JOIN uag u USING (doc_id)
+          |        JOIN documents d USING (doc_id)
+          |        GROUP BY d.source),
+          |ex AS (SELECT source, n,
+          |         greatest(CAST(floor((sqk - squ)::DOUBLE / n) AS BIGINT),
+          |                  0) AS exm
+          |       FROM dom),
+          |tn AS (SELECT sum(n) AS tn FROM ex),
+          |th AS (SELECT e.source, e.n, e.exm, s.t,
+          |         0.1 * s.t * e.exm / 1000000.0 AS theta
+          |       FROM ex e CROSS JOIN (SELECT unnest(range(1, 9)) AS t) s),
+          |mx AS (SELECT t, max(theta) AS thmax FROM th GROUP BY t),
+          |uq AS (SELECT th.source, th.t,
+          |         CAST(floor(1000000.0 * th.n * exp(th.theta - mx.thmax))
+          |           AS BIGINT) AS u
+          |       FROM th JOIN mx USING (t)),
+          |z AS (SELECT t, sum(u) AS z FROM uq GROUP BY t),
+          |wt AS (SELECT uq.source, uq.t,
+          |         CAST(floor(1000000000.0 * uq.u / z.z) AS BIGINT) AS ppb
+          |       FROM uq JOIN z USING (t)),
+          |wavg AS (SELECT source, CAST(floor(sum(ppb) / 8.0) AS BIGINT)
+          |           AS w_avg_ppb FROM wt GROUP BY source),
+          |wfin AS (SELECT source, ppb AS w_final_ppb FROM wt WHERE t = 8)
+          |SELECT e.source, CAST(e.n AS BIGINT) AS n_pairs,
+          |  e.exm AS excess_micro,
+          |  CAST(floor(1000000000.0 * e.n / tn.tn) AS BIGINT) AS w0_ppb,
+          |  wfin.w_final_ppb, wavg.w_avg_ppb
+          |FROM ex e CROSS JOIN tn
+          |JOIN wfin USING (source) JOIN wavg USING (source)
+          |ORDER BY e.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val ex = doremiExcess(docs)
+      val wt = doremiGrid(ex)
+      val wavg = wt.groupBy(col("source"))
+        .agg(floor(sum(col("ppb")) / lit(8.0)).cast("long").as("w_avg_ppb"))
+      val wfin = wt.filter(col("t") === 8)
+        .select(col("source"), col("ppb").as("w_final_ppb"))
+      val tn = ex.agg(sum(col("n")).as("tn"))
+      ex.crossJoin(broadcast(tn))
+        .select(col("source"), col("n").as("n_pairs"),
+          col("exm").as("excess_micro"),
+          floor(lit(1000000000.0) * col("n") / col("tn")).cast("long")
+            .as("w0_ppb"))
+        .join(wfin, "source").join(wavg, "source")
+        .orderBy(col("source"))
     }
   )
+
+  // ---- DoReMi machinery (q222) ---------------------------------------
+
+  /** Per-domain excess loss (source, n, exm): micro-nat gap between
+    * the unigram proxy and the KN bigram reference, floored on the
+    * exact integer sums. localCheckpointed — domain-count-sized, and
+    * its three consumers (total, EG grid, final select) would each
+    * re-run the corpus scoring pass otherwise (the bigramCounts
+    * rationale). */
+  private[pipeline] def doremiExcess(docs: DataFrame): DataFrame = {
+    val hb = bigrams(docs, withDoc = true)
+    val cb = bigramCounts(bigrams(docs))
+    doremiX(hb, cb)
+      .select(col("doc_id"), floor(col("xk")).cast("long").as("tk"),
+        floor(col("xu")).cast("long").as("tu"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("tk")).as("sqk_d"),
+        sum(col("tu")).as("squ_d"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_pairs")).as("n"),
+        sum(col("sqk_d").cast("decimal(38,0)")).as("sqk"),
+        sum(col("squ_d").cast("decimal(38,0)")).as("squ"))
+      .select(col("source"), col("n"),
+        greatest(floor((col("sqk") - col("squ")).cast("double") / col("n"))
+          .cast("long"), lit(0L)).as("exm"))
+      .localCheckpoint()
+  }
+
+  /** FUSED pre-quantization score frame (doc_id, xk, xu): the KN
+    * bigram log-prob (the exact termX expression) and the unigram
+    * w2-marginal log-prob, from ONE pass over the pair frame — the
+    * two models share the checkpointed bigram table, so scoring them
+    * separately (as q220 must, its models being genuinely different
+    * tables) would double the corpus scan for no reason. The w2-keyed
+    * marginals (continuation diversity + unigram counts) ride one
+    * combined aggregate, as do the two global scalars. */
+  private[pipeline] def doremiX(hb: DataFrame, cb: DataFrame): DataFrame = {
+    val cx = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"), count(lit(1)).as("nf"))
+    val ctu = cb.groupBy(col("w2"))
+      .agg(count(lit(1)).as("np"), sum(col("c")).as("cu"))
+    val nt = cb.agg(count(lit(1)).as("ntot"), sum(col("c")).as("tot"))
+    val p = when(col("ctx").isNotNull,
+        greatest(coalesce(col("c"), lit(0L)).cast("double") - D, lit(0.0))
+          / col("ctx")
+          + ((lit(D) * col("nf")) / col("ctx"))
+            * (coalesce(col("np"), lit(0L)).cast("double") / col("ntot")))
+      .when(col("np").isNotNull, col("np").cast("double") / col("ntot"))
+      .otherwise(lit(1.0) / col("ntot"))
+    hb.join(cb.select(col("w1"), col("w2"), col("c")),
+        Seq("w1", "w2"), "left")
+      .join(cx, Seq("w1"), "left")
+      .join(ctu, Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"),
+        (lit(1000000.0) * log(greatest(p, lit(1e-9)))).as("xk"),
+        (lit(1000000.0) * log(greatest(
+          coalesce(col("cu"), lit(0L)).cast("double") /
+            col("tot").cast("double"), lit(1e-9)))).as("xu"))
+  }
+
+  /** The closed-form EG iterate grid (source, t, u_raw, u, ppb_raw,
+    * ppb): |domains|×8 rows; raw columns are the pre-floor doubles
+    * the sweep guard measures. */
+  private[pipeline] def doremiGrid(ex: DataFrame): DataFrame = {
+    val th = ex.withColumn("t", explode(expr("sequence(1, 8)")))
+      .withColumn("theta",
+        lit(0.1) * col("t") * col("exm") / lit(1000000.0))
+    val mx = th.groupBy(col("t")).agg(max(col("theta")).as("thmax"))
+    val uq = th.join(mx, "t")
+      .select(col("source"), col("t"),
+        (lit(1000000.0) * col("n") * exp(col("theta") - col("thmax")))
+          .as("u_raw"))
+      .withColumn("u", floor(col("u_raw")).cast("long"))
+    val z = uq.groupBy(col("t")).agg(sum(col("u")).as("z"))
+    uq.join(z, "t")
+      .select(col("source"), col("t"), col("u_raw"), col("u"),
+        (lit(1000000000.0) * col("u") / col("z")).as("ppb_raw"))
+      .withColumn("ppb", floor(col("ppb_raw")).cast("long"))
+  }
 
   // ---- Kneser-Ney machinery -----------------------------------------
 
@@ -462,11 +637,30 @@ object LangModel extends QueryModule {
     val halfMargin = yPpl
       .agg(min(abs(abs(col("y") - floor(col("y"))) - lit(0.5))))
       .collect()(0).getDouble(0)
+    // q222 sites: the unigram 1e6·ln marginal (per-pair) and the EG
+    // grid's two floors (1e6·n·exp and the 1e9 ppb ratio) — the grid
+    // is domain-count × 8 rows, so its margins are near-free; the
+    // unigram pass shares the checkpointed bigram table.
+    val hbA = bigrams(docs, withDoc = true)
+    val cbA = bigramCounts(bigrams(docs))
+    val x222u = doremiX(hbA, cbA).select(col("xu").as("x"))
+    val grid = doremiGrid(doremiExcess(docs))
+    // exact-integer hits are excluded by construction (the PSI-zero
+    // device): the per-step max domain has exp(0) = 1 — exact in ANY
+    // libm — so u_raw = 1e6·n lands on an integer deterministically;
+    // only NEAR-integer values signal a flippable floor
+    def gm(c: String): Double =
+      grid.select(abs(col(c) - round(col(c), 0)).as("d"))
+        .filter(col("d") > 0).agg(coalesce(min(col("d")), lit(1.0)))
+        .collect()(0).getDouble(0)
     Seq(
       "q215_ln_int" -> intMargin(x215),
       "q220_ln_in_int" -> intMargin(x220i),
       "q220_ln_gen_int" -> intMargin(x220g),
-      "q215_exp_half" -> halfMargin)
+      "q215_exp_half" -> halfMargin,
+      "q222_ln_uni_int" -> intMargin(x222u),
+      "q222_exp_u_int" -> gm("u_raw"),
+      "q222_ppb_int" -> gm("ppb_raw"))
   }
 
   /** Test hook: the vocab frame (word, freq, sym) after training —

@@ -111,6 +111,71 @@ class LangModelSpec extends SparkSpec {
     val merged = t.map(_.getAs[Long]("n_tokens")).sum
     assert(merged < unmerged, s"merges must reduce tokens: $merged vs $unmerged")
   }
+  test("q222 DoReMi: weights are a distribution, boosts monotone in excess") {
+    val rs = run("q222_doremi_weights").collect()
+    assert(rs.length > 1, "needs multiple domains")
+    // excess is clipped at 0 and positive somewhere: the KN bigram
+    // reference must beat the unigram proxy on at least one domain
+    val exm = rs.map(_.getAs[Long]("excess_micro"))
+    assert(exm.forall(_ >= 0L) && exm.exists(_ > 0L))
+    // each weight column is a floor-quantized distribution: sums land
+    // in (1e9 - |domains|·1, 1e9] ppb (every floor loses < 1 ppb)
+    for (c <- Seq("w0_ppb", "w_final_ppb", "w_avg_ppb")) {
+      val tot = rs.map(_.getAs[Long](c)).sum
+      assert(tot <= 1000000000L && tot > 1000000000L - rs.length,
+        s"$c sums to $tot")
+    }
+    // the EG boost w_final/w0 = exp(0.8·excess)·const must be
+    // monotone in excess — n-proportionality cancels in the ratio
+    val byExcess = rs.sortBy(_.getAs[Long]("excess_micro")).map { r =>
+      (r.getAs[Long]("excess_micro"),
+        r.getAs[Long]("w_final_ppb").toDouble /
+          r.getAs[Long]("w0_ppb").toDouble)
+    }
+    byExcess.sliding(2).foreach { case Array((e1, b1), (e2, b2)) =>
+      if (e2 > e1) assert(b2 > b1 * (1 - 1e-6),
+        s"boost not monotone: excess $e1→$e2 boost $b1→$b2")
+    }
+    // upweighted domains (excess above the weighted mean) end above
+    // their natural share, downweighted below — the DoReMi contract
+    val maxE = byExcess.last._1; val minE = byExcess.head._1
+    if (maxE > minE) {
+      assert(byExcess.last._2 > 1.0, "highest-excess domain not upweighted")
+      assert(byExcess.head._2 < 1.0, "lowest-excess domain not downweighted")
+    }
+  }
+
+  test("q222 fused scorer: ONE corpus pass scores both models (pre-checkpoint plan)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val hb = LangModel.bigrams(docs, withDoc = true)
+    val cb = LangModel.bigramCounts(LangModel.bigrams(docs))
+    val p = LangModel.doremiX(hb, cb).queryExecution.executedPlan.toString
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "KN + unigram scoring must share one pair-frame scan — separate " +
+        "scoring passes double the corpus read")
+  }
+
+  test("q222 EG grid: per-step iterates are floor-quantized softmaxes") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val ex = LangModel.doremiExcess(docs)
+    val nBySrc = ex.collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val grid = LangModel.doremiGrid(ex).collect()
+    val byT = grid.groupBy(_.getAs[Int]("t"))
+    assert(byT.keySet == (1 to 8).toSet)
+    byT.foreach { case (t, rows) =>
+      val tot = rows.map(_.getAs[Long]("ppb")).sum
+      assert(tot <= 1000000000L && tot > 1000000000L - rows.length,
+        s"step $t ppb total $tot")
+      // log-sum-exp shift: exp(θ−θmax) ≤ 1, so every pre-softmax mass
+      // is bounded by 1e6·n — corpus-size-bounded, never exp overflow
+      rows.foreach { r =>
+        val cap = 1000000L * nBySrc(r.getAs[String]("source"))
+        assert(r.getAs[Long]("u") <= cap, s"step $t u exceeds 1e6·n")
+      }
+    }
+  }
+
   test("quantization-boundary guard: transcendental margins are comfortable") {
     // Documents the cross-engine determinism assumption (r12 ADVICE):
     // ln/exp/log2 are not IEEE-correctly-rounded, so floor(1e6*f(x))
@@ -122,7 +187,8 @@ class LangModelSpec extends SparkSpec {
       ("q210_psi_int" -> Quality.quantMarginPsi(spark, sf))
     assert(ms.map(_._1).toSet == Set(
       "q215_ln_int", "q220_ln_in_int", "q220_ln_gen_int",
-      "q215_exp_half", "q210_psi_int"))
+      "q215_exp_half", "q210_psi_int",
+      "q222_ln_uni_int", "q222_exp_u_int", "q222_ppb_int"))
     ms.foreach { case (n, m) =>
       assert(m > 1e-7, s"$n margin $m is inside the libm 1-ulp danger zone")
     }
