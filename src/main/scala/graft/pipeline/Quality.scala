@@ -294,29 +294,7 @@ object Quality extends QueryModule {
           |  CAST(m.doc_id = bd.best_doc AS INTEGER) AS keep
           |FROM m JOIN bd USING (cluster_id)
           |ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.t(s, dir, "documents")
-      val pairs = Dedup.lshVerifiedPairs(docs)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val clusters = graft.graph.Graph.fromEdges(
-          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        .connectedComponents()
-      // m feeds three consumers (bq, bd, the final join) — truncate
-      // the CC lineage so the Pregel supersteps run once (r5 lesson)
-      val m = docs
-        .join(clusters.select(col("id").as("doc_id"), col("comp")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
-          TextAnalysis.quality(col("text")).as("q"))
-        .localCheckpoint()
-      val bq = m.groupBy(col("cluster_id")).agg(max(col("q")).as("best_q"))
-      val bd = m.join(bq, "cluster_id")
-        .filter(col("q") === col("best_q"))
-        .groupBy(col("cluster_id")).agg(max(col("doc_id")).as("best_doc"))
-      m.join(bd, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("q"),
-          (col("doc_id") === col("best_doc")).cast("int").as("keep"))
-        .orderBy(col("doc_id"))
+      canonicalize(Tables.t(s, dir, "documents"))
     },
 
     // ----- IN-ENGINE quality-classifier training: full-batch
@@ -564,6 +542,56 @@ object Quality extends QueryModule {
   /** q219's engine: batch-train the q212 trajectory, then score a
     * document stream with the frozen weights through a stateless map
     * into an append-mode memory sink. */
+  /** Quality-aware canonicalization (q211) with a production pre-gate
+    * dial. preGate=false (the oracle path) canonicalizes the whole
+    * corpus. preGate=true runs the Gopher gate FIRST and both pairs
+    * and emits only gate-passing docs — exactly the q221 composition
+    * order, exposed as a dial because the r13 1000× probe measured
+    * the ungated whole-corpus LSH+Pregel pass at 472 s (16 cores,
+    * disk-spill-bound) where the gated build runs the same corpus in
+    * 12.9 s: at extreme scale the gate IS the canonicalization's
+    * admission control. Semantics delta (documented, spec-pinned):
+    * gated docs are absent from the output, and a cluster bridged
+    * only through a gated doc splits — the production trade (garbage
+    * can't be a canonical representative, and transitive identity
+    * through garbage is noise, not signal). By construction
+    * preGate=true ≡ canonicalize(docs.filter(gopherPass)). */
+  private[graft] def canonicalize(
+      docs: org.apache.spark.sql.DataFrame,
+      preGate: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // The gated frame feeds five consumers (shingles, signatures, two
+    // pair join-backs, quality scoring); without materialization each
+    // re-runs the full-corpus scan WITH the word-splitting gate
+    // predicate — measured 152.7 s vs 40.3 s materialized at the 100×
+    // probe — so the gate output is materialized once, mirroring
+    // q221's composition (which persists the gated shards as its
+    // output contract).
+    val in =
+      if (preGate) docs.filter(gopherPass).localCheckpoint() else docs
+    val pairs = Dedup.lshVerifiedPairs(in)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val clusters = graft.graph.Graph.fromEdges(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .connectedComponents()
+    // m feeds three consumers (bq, bd, the final join) — truncate
+    // the CC lineage so the Pregel supersteps run once (r5 lesson)
+    val m = in
+      .join(clusters.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+        TextAnalysis.quality(col("text")).as("q"))
+      .localCheckpoint()
+    val bq = m.groupBy(col("cluster_id")).agg(max(col("q")).as("best_q"))
+    val bd = m.join(bq, "cluster_id")
+      .filter(col("q") === col("best_q"))
+      .groupBy(col("cluster_id")).agg(max(col("doc_id")).as("best_doc"))
+    m.join(bd, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("q"),
+        (col("doc_id") === col("best_doc")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   private def streamGate(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val (b, w, m, sd) = gateModel(s, dir)
     val raw = s.read.parquet(s"$dir/documents.parquet").schema

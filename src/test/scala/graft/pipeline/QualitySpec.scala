@@ -73,6 +73,29 @@ class QualitySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("preGate dial: default is the q211 path; gated run admits exactly the gate-pass set") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    // dial-off identity: canonicalize(docs) IS the registry query
+    val a = run("q211_quality_canonical").collect().toSeq
+    val b = Quality.canonicalize(docs).collect().toSeq
+    assert(a == b, "preGate=false must be byte-identical to q211")
+    // dial-on: output ids == gopher-pass ids (gated docs can neither
+    // appear nor bridge), one canonical per surviving cluster
+    val g = Quality.canonicalize(docs, preGate = true).cache()
+    val outIds = g.select("doc_id").collect().map(_.getLong(0)).toSet
+    val passIds = docs.filter(Quality.gopherPass)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds == passIds, "gated output must be exactly the pass set")
+    assert(passIds.size < docs.count(), "gate must actually cut at test sf")
+    g.groupBy(col("cluster_id")).agg(sum(col("keep")).as("k")).collect()
+      .foreach(r => assert(r.getAs[Long]("k") == 1L))
+    // composition equivalence: the dial is filter-then-canonicalize
+    val c = Quality.canonicalize(docs.filter(Quality.gopherPass))
+      .collect().toSeq
+    assert(g.collect().toSeq == c)
+    g.unpersist()
+  }
+
   test("q213 classifier learns past the majority class and issues both verdicts") {
     val rows = run("q213_classifier_gate").collect()
     val n = rows.length.toDouble
