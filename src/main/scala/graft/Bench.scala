@@ -126,8 +126,9 @@ object Bench {
     "q219_stream_classifier_gate",
     "q220_moore_lewis",
     "q221_curation_build",
-    // r13 addition: domain reweighting
-    "q222_doremi_weights")
+    // r13 additions: domain reweighting + language budget allocation
+    "q222_doremi_weights",
+    "q223_unimax_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

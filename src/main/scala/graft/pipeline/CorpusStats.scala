@@ -333,6 +333,106 @@ object CorpusStats extends QueryModule {
         .select(col("src_a"), col("src_b"), col("agree").cast("long").as("agree"),
           round(col("agree").cast("double") / lit(16.0), 6).as("est_jaccard"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ----- UniMax language sampling (Chung et al. 2023, "UniMax:
+    // Fairer and More Effective Language Sampling for Large-Scale
+    // Multilingual Pretraining"): allocate a total token budget
+    // across languages by WATER-FILLING under a per-language epoch
+    // cap — every language gets an equal share of budget unless its
+    // cap (epochs × available tokens) is smaller, in which case it
+    // is fully allocated and the freed budget redistributes to the
+    // rest. The fairer alternative to temperature sampling (q199):
+    // head languages stop absorbing the tail's share. Budget here =
+    // half the corpus tokens, cap = 2 epochs (query constants, the
+    // bpeRounds pattern). Plan: ONE corpus pass (per-lang token
+    // counts, map-side combined); everything after runs on the
+    // language-count-sized table — the rank/prefix window is over
+    // |langs| rows (the bounded-partition precedent of q181/q163).
+    // The capped set is a PREFIX of the capacity-ascending order
+    // (cap_{k+1} ≥ cap_k makes the water-filling test monotone), so
+    // the split resolves with one windowed prefix sum, no recursion.
+    // Determinism: ALL-INTEGER arithmetic — integer floor-division
+    // for the fair share, remainder tokens to the smallest-capacity
+    // uncapped languages in rank order, epochs emitted in exact
+    // integer micro-units ((alloc·1e6) div avail: exact below ~9e12
+    // tokens/language, the long ceiling; widen the product to
+    // decimal(38,0) at the 100 TB tier — same plan). Zero floats →
+    // zero cross-engine boundary risk. -----
+    q("q223_unimax_mix",
+      """WITH tok AS (
+        |  SELECT lang, count(*) AS avail
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY lang),
+        |par AS (SELECT sum(avail) // 2 AS b, count(*) AS nl FROM tok),
+        |rk AS (SELECT t.lang, t.avail, 2 * t.avail AS cap, p.b, p.nl,
+        |         row_number() OVER (ORDER BY 2 * t.avail, t.lang) AS k,
+        |         coalesce(sum(2 * t.avail) OVER (ORDER BY 2 * t.avail, t.lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS pre
+        |       FROM tok t CROSS JOIN par p),
+        |cp AS (SELECT *, CASE WHEN pre + cap * (nl - k + 1) <= b
+        |                      THEN 1 ELSE 0 END AS capped FROM rk),
+        |ag AS (SELECT coalesce(sum(CASE WHEN capped = 1 THEN 1 END), 0) AS kk,
+        |              coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0) AS pp
+        |       FROM cp),
+        |al AS (SELECT c.lang, c.avail, c.cap, c.capped,
+        |         CASE WHEN c.capped = 1 THEN c.cap
+        |              ELSE (c.b - a.pp) // (c.nl - a.kk)
+        |                   + CASE WHEN c.k - a.kk <=
+        |                            (c.b - a.pp) % (c.nl - a.kk)
+        |                          THEN 1 ELSE 0 END END AS alloc
+        |       FROM cp c CROSS JOIN ag a)
+        |SELECT lang, CAST(avail AS BIGINT) AS avail_tokens,
+        |  CAST(cap AS BIGINT) AS cap_tokens,
+        |  CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST((alloc * 1000000) // avail AS BIGINT) AS epochs_micro,
+        |  capped
+        |FROM al ORDER BY lang""") { (s, dir) =>
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang")).agg(count(lit(1)).as("avail"))
+      unimaxAlloc(tok, epochCap = 2, budgetDiv = 2)
     }
   )
+
+  /** The UniMax water-filling allocator over a (lang, avail) token
+    * table: budget = Σavail div budgetDiv, per-language cap =
+    * epochCap·avail. Factored so the spec can drive the capped
+    * branch with a skewed synthetic table (the organic test corpus
+    * never caps — no language's 2-epoch ceiling undercuts the
+    * half-budget equal share). All-integer arithmetic; see q223. */
+  private[pipeline] def unimaxAlloc(tok: DataFrame, epochCap: Long,
+      budgetDiv: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = tok.agg(expr(s"sum(avail) div $budgetDiv").as("b"),
+      count(lit(1)).as("nl"))
+    val w = Window.orderBy(col("cap"), col("lang"))
+    val rk = tok.withColumn("cap", lit(epochCap) * col("avail"))
+      .crossJoin(broadcast(par))
+      .withColumn("k", row_number().over(w))
+      .withColumn("pre", coalesce(sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cp = rk.withColumn("capped",
+      (col("pre") + col("cap") * (col("nl") - col("k") + 1) <= col("b"))
+        .cast("int"))
+    val ag = cp.agg(
+      coalesce(sum(when(col("capped") === 1, 1L)), lit(0L)).as("kk"),
+      coalesce(sum(when(col("capped") === 1, col("cap"))), lit(0L))
+        .as("pp"))
+    cp.crossJoin(broadcast(ag))
+      .withColumn("alloc", when(col("capped") === 1, col("cap"))
+        .otherwise(expr("(b - pp) div (nl - kk)") +
+          when(col("k") - col("kk") <= expr("(b - pp) % (nl - kk)"),
+            1L).otherwise(0L)))
+      .select(col("lang"), col("avail").as("avail_tokens"),
+        col("cap").cast("long").as("cap_tokens"),
+        col("alloc").cast("long").as("alloc_tokens"),
+        expr("(alloc * 1000000) div avail").cast("long")
+          .as("epochs_micro"),
+        col("capped"))
+      .orderBy(col("lang"))
+  }
 }

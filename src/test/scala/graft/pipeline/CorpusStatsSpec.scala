@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavioural pins for q223 UniMax beyond the oracle hash-compare:
+  * budget conservation, the cap invariant, and the CAPPED branch —
+  * which the organic test corpus never exercises (no language's
+  * 2-epoch ceiling undercuts the half-budget equal share), so a
+  * skewed synthetic token table drives it here.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.fn(spark, sf)
+
+  test("q223 UniMax: allocations conserve the budget and respect caps") {
+    val rs = run("q223_unimax_mix").collect()
+    assert(rs.length > 1)
+    val avail = rs.map(_.getAs[Long]("avail_tokens")).sum
+    val alloc = rs.map(_.getAs[Long]("alloc_tokens")).sum
+    // with at least one uncapped language the water level absorbs the
+    // whole budget (integer-exactly — remainder crumbs included)
+    if (rs.exists(_.getAs[Int]("capped") == 0))
+      assert(alloc == avail / 2, s"alloc $alloc != budget ${avail / 2}")
+    rs.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Long]("epochs_micro") <= 2000000L)
+      assert(r.getAs[Long]("cap_tokens") ==
+        2L * r.getAs[Long]("avail_tokens"))
+    }
+    // the UniMax signature vs temperature sampling: the head language
+    // trains for FEWER epochs than any tail language
+    val byAvail = rs.sortBy(_.getAs[Long]("avail_tokens"))
+    assert(byAvail.last.getAs[Long]("epochs_micro") ==
+      rs.map(_.getAs[Long]("epochs_micro")).min)
+  }
+
+  test("UniMax capped branch: a tiny language caps at full epochs, budget redistributes") {
+    import spark.implicits._
+    val tok = Seq(("aa", 10L), ("bb", 20L), ("cc", 10000L))
+      .toDF("lang", "avail")
+    val rs = CorpusStats.unimaxAlloc(tok, epochCap = 2, budgetDiv = 2)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // budget = 10030 div 2 = 5015; caps 20/40/20000 — aa and bb cap
+    // out (their full 2 epochs fit under the equal share), cc absorbs
+    // the rest of the budget
+    assert(rs("aa").getAs[Int]("capped") == 1)
+    assert(rs("bb").getAs[Int]("capped") == 1)
+    assert(rs("cc").getAs[Int]("capped") == 0)
+    assert(rs("aa").getAs[Long]("alloc_tokens") == 20L)
+    assert(rs("bb").getAs[Long]("alloc_tokens") == 40L)
+    assert(rs("cc").getAs[Long]("alloc_tokens") == 4955L)
+    // capped ⇒ exactly the epoch ceiling, integer-exactly
+    assert(rs("aa").getAs[Long]("epochs_micro") == 2000000L)
+    assert(rs("bb").getAs[Long]("epochs_micro") == 2000000L)
+  }
+
+  test("UniMax remainder crumbs: deterministic, to the smallest-capacity uncapped langs") {
+    import spark.implicits._
+    // 3 equal uncapped languages, budget 10030 div 3 non-exact would
+    // need budgetDiv tricks; instead 4 langs, budget = sum div 2 = 35
+    // → shares 8,8,8,8 + 3 crumbs to the three smallest (rank order)
+    val tok = Seq(("aa", 17L), ("bb", 17L), ("cc", 18L), ("dd", 19L))
+      .toDF("lang", "avail")
+    val rs = CorpusStats.unimaxAlloc(tok, epochCap = 2, budgetDiv = 2)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Long]("alloc_tokens")).toMap
+    assert(rs.values.sum == 35L)
+    assert(rs("aa") == 9L && rs("bb") == 9L && rs("cc") == 9L &&
+      rs("dd") == 8L)
+  }
+}
