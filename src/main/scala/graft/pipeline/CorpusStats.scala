@@ -390,10 +390,15 @@ object CorpusStats extends QueryModule {
         |  CAST((alloc * 1000000) // avail AS BIGINT) AS epochs_micro,
         |  capped
         |FROM al ORDER BY lang""") { (s, dir) =>
+      // |langs| rows, four consumers downstream (budget, rank frame,
+      // capped aggregate, final select) — without the checkpoint each
+      // re-runs the corpus explode (the bigramCounts rationale;
+      // caught by the PlanSpec guard showing 4 scans)
       val tok = Tables.t(s, dir, "documents")
         .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("lang")).agg(count(lit(1)).as("avail"))
+        .localCheckpoint()
       unimaxAlloc(tok, epochCap = 2, budgetDiv = 2)
     }
   )

@@ -473,4 +473,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       "token counts are a doc-keyed agg over an equi join")
   }
+
+  test("q223 UniMax: one corpus scan; windows and joins only on the lang-sized frame") {
+    // the water-fill has FOUR consumers of the lang-count table —
+    // un-checkpointed they each re-ran the corpus explode (4 scans,
+    // caught here); the token count itself is the one corpus pass
+    val pre = graft.Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text")), " ")).as("w"))
+      .groupBy("lang").count()
+    val pp = pre.queryExecution.executedPlan.toString
+    assert(pp.contains("ReadSchema: struct<text:string,lang:string>")
+      || pp.contains("ReadSchema: struct<lang:string,text:string>"),
+      "the token-count scan must prune to (text, lang)")
+    val p = plan("q223_unimax_mix")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 0,
+      "everything downstream of the lang-count checkpoint runs on the " +
+        "|langs|-row table — no corpus re-scan")
+    assert(!p.contains("SortMergeJoin"),
+      "par/ag totals join the lang frame via broadcast")
+  }
 }
