@@ -348,9 +348,15 @@ object Quality extends QueryModule {
     // scoring is a pure map over the feature frame. -----
     q("q213_classifier_gate", duckGateSql) { (s, dir) =>
       // gateModel at sampleFrac=1.0 — the dial's neutral setting is
-      // on the oracle-checked path, so any drift in it fails the hash
-      val (b, w, m, sd) = gateModel(s, dir)
+      // on the oracle-checked path, so any drift in it fails the hash.
+      // Train AND serve share ONE checkpointed feature frame: the r13
+      // refactor briefly served off a fresh logregFeats scan and the
+      // mechanized bench recheck caught the doubled featurization
+      // (3.27 → 7.53 s isolated, same data — bench_recheck.py's first
+      // real catch)
       val feats = logregFeats(Tables.t(s, dir, "documents"))
+        .localCheckpoint()
+      val (b, w, m, sd) = gateModelFromFeats(feats)
       feats.withColumn("p",
           lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
         .select(col("doc_id"), col("y"), round(col("p"), 6).as("score"),
@@ -667,10 +673,16 @@ object Quality extends QueryModule {
     * standardization must match what training saw). */
   private[graft] def gateModel(s: SparkSession, dir: String,
       sampleFrac: Double = 1.0)
-      : (Double, Seq[Double], Array[Double], Array[Double]) = {
-    val feats = trainSample(
+      : (Double, Seq[Double], Array[Double], Array[Double]) =
+    gateModelFromFeats(trainSample(
       logregFeats(Tables.t(s, dir, "documents")), sampleFrac)
-      .localCheckpoint()
+      .localCheckpoint())
+
+  /** Train off an ALREADY-MATERIALIZED feature frame — q213 passes
+    * its serve-side checkpoint so featurization happens exactly once
+    * for train + serve (the r12 shape). */
+  private[graft] def gateModelFromFeats(feats: org.apache.spark.sql.DataFrame)
+      : (Double, Seq[Double], Array[Double], Array[Double]) = {
     val (m, sd) = featMoments(feats)
     val (b, w) = trainLogreg(feats, m, sd, epochs).last
     (b, w, m, sd)

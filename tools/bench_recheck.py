@@ -22,15 +22,33 @@ Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        SNAP_CP (required - snapshot classes dir for runj_snap.sh),
        SPARK_GRAFT_CPUS / JAVA_EXTRA passed through to the re-run.
 """
-import json, os, subprocess, sys
+import json, os, re, subprocess, sys
 
 UPTICK = 1.25      # in-suite trigger AND isolated confirmation fence
 ABS_FLOOR = 0.3    # seconds; below this, jitter dominates
 
 
 def load(path):
+    """Accept either the plain graft.Bench JSON line or the driver's
+    BENCH_r*.json wrapper, whose metric line is embedded in `tail`
+    (the r12 artifact shape: {n, rc, cpus, sf, tail, parsed})."""
     with open(path) as f:
-        return json.load(f)
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    for key in ("parsed", "tail"):
+        v = d.get(key)
+        if isinstance(v, dict) and "queries" in v:
+            return v
+        if isinstance(v, str):
+            # the driver keeps only the LAST bytes of stdout, so the
+            # metric line may be truncated mid-map — regex-recover
+            # whatever (query, seconds) pairs survive
+            qs = {m.group(1): float(m.group(2)) for m in
+                  re.finditer(r'"(q\w+)":\s*([0-9.]+)', v)}
+            if qs:
+                return {"queries": qs}
+    raise SystemExit(f"[recheck] {path}: no queries map found")
 
 
 def isolated_run(q, sfdir):
