@@ -39,19 +39,18 @@ object Verify {
     // must dump every registered query; the guard prints a machine-
     // grepable line and exits non-zero on any miss.
     if (only.isEmpty) {
-      // Transcendental-boundary guard (r12 ADVICE): ln/exp/log2 are
-      // not IEEE-correctly-rounded, so a 1-ulp JVM-vs-DuckDB libm
-      // divergence can flip a floor(1e6·f(x)) quantizer when the
-      // pre-quantization value sits within ~1e-8 of its boundary.
-      // Measure the actual margins on THIS corpus and print a
-      // greppable RISK line if any gets close — turning a would-be
-      // mystery hash mismatch into an instant diagnosis. Advisory
-      // (the correctness compare is the enforcement); never fails the
-      // sweep.
+      // Transcendental-boundary guard (r12 ADVICE; centralized in
+      // QuantGuard r14): ln/exp/log2 are not IEEE-correctly-rounded,
+      // so a 1-ulp JVM-vs-DuckDB libm divergence can flip a
+      // floor/round quantizer when the pre-quantization value sits
+      // within ~1e-8 of its boundary. Measure the actual margins on
+      // THIS corpus and print a greppable RISK line if any gets close
+      // — turning a would-be mystery hash mismatch into an instant
+      // diagnosis. Advisory (the correctness compare is the
+      // enforcement); never fails the sweep. Completeness is enforced
+      // separately by QuantGuardCompletenessSpec.
       try {
-        val margins = graft.pipeline.LangModel.quantMargins(spark, sfDir) :+
-          ("q210_psi_int" -> graft.pipeline.Quality.quantMarginPsi(spark, sfDir))
-        margins.foreach { case (name, m) =>
+        QuantGuard.margins(spark, sfDir).foreach { case (name, m) =>
           val verdict = if (m < 1e-7) "RISK" else "ok"
           println(f"[quant-guard] $name margin=$m%.3e threshold=1.0e-07 $verdict")
         }

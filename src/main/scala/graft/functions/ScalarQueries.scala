@@ -19,6 +19,58 @@ object ScalarQueries extends QueryModule {
 
   private def r10(c: Column) = round(c, 10)
 
+  /** q31's PRE-ROUND float columns, keyed by output name — one
+    * definition shared by the query (which rounds each at 10 dp) and
+    * quantMargins (which measures each one's distance to the round
+    * boundary), the q210 psiWithP pattern. sqrt IS IEEE-correctly-
+    * rounded and degrees/radians are single multiplies, but they stay
+    * in the measured set: DuckDB may compute them with a different op
+    * sequence (e.g. x·180/π as two ops), so the boundary margin is
+    * the honest cross-engine statement for every one of them. */
+  private val q31FloatRaws: Map[String, Column] = {
+    val sz10 = col("p_size") / 10.0
+    Map(
+      "pow2" -> pow(col("p_size"), 2),
+      "sqrtv" -> sqrt(col("p_retailprice")),
+      "expv" -> exp(col("p_size") / 100.0),
+      "lnv" -> log(col("p_retailprice")),
+      "log10v" -> log10(col("p_retailprice")),
+      "log2v" -> log2(col("p_retailprice")),
+      "sinv" -> sin(sz10),
+      "cosv" -> cos(sz10),
+      "tanv" -> tan(sz10),
+      "sinhv" -> sinh(col("p_size") / 50.0),
+      "coshv" -> cosh(col("p_size") / 50.0),
+      "tanhv" -> tanh(col("p_size") / 50.0),
+      "asinv" -> asin(col("p_size") / 50.0),
+      "acosv" -> acos(col("p_size") / 50.0),
+      "atanv" -> atan(sz10),
+      "atan2v" -> atan2(col("p_size").cast("double"), lit(7.0)),
+      "degv" -> degrees(sz10),
+      "radv" -> radians(col("p_size").cast("double")),
+      "cotv" -> lit(1.0) / tan(sz10 + 1.0),
+      "cbrtv" -> cbrt(col("p_retailprice")))
+  }
+
+  /** Sweep-time round(·, 10) boundary margin for q31 (r13 verdict
+    * item 5): min distance of 1e10·raw to the nearest half-integer
+    * across ALL float columns — q31's rounding is 10 dp, so the flip
+    * zone is 1e10-scaled (tighter than the pipeline's 1e6 surfaces;
+    * the part table is tiny, so measuring all 20 columns in one agg
+    * is free). */
+  private[graft] def quantMargins(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val part = Tables.t(s, dir, "part")
+    val margins = q31FloatRaws.values.toSeq.map { raw =>
+      val y = lit(1.0e10) * raw
+      min(abs(abs(y - floor(y)) - lit(0.5)))
+    }
+    val row = part.agg(margins.head, margins.tail: _*).collect()(0)
+    Seq("q31_round10_half" ->
+      (0 until margins.size).map(row.getDouble).min)
+  }
+
   override def queries: Seq[QueryDef] = Seq(
 
     // ----- string functions (stringExpressions.scala:34-558) -----
@@ -121,26 +173,26 @@ object ScalarQueries extends QueryModule {
         floor(col("p_retailprice")).cast("double").as("floorv"),
         round(col("p_retailprice"), 1).as("round1"),
         signum(col("p_retailprice") - 1000).as("signv"),
-        r10(pow(col("p_size"), 2)).as("pow2"),
-        r10(sqrt(col("p_retailprice"))).as("sqrtv"),
-        r10(exp(col("p_size") / 100.0)).as("expv"),
-        r10(log(col("p_retailprice"))).as("lnv"),
-        r10(log10(col("p_retailprice"))).as("log10v"),
-        r10(log2(col("p_retailprice"))).as("log2v"),
-        r10(sin(sz10)).as("sinv"),
-        r10(cos(sz10)).as("cosv"),
-        r10(tan(sz10)).as("tanv"),
-        r10(sinh(col("p_size") / 50.0)).as("sinhv"),
-        r10(cosh(col("p_size") / 50.0)).as("coshv"),
-        r10(tanh(col("p_size") / 50.0)).as("tanhv"),
-        r10(asin(col("p_size") / 50.0)).as("asinv"),
-        r10(acos(col("p_size") / 50.0)).as("acosv"),
-        r10(atan(sz10)).as("atanv"),
-        r10(atan2(col("p_size").cast("double"), lit(7.0))).as("atan2v"),
-        r10(degrees(sz10)).as("degv"),
-        r10(radians(col("p_size").cast("double"))).as("radv"),
-        r10(lit(1.0) / tan(sz10 + 1.0)).as("cotv"),
-        r10(cbrt(col("p_retailprice"))).as("cbrtv"),
+        r10(q31FloatRaws("pow2")).as("pow2"),
+        r10(q31FloatRaws("sqrtv")).as("sqrtv"),
+        r10(q31FloatRaws("expv")).as("expv"),
+        r10(q31FloatRaws("lnv")).as("lnv"),
+        r10(q31FloatRaws("log10v")).as("log10v"),
+        r10(q31FloatRaws("log2v")).as("log2v"),
+        r10(q31FloatRaws("sinv")).as("sinv"),
+        r10(q31FloatRaws("cosv")).as("cosv"),
+        r10(q31FloatRaws("tanv")).as("tanv"),
+        r10(q31FloatRaws("sinhv")).as("sinhv"),
+        r10(q31FloatRaws("coshv")).as("coshv"),
+        r10(q31FloatRaws("tanhv")).as("tanhv"),
+        r10(q31FloatRaws("asinv")).as("asinv"),
+        r10(q31FloatRaws("acosv")).as("acosv"),
+        r10(q31FloatRaws("atanv")).as("atanv"),
+        r10(q31FloatRaws("atan2v")).as("atan2v"),
+        r10(q31FloatRaws("degv")).as("degv"),
+        r10(q31FloatRaws("radv")).as("radv"),
+        r10(q31FloatRaws("cotv")).as("cotv"),
+        r10(q31FloatRaws("cbrtv")).as("cbrtv"),
         (col("p_size") % 7).cast("int").as("modv"),
         greatest(col("p_size"), lit(25)).as("biggest"),
         least(col("p_size"), lit(25)).as("smallest"),

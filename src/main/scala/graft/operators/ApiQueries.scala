@@ -319,11 +319,7 @@ object ApiQueries extends QueryModule {
         |GROUP BY a, b
         |HAVING sum(1.0 / ln(d.degree)) >= 3.0
         |ORDER BY a, b""") { (s, dir) =>
-      val edges = Tables.t(s, dir, "orders")
-        .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      Graph.fromEdges(edges).adamicAdar()
+      q93AaFrame(s, dir)
         .filter(col("adamic_adar") >= 3.0)
         .select(col("a"), col("b"), round(col("adamic_adar"), 6).as("adamic_adar"))
         .orderBy(col("a"), col("b"))
@@ -499,4 +495,37 @@ object ApiQueries extends QueryModule {
         .orderBy(col("id"))
     }
   )
+
+  /** q93's raw Adamic-Adar frame (a, b, adamic_adar) — factored so
+    * the quant-guard measures the exact sum the query rounds and
+    * thresholds. */
+  private def q93AaFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val edges = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    Graph.fromEdges(edges).adamicAdar()
+  }
+
+  /** Sweep-time margins for q93 (r13 verdict item 5): the round(·, 6)
+    * boundary of the Adamic-Adar sum and its HAVING-threshold margin
+    * |aa − 3.0| (1e6-scaled so the shared 1e-7 fence means the same
+    * thing). Caveat, stated rather than hidden: aa is a FLOAT SUM of
+    * 1/ln(degree) terms, so beyond the libm ulp the summation ORDER
+    * differs between engines — wedge groups are tiny (a handful of
+    * shared neighbors), which is why the hash oracle has held; the
+    * durable fix if either margin ever collapses is the house
+    * floor-quantize-per-term-then-integer-sum device. */
+  private[graft] def quantMargins(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val y = lit(1000000.0) * col("adamic_adar")
+    val row = q93AaFrame(s, dir)
+      .agg(min(abs(abs(y - floor(y)) - lit(0.5))).as("rh"),
+        min(lit(1000000.0) * abs(col("adamic_adar") - lit(3.0))).as("th"))
+      .collect()(0)
+    Seq("q93_aa_round_half" -> row.getDouble(0),
+      "q93_aa_threshold" -> row.getDouble(1))
+  }
 }

@@ -355,10 +355,11 @@ object CorpusStats extends QueryModule {
     // Determinism: ALL-INTEGER arithmetic — integer floor-division
     // for the fair share, remainder tokens to the smallest-capacity
     // uncapped languages in rank order, epochs emitted in exact
-    // integer micro-units ((alloc·1e6) div avail: exact below ~9e12
-    // tokens/language, the long ceiling; widen the product to
-    // decimal(38,0) at the 100 TB tier — same plan). Zero floats →
-    // zero cross-engine boundary risk. -----
+    // integer micro-units — the (alloc·1e6) product runs in
+    // decimal(38,0) (Spark) / HUGEINT (DuckDB) so it cannot wrap at
+    // ANY corpus size (a raw long product is exact only below ~9e12
+    // tokens/language). Zero floats → zero cross-engine boundary
+    // risk. -----
     q("q223_unimax_mix",
       """WITH tok AS (
         |  SELECT lang, count(*) AS avail
@@ -387,7 +388,8 @@ object CorpusStats extends QueryModule {
         |SELECT lang, CAST(avail AS BIGINT) AS avail_tokens,
         |  CAST(cap AS BIGINT) AS cap_tokens,
         |  CAST(alloc AS BIGINT) AS alloc_tokens,
-        |  CAST((alloc * 1000000) // avail AS BIGINT) AS epochs_micro,
+        |  CAST((CAST(alloc AS HUGEINT) * 1000000) // avail AS BIGINT)
+        |    AS epochs_micro,
         |  capped
         |FROM al ORDER BY lang""") { (s, dir) =>
       // |langs| rows, four consumers downstream (budget, rank frame,
@@ -435,8 +437,13 @@ object CorpusStats extends QueryModule {
       .select(col("lang"), col("avail").as("avail_tokens"),
         col("cap").cast("long").as("cap_tokens"),
         col("alloc").cast("long").as("alloc_tokens"),
-        expr("(alloc * 1000000) div avail").cast("long")
-          .as("epochs_micro"),
+        // the 1e6 multiply WIDENS first (r13 ADVICE low): a raw long
+        // product wraps silently past ~9.2e12 tokens/language in
+        // non-ANSI Spark — decimal(38,0) is exact to 1e31 and this is
+        // a |langs|-row frame, so the cast is free; DuckDB mirrors
+        // with HUGEINT. div (IntegralDivide) takes decimal directly.
+        expr("(cast(alloc as decimal(38,0)) * 1000000) div avail")
+          .cast("long").as("epochs_micro"),
         col("capped"))
       .orderBy(col("lang"))
   }

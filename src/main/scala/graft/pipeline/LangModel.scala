@@ -411,13 +411,14 @@ object LangModel extends QueryModule {
         lit(0.1) * col("t") * col("exm") / lit(1000000.0))
     val mx = th.groupBy(col("t")).agg(max(col("theta")).as("thmax"))
     val uq = th.join(mx, "t")
-      .select(col("source"), col("t"),
+      .select(col("source"), col("t"), col("theta"), col("thmax"),
         (lit(1000000.0) * col("n") * exp(col("theta") - col("thmax")))
           .as("u_raw"))
       .withColumn("u", floor(col("u_raw")).cast("long"))
     val z = uq.groupBy(col("t")).agg(sum(col("u")).as("z"))
     uq.join(z, "t")
-      .select(col("source"), col("t"), col("u_raw"), col("u"),
+      .select(col("source"), col("t"), col("theta"), col("thmax"),
+        col("u_raw"), col("u"),
         (lit(1000000000.0) * col("u") / col("z")).as("ppb_raw"))
       .withColumn("ppb", floor(col("ppb_raw")).cast("long"))
   }
@@ -645,22 +646,34 @@ object LangModel extends QueryModule {
     val cbA = bigramCounts(bigrams(docs))
     val x222u = doremiX(hbA, cbA).select(col("xu").as("x"))
     val grid = doremiGrid(doremiExcess(docs))
-    // exact-integer hits are excluded by construction (the PSI-zero
-    // device): the per-step max domain has exp(0) = 1 — exact in ANY
-    // libm — so u_raw = 1e6·n lands on an integer deterministically;
-    // only NEAR-integer values signal a flippable floor
-    def gm(c: String): Double =
-      grid.select(abs(col(c) - round(col(c), 0)).as("d"))
-        .filter(col("d") > 0).agg(coalesce(min(col("d")), lit(1.0)))
+    // Exact-by-construction exclusion is SURGICAL (r13 ADVICE medium):
+    // only the per-step max domain's u_raw rows (theta == thmax →
+    // exp(0) = 1, exact in ANY libm → u_raw = 1e6·n lands on its
+    // integer deterministically) are excluded. Any OTHER d == 0 is a
+    // genuine zero margin — an exp output that coincidentally hit an
+    // integer is the riskiest case (the other engine's libm can land
+    // at integer±ulp and flip the floor), so it must surface as RISK,
+    // not vanish behind a d > 0 filter. ppb_raw has no exclusion at
+    // all: it is 1e9·u/z on exact longs (*,/ are IEEE-correctly-
+    // rounded, so both engines compute the identical double and a
+    // measured zero there is deterministic — if one ever appears, the
+    // RISK line prompts the benign-confirmation look rather than
+    // hiding it).
+    def gm(c: String, excludeConstructedExact: Boolean): Double = {
+      val rows = if (excludeConstructedExact)
+        grid.filter(col("theta") =!= col("thmax")) else grid
+      rows.select(abs(col(c) - round(col(c), 0)).as("d"))
+        .agg(coalesce(min(col("d")), lit(1.0)))
         .collect()(0).getDouble(0)
+    }
     Seq(
       "q215_ln_int" -> intMargin(x215),
       "q220_ln_in_int" -> intMargin(x220i),
       "q220_ln_gen_int" -> intMargin(x220g),
       "q215_exp_half" -> halfMargin,
       "q222_ln_uni_int" -> intMargin(x222u),
-      "q222_exp_u_int" -> gm("u_raw"),
-      "q222_ppb_int" -> gm("ppb_raw"))
+      "q222_exp_u_int" -> gm("u_raw", excludeConstructedExact = true),
+      "q222_ppb_int" -> gm("ppb_raw", excludeConstructedExact = false))
   }
 
   /** Test hook: the vocab frame (word, freq, sym) after training —

@@ -545,9 +545,49 @@ object Quality extends QueryModule {
     if (r.isNullAt(0)) Double.PositiveInfinity else r.getDouble(0)
   }
 
-  /** q219's engine: batch-train the q212 trajectory, then score a
-    * document stream with the frozen weights through a stateless map
-    * into an append-mode memory sink. */
+  /** Sweep-time float-surface margins for this module (r13 verdict
+    * item 5 — q212/q213/q219's sigmoid sites were the unguarded gap):
+    *  - q210_psi_int: the existing PSI floor margin;
+    *  - q212_grad_floor_int: min distance of the pre-floor gradient
+    *    terms to their nearest integer across epochs 2+ (epoch 1 is
+    *    constructed-exact — see trainLogreg);
+    *  - q212_w_round_half: min distance of 1e6·w to a half-integer
+    *    over all 55 emitted weights (the round(w, 6) boundary; the
+    *    weight VALUE is a correctly-rounded op chain on exact integer
+    *    gradient sums, so the boundary is the only surface);
+    *  - q213_q219_score_half: min distance of 1e6·p to a half-integer
+    *    over final-epoch scores (the round(p, 6) boundary — q219
+    *    streams the identical expression, one margin covers both);
+    *  - q213_q219_gate_half: min of 1e6·|p − 0.5| (the admit
+    *    threshold; a 1-ulp exp divergence flips the verdict only when
+    *    p sits within ~ulp of 0.5). */
+  private[graft] def quantMargins(
+      s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
+    val (m, sd) = featMoments(feats)
+    val sink = scala.collection.mutable.ArrayBuffer[Double]()
+    val hist = trainLogreg(feats, m, sd, epochs, Some(sink))
+    val (b, w) = hist.last
+    val wHalf = hist.flatMap { case (bb, ww) => ww.toSeq :+ bb }
+      .map { v =>
+        val y = 1e6 * v; math.abs(math.abs(y - math.floor(y)) - 0.5)
+      }.min
+    val scored = feats.withColumn("p",
+      lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
+    val r = scored
+      .agg(min(abs(abs(lit(1000000.0) * col("p")
+          - floor(lit(1000000.0) * col("p"))) - lit(0.5))).as("sh"),
+        min(lit(1000000.0) * abs(col("p") - lit(0.5))).as("gh"))
+      .collect()(0)
+    Seq(
+      "q210_psi_int" -> quantMarginPsi(s, dir),
+      "q212_grad_floor_int" ->
+        (if (sink.isEmpty) Double.PositiveInfinity else sink.min),
+      "q212_w_round_half" -> wHalf,
+      "q213_q219_score_half" -> r.getDouble(0),
+      "q213_q219_gate_half" -> r.getDouble(1))
+  }
+
   /** Quality-aware canonicalization (q211) with a production pre-gate
     * dial. preGate=false (the oracle path) canonicalizes the whole
     * corpus. preGate=true runs the Gopher gate FIRST and both pairs
@@ -598,6 +638,9 @@ object Quality extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q219's engine: batch-train the q212 trajectory, then score a
+    * document stream with the frozen weights through a stateless map
+    * into an append-mode memory sink. */
   private def streamGate(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val (b, w, m, sd) = gateModel(s, dir)
     val raw = s.read.parquet(s"$dir/documents.parquet").schema
@@ -741,24 +784,45 @@ object Quality extends QueryModule {
   /** T full-batch GD epochs (lr = 4, zero init) over standardized
     * features. One aggregation per epoch; gradient terms
     * floor-quantized to micro-units so the distributed sum is
-    * order-free. Returns (bias, weights) after every epoch. */
+    * order-free. Returns (bias, weights) after every epoch.
+    *
+    * `marginSink`, when set (the quant-guard run only — production
+    * callers never pass it), collects per-epoch min distances of the
+    * pre-floor gradient terms 1e6·(p−y)·x_d to their nearest integer
+    * — the epoch-2+ sigmoid makes these exp-based float surfaces.
+    * Epoch 1 is excluded as constructed-exact: zero-init weights make
+    * z ≡ 0, exp(0) = 1 is exact in ANY libm, so p = 0.5 exactly and
+    * the epoch-1 terms are correctly-rounded products of identical
+    * doubles in both engines (the theta==thmax exclusion rationale). */
   private def trainLogreg(feats: org.apache.spark.sql.DataFrame,
       m: Array[Double], sd: Array[Double],
-      iters: Int): Seq[(Double, Array[Double])] = {
+      iters: Int,
+      marginSink: Option[scala.collection.mutable.ArrayBuffer[Double]] = None)
+      : Seq[(Double, Array[Double])] = {
     var b = 0.0
     var w = Array.fill(nF)(0.0)
     val out = scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]()
     def xs(d: Int): Column =
       (col("xq").getItem(d).cast("double") - lit(m(d))) / lit(sd(d))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val withP = feats.withColumn("p",
         lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
+      def gPre(d: Int): Column = lit(1000000.0) * (col("p") - col("y")) * xs(d)
+      val gPreB: Column = lit(1000000.0) * (col("p") - col("y"))
+      val marginExprs =
+        if (marginSink.isDefined && it >= 2)
+          (0 until nF).map(d =>
+            min(abs(gPre(d) - round(gPre(d), 0))).as(s"mg$d")) :+
+            min(abs(gPreB - round(gPreB, 0))).as("mgb")
+        else Seq.empty
       val gExprs = (0 until nF).map(d =>
-        sum(floor(lit(1000000.0) * (col("p") - col("y")) * xs(d))
-          .cast("long")).as(s"g$d")) ++ Seq(
-        sum(floor(lit(1000000.0) * (col("p") - col("y"))).cast("long")).as("gb"),
-        count(lit(1)).as("cnt"))
+        sum(floor(gPre(d)).cast("long")).as(s"g$d")) ++ Seq(
+        sum(floor(gPreB).cast("long")).as("gb"),
+        count(lit(1)).as("cnt")) ++ marginExprs
       val row = withP.agg(gExprs.head, gExprs.tail: _*).collect()(0)
+      if (marginSink.isDefined && it >= 2)
+        marginSink.get ++= ((0 until nF).map(d =>
+          row.getAs[Double](s"mg$d")) :+ row.getAs[Double]("mgb"))
       val cnt = row.getAs[Long]("cnt").toDouble
       w = (0 until nF).map(d =>
         w(d) - lr * ((row.getAs[Long](s"g$d").toDouble / 1000000.0) / cnt))

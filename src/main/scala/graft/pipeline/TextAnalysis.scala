@@ -131,12 +131,21 @@ object TextAnalysis extends QueryModule {
     * (the q58 formula, shared with the curation pipeline q138). Built
     * entirely from the passed Column, so derived or differently-named
     * text expressions score correctly. */
-  def quality(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def quality(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(qualityRaw(text), 6)
+
+  /** The PRE-ROUND teacher sigmoid — factored out (the q210 psiWithP
+    * pattern) so the sweep-time quant-guard measures the exact
+    * expression every quality() consumer rounds: exp is not
+    * IEEE-correctly-rounded, so the round(·,6) boundary is the one
+    * cross-engine flip surface this score carries. */
+  private[graft] def qualityRaw(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val w = split(text, " ")
     val awl = length(regexp_replace(text, " ", "")).cast("double") / size(w)
     val stops = filter(w, x => x.isInCollection(Seq("the", "a", "of", "and", "to")))
     val stopRatio = size(stops).cast("double") / size(w)
-    round(lit(1.0) / (lit(1.0) + exp(-(lit(0.2) * awl + lit(2.0) * stopRatio - lit(1.0)))), 6)
+    lit(1.0) / (lit(1.0) + exp(-(lit(0.2) * awl + lit(2.0) * stopRatio - lit(1.0))))
   }
 
   /** Same score in DuckDB SQL over a relation exposing `text`. */
@@ -566,10 +575,14 @@ object TextAnalysis extends QueryModule {
     // form the oracle uses.
     val dfAll = corp.groupBy(col("hw")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
+    // idf_raw rides along (projection-only) so the quant-guard can
+    // measure the pre-round ln boundary on the exact expression the
+    // query rounds — the q210 psiWithP pattern
     val df = (if (maxDfFrac >= 1.0) dfAll
       else dfAll.filter(col("df") <= lit(maxDfFrac) * col("n_docs")))
-      .select(col("hw"), round(log((col("n_docs") - col("df") + 0.5)
-        / (col("df") + 0.5) + 1), 6).as("idf"))
+      .select(col("hw"), log((col("n_docs") - col("df") + 0.5)
+        / (col("df") + 0.5) + 1).as("idf_raw"))
+      .select(col("hw"), col("idf_raw"), round(col("idf_raw"), 6).as("idf"))
     val dk = dl.crossJoin(broadcast(stats))
       .select(col("doc_id"), (lit(1.2) *
         (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))).as("k1dl"))
@@ -581,9 +594,10 @@ object TextAnalysis extends QueryModule {
     qt.join(df, "hw")
       .join(corp, "hw")
       .join(dk, "doc_id")
-      .select(col("query_id"), col("doc_id"), col("hw"),
-        round(col("idf")
-          * (col("tf") * 2.2 / (col("tf") + col("k1dl"))), 6).as("c"))
+      .select(col("query_id"), col("doc_id"), col("hw"), col("idf_raw"),
+        (col("idf") * (col("tf") * 2.2 / (col("tf") + col("k1dl"))))
+          .as("c_raw"))
+      .withColumn("c", round(col("c_raw"), 6))
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -1150,20 +1164,8 @@ object TextAnalysis extends QueryModule {
     // struct_pack) and fold left-to-right, so the fp sum is
     // bit-identical under any partitioning. -----
     q("q171_perplexity_filter", perplexityOracle) { (s, dir) =>
-      val b = Tables.t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("w"),
-          explode(expr("sequence(0, size(w)-2)")).as("p"))
-        .select(col("doc_id"), col("p"),
-          hexHash(expr("element_at(w, p+1)")).as("h1"),
-          hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
-            expr("element_at(w, p+2)"))).as("hb"))
-      val cb = b.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
-      val c1 = b.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-      b.join(cb, "hb").join(c1, "h1")
-        .select(col("doc_id"), col("p"),
-          round(log2(col("c1").cast("double") / col("cb")), 6).as("term"))
+      perplexityTermsRaw(Tables.t(s, dir, "documents"))
+        .select(col("doc_id"), col("p"), round(col("raw"), 6).as("term"))
         .groupBy(col("doc_id"))
         .agg(expr(
           """aggregate(transform(array_sort(collect_list(struct(p, term))),
@@ -1274,29 +1276,10 @@ object TextAnalysis extends QueryModule {
          |  round(lw / n, 4) + 0 AS dsir_logw,
          |  CAST(round(lw / n, 4) >= -0.2 AS INTEGER) AS keep
          |FROM d ORDER BY doc_id""") { (s, dir) =>
-      val b = Tables.t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"),
-          explode(expr("sequence(0, size(w)-2)")).as("p"),
-          col("w"))
-        .select(col("doc_id"), col("p"),
-          (hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
-            expr("element_at(w, p+2)"))) % 256).as("bkt"))
-      val isTarget = col("doc_id") % 97 === 0
-      val tc = b.filter(isTarget).groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
-      val rc = b.filter(!isTarget).groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
-      val tot = b.agg(
-        sum(when(isTarget, 1L).otherwise(0L)).as("tt"),
-        sum(when(isTarget, 0L).otherwise(1L)).as("tr"))
-      val terms = b.select(col("bkt")).distinct()
-        .join(tc, Seq("bkt"), "left").join(rc, Seq("bkt"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("bkt"), round(log2(
-          ((coalesce(col("tc"), lit(0L)) + 1).cast("double") / (col("tt") + 256))
-            / ((coalesce(col("rc"), lit(0L)) + 1).cast("double") / (col("tr") + 256))),
-          6).as("term"))
-      b.filter(!isTarget)
+      val b = dsirBuckets(Tables.t(s, dir, "documents"))
+      val terms = dsirTermsRaw(b)
+        .select(col("bkt"), round(col("raw"), 6).as("term"))
+      b.filter(!(col("doc_id") % 97 === 0))
         .join(broadcast(terms), "bkt")
         .groupBy(col("doc_id"))
         .agg(expr(
@@ -1543,21 +1526,9 @@ object TextAnalysis extends QueryModule {
          |  WHERE cb.n_pair >= 5)
          |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
          |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20""") { (s, dir) =>
-      val b = Tables.t(s, dir, "documents")
-        .withColumn("w", split(lower(col("text")), " "))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr("sequence(1, size(w)-1)")).as("i"), col("w"))
-        .select(expr("element_at(w, i)").as("w1"),
-          expr("element_at(w, i+1)").as("w2"))
-      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-      val cl = b.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
-      val cr = b.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
-      val n = b.agg(count(lit(1)).as("n"))
-      cb.filter(col("n_pair") >= 5)
-        .join(cl, "w1").join(cr, "w2").crossJoin(broadcast(n))
+      pmiRaw(Tables.t(s, dir, "documents"))
         .select(col("w1"), col("w2"), col("n_pair"),
-          round(log2(col("n_pair").cast("double") * col("n")
-            / (col("cl").cast("double") * col("cr"))), 6).as("pmi"))
+          round(col("raw"), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
     },
 
@@ -1584,15 +1555,9 @@ object TextAnalysis extends QueryModule {
          |FROM ranked WHERE rn <= 3
          |ORDER BY doc_id, rn""") { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val n = w.agg(countDistinct(col("doc_id")).as("n"))
-      tf.join(df, "word").crossJoin(broadcast(n))
+      tfidfRaw(Tables.t(s, dir, "documents"))
         .select(col("doc_id"), col("word"),
-          round(col("tf") * round(log(col("n").cast("double") / col("df")), 6),
-            6).as("score"))
+          round(col("score_raw"), 6).as("score"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("word"))))
         .filter(col("rn") <= 3)
@@ -1884,4 +1849,131 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }
   )
+
+  // ---- quant-guard machinery (r13 verdict item 5) --------------------
+  // Every helper here exists so the sweep-time guard measures the SAME
+  // pre-round expression the registered query rounds (the q210
+  // psiWithP pattern): a margin computed on a re-derived copy of the
+  // formula can silently drift from the formula it claims to guard.
+
+  /** q171/q172's per-(doc, pos) frame with the PRE-ROUND bigram
+    * log-ratio as `raw`; the query emits round(raw, 6). */
+  private def perplexityTermsRaw(docs: DataFrame): DataFrame = {
+    val b = docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w)-2)")).as("p"))
+      .select(col("doc_id"), col("p"),
+        hexHash(expr("element_at(w, p+1)")).as("h1"),
+        hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
+          expr("element_at(w, p+2)"))).as("hb"))
+    val cb = b.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+    val c1 = b.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    b.join(cb, "hb").join(c1, "h1")
+      .select(col("doc_id"), col("p"),
+        log2(col("c1").cast("double") / col("cb")).as("raw"))
+  }
+
+  /** q175's per-(doc, pos) bigram-bucket frame. */
+  private def dsirBuckets(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, size(w)-2)")).as("p"), col("w"))
+      .select(col("doc_id"), col("p"),
+        (hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
+          expr("element_at(w, p+2)"))) % 256).as("bkt"))
+
+  /** q175's 256-row bucket table with the PRE-ROUND log-ratio. */
+  private def dsirTermsRaw(b: DataFrame): DataFrame = {
+    val isTarget = col("doc_id") % 97 === 0
+    val tc = b.filter(isTarget).groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+    val rc = b.filter(!isTarget).groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+    val tot = b.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("tt"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("tr"))
+    b.select(col("bkt")).distinct()
+      .join(tc, Seq("bkt"), "left").join(rc, Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"), log2(
+        ((coalesce(col("tc"), lit(0L)) + 1).cast("double") / (col("tt") + 256))
+          / ((coalesce(col("rc"), lit(0L)) + 1).cast("double")
+            / (col("tr") + 256))).as("raw"))
+  }
+
+  /** q183's scored pair frame with the PRE-ROUND PMI as `raw`. */
+  private def pmiRaw(docs: DataFrame): DataFrame = {
+    val b = docs.withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr("sequence(1, size(w)-1)")).as("i"), col("w"))
+      .select(expr("element_at(w, i)").as("w1"),
+        expr("element_at(w, i+1)").as("w2"))
+    val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val cl = b.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val cr = b.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val n = b.agg(count(lit(1)).as("n"))
+    cb.filter(col("n_pair") >= 5)
+      .join(cl, "w1").join(cr, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        log2(col("n_pair").cast("double") * col("n")
+          / (col("cl").cast("double") * col("cr"))).as("raw"))
+  }
+
+  /** q184's scored frame with the inner pre-round idf (`idf_raw`) and
+    * the pre-OUTER-round product (`score_raw` = tf · round(idf, 6));
+    * the query emits round(score_raw, 6). */
+  private def tfidfRaw(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+    val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = w.agg(countDistinct(col("doc_id")).as("n"))
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"),
+        log(col("n").cast("double") / col("df")).as("idf_raw"))
+      .withColumn("score_raw", col("tf") * round(col("idf_raw"), 6))
+  }
+
+  /** min distance of `c` to the nearest HALF-integer — the round(·)
+    * flip boundary at whatever scale `c` was multiplied to. */
+  private def halfMargin(xs: DataFrame, c: org.apache.spark.sql.Column): Double = {
+    val r = xs.select(c.as("y"))
+      .agg(min(abs(abs(col("y") - floor(col("y"))) - lit(0.5)))).collect()(0)
+    if (r.isNullAt(0)) Double.PositiveInfinity else r.getDouble(0)
+  }
+
+  /** Sweep-time transcendental-boundary margins for this module's
+    * hash-compared float surfaces (r13 verdict item 5). Every entry is
+    * the min distance of a pre-round value (scaled by the round
+    * scale, 1e6) to the nearest half-integer — below ~1e-7 a 1-ulp
+    * JVM-vs-DuckDB libm divergence on ln/exp/log2 could flip the
+    * round and fail the hash oracle. Coverage map: QuantGuard. */
+  private[graft] def quantMargins(
+      s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val docs = Tables.t(s, dir, "documents")
+    val contrib = bm25Contrib(s, dir, bm25MaxDf)
+    Seq(
+      // the teacher sigmoid — every quality() consumer (q58 quality
+      // column, q138/q208/q211/q218/q221 scoring, the q212/q213/q219
+      // label, q161's stream gate) rounds this exact expression
+      "teacher_sigmoid_half" ->
+        halfMargin(docs, lit(1000000.0) * qualityRaw(col("text"))),
+      "q171_q172_log2_half" ->
+        halfMargin(perplexityTermsRaw(docs), lit(1000000.0) * col("raw")),
+      "q175_log2_half" ->
+        halfMargin(dsirTermsRaw(dsirBuckets(docs)),
+          lit(1000000.0) * col("raw")),
+      "q177_idf_ln_half" ->
+        halfMargin(contrib.select(col("idf_raw")).distinct(),
+          lit(1000000.0) * col("idf_raw")),
+      "q177_contrib_half" ->
+        halfMargin(contrib, lit(1000000.0) * col("c_raw")),
+      "q183_pmi_log2_half" ->
+        halfMargin(pmiRaw(docs), lit(1000000.0) * col("raw")),
+      "q184_idf_ln_half" ->
+        halfMargin(tfidfRaw(docs).select(col("idf_raw")).distinct(),
+          lit(1000000.0) * col("idf_raw")),
+      "q184_score_half" ->
+        halfMargin(tfidfRaw(docs), lit(1000000.0) * col("score_raw")))
+  }
 }

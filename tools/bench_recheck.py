@@ -43,9 +43,13 @@ def load(path):
         if isinstance(v, str):
             # the driver keeps only the LAST bytes of stdout, so the
             # metric line may be truncated mid-map — regex-recover
-            # whatever (query, seconds) pairs survive
+            # whatever (query, seconds) pairs survive. The lookahead
+            # requires a terminating non-digit (comma/brace/space), so
+            # a number cut mid-digits at the truncation point ("7.53"
+            # -> "7.5") is DISCARDED instead of parsed as a plausible
+            # wrong timing (r13 ADVICE low).
             qs = {m.group(1): float(m.group(2)) for m in
-                  re.finditer(r'"(q\w+)":\s*([0-9.]+)', v)}
+                  re.finditer(r'"(q\w+)":\s*([0-9.]+)(?=[,}\s])', v)}
             if qs:
                 return {"queries": qs}
     raise SystemExit(f"[recheck] {path}: no queries map found")
