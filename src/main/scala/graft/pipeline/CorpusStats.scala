@@ -231,7 +231,12 @@ object CorpusStats extends QueryModule {
     // 2) — bounded by the source count, NOT the corpus, so the join
     // is linear in gram volume at any scale. The full matrix frame
     // (sizes × sizes, tiny) broadcasts; pairs sharing nothing emit
-    // inter = 0. -----
+    // inter = 0. AUTO-ROUTED at scale (r14): the r13 1000× probe
+    // measured this exact path 8–14×/decade superlinear (the gram
+    // self-join's spill), so past `overlapRouteChars` total corpus
+    // chars sourceOverlap WARN-logs and serves the q206 MinHash
+    // estimate in this same schema — see sourceOverlapRouted. Every
+    // sweep SF stays on the exact oracle-checked path. -----
     q("q205_source_overlap",
       s"""WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
         |            FROM documents),
@@ -254,33 +259,7 @@ object CorpusStats extends QueryModule {
         |    / (pr.n_a + pr.n_b - coalesce(iv.inter, 0))::DOUBLE, 6) AS jaccard
         |FROM pr LEFT JOIN iv USING (src_a, src_b)
         |ORDER BY src_a, src_b""") { (s, dir) =>
-      val g = Tables.t(s, dir, "documents")
-        .withColumn("w", split(lower(col("text")), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("source"), explode(expr(
-          """transform(sequence(0, size(w)-3),
-            |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
-          .as("gram"))
-        .select(col("source"), h52(col("gram")).as("gh"))
-        .distinct()
-      val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val iv = g.select(col("source").as("src_a"), col("gh"))
-        .join(g.select(col("source").as("src_b"), col("gh")), "gh")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("inter"))
-      val pr = sz.select(col("source").as("src_a"), col("n").as("n_a"))
-        .crossJoin(sz.select(col("source").as("src_b"), col("n").as("n_b")))
-        .filter(col("src_a") < col("src_b"))
-      broadcast(pr).join(iv, Seq("src_a", "src_b"), "left")
-        .select(col("src_a"), col("src_b"),
-          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
-          coalesce(col("inter"), lit(0L)).cast("long").as("inter"),
-          round(coalesce(col("inter"), lit(0L)).cast("double")
-            / (col("n_a") + col("n_b")
-              - coalesce(col("inter"), lit(0L))).cast("double"), 6)
-            .as("jaccard"))
-        .orderBy(col("src_a"), col("src_b"))
+      sourceOverlap(Tables.t(s, dir, "documents"))
     },
 
     // ----- MinHash-sketched source similarity: q205's matrix from
@@ -404,6 +383,124 @@ object CorpusStats extends QueryModule {
       unimaxAlloc(tok, epochCap = 2, budgetDiv = 2)
     }
   )
+
+  // ---- q205 auto-route machinery (r13 verdict item 3) ----------------
+
+  /** q205's scale dial (the bm25MaxDf env pattern — a probe override
+    * is a loud named knob, never a silent hash change): corpora whose
+    * total char volume exceeds this route the exact pairwise overlap
+    * to the MinHash sketch estimator. The default keeps every sweep
+    * SF and the 100× probe tier exact (sf0.1 is ~1.5e6 chars, 100×
+    * ~1.5e7) and routes at the 1000× tier (~1.5e8), where the exact
+    * path's gram self-join was the registry's last documented
+    * superlinear family (8–14×/decade, 169.5 s at 1000× — r13). */
+  private val overlapRouteChars: Long =
+    sys.env.get("GRAFT_OVERLAP_ROUTE_CHARS").map(_.toLong)
+      .getOrElse(50000000L)
+
+  /** The distinct per-source 3-gram-hash table plus the size and
+    * pair-matrix frames both overlap paths share: ONE corpus pass +
+    * one vocab-shuffle distinct (linear); everything pair-shaped
+    * after this is either the exact gh equi-join or the 16-row
+    * signatures. */
+  private def overlapFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val g = docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(w)-3),
+          |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+        .as("gram"))
+      .select(col("source"), h52(col("gram")).as("gh"))
+      .distinct()
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pr = sz.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sz.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    (g, pr)
+  }
+
+  /** The EXACT q205 path (the oracle-checked shape): gram-hash equi
+    * self-join, fan-out per gram bounded by the source count. */
+  private[pipeline] def sourceOverlapExact(
+      g: DataFrame, pr: DataFrame): DataFrame = {
+    val iv = g.select(col("source").as("src_a"), col("gh"))
+      .join(g.select(col("source").as("src_b"), col("gh")), "gh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    broadcast(pr).join(iv, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        coalesce(col("inter"), lit(0L)).cast("long").as("inter"),
+        round(coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b")
+            - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The ROUTED path: the q206 MinHash estimator re-emitted in q205's
+    * schema. 16 salted permutations over the SAME distinct gram-hash
+    * table (map-side-combined mins → sources×16 signature rows), then
+    * inter derives from signature agreement in ALL-INTEGER form:
+    * Broder's resemblance estimate j ≈ agree/16 inverted through
+    * inter = j·(n_a+n_b)/(1+j) = agree·(n_a+n_b) div (16+agree) —
+    * exact integer division, zero float surface, so the routed output
+    * is engine-replayable exactly like the exact path. The pair space
+    * never exceeds sources², and the corpus-sized self-join is gone. */
+  private[pipeline] def sourceOverlapRouted(
+      g: DataFrame, pr: DataFrame): DataFrame = {
+    val p = g
+      .select(col("source"), posexplode(array((0 until 16).map(j =>
+        h52(concat(lit(s"$j:"), col("gh")))): _*)).as(Seq("j", "hj")))
+      .groupBy(col("source"), col("j"))
+      .agg(min(col("hj")).as("mh"))
+    val ag = p.select(col("source").as("src_a"), col("j"), col("mh").as("ma"))
+      .join(p.select(col("source").as("src_b"), col("j"), col("mh").as("mb")),
+        "j")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree"))
+    broadcast(pr).join(ag, Seq("src_a", "src_b"), "left")
+      .withColumn("agree0", coalesce(col("agree"), lit(0L)))
+      // div is marked nullable (÷0 → null); 16+agree0 ≥ 16 makes that
+      // unreachable — the coalesce restores the exact path's
+      // non-null schema contract
+      .withColumn("inter", coalesce(
+        expr("(agree0 * (n_a + n_b)) div (16 + agree0)").cast("long"),
+        lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("inter"),
+        round(col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q205's operator with the auto-route (the semDedup routeSuperK
+    * precedent): below `routeMaxChars` total corpus chars the exact
+    * pairwise path runs (the oracle-checked default at every sweep
+    * SF); above it the engine WARN-logs and serves the MinHash
+    * estimate in the same schema — a user calling exact overlap at
+    * 100 TB gets the linear sketch instead of the quadratic join.
+    * The volume probe is one map-side-combined sum over the n_chars
+    * column — never a gram materialization. */
+  private[pipeline] def sourceOverlap(docs: DataFrame,
+      routeMaxChars: Long = overlapRouteChars): DataFrame = {
+    val (g, pr) = overlapFrames(docs)
+    val totChars = docs.agg(coalesce(sum(col("n_chars")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (totChars <= routeMaxChars) sourceOverlapExact(g, pr)
+    else {
+      println(s"[overlap-route] WARN corpus chars=$totChars > " +
+        s"routeMaxChars=$routeMaxChars — routing q205 exact source " +
+        "overlap to the MinHash sketch estimator (q206 device); " +
+        "inter/jaccard are deterministic 16-permutation estimates")
+      sourceOverlapRouted(g, pr)
+    }
+  }
 
   /** The UniMax water-filling allocator over a (lang, avail) token
     * table: budget = Σavail div budgetDiv, per-language cap =
