@@ -128,7 +128,9 @@ object Bench {
     "q221_curation_build",
     // r13 additions: domain reweighting + language budget allocation
     "q222_doremi_weights",
-    "q223_unimax_mix")
+    "q223_unimax_mix",
+    // r14 addition: multimodal perceptual-hash near-dup
+    "q224_phash_near_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** One row per document after binary featurization. */
@@ -95,6 +96,120 @@ object Multimodal extends QueryModule {
         }
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // ----- perceptual-hash near-duplicate pairs over the binary
+    // payloads (r13 verdict item 4 — the multimodal pillar's dedup
+    // operator): a dHash (difference hash — the gradient variant of
+    // pHash; Krawetz 2013) computed ALL-INTEGER so it is
+    // oracle-replayable like q223, then Hamming-candidate pairs via
+    // the q53-family block pigeonhole.
+    //   1. "resize": average-pool the payload bytes onto a 4×8 pixel
+    //      grid — cell = (pos·32) div len (nearest-rank binning),
+    //      pixel = sum(bytes) div count (integer mean). Payloads
+    //      shorter than the grid leave empty cells, densified to 0
+    //      via a 32-row-per-doc grid (a real resize would upsample;
+    //      the decode stub keeps the q59 stance — the plumbing is
+    //      real, the pixel source is the deterministic fake). Grid
+    //      choice is payload-matched, not canonical-dHash-64: at
+    //      ~300-byte payloads a 72-cell raster puts ~5 bytes in a
+    //      cell and every word edit flips pixels (measured min
+    //      hamming 9 across sf0.001 — no near-dup structure
+    //      survives); 32 cells ≈ 10 bytes/cell absorb single edits.
+    //      At real image sizes scale the same plan to 8×9/64-bit.
+    //   2. gradient bits: bit(r,c) = px(r,c) < px(r,c+1) for the 7
+    //      adjacent-column pairs of each of the 4 rows → a 28-bit
+    //      signature (one lead() window over 32-row partitions,
+    //      never a self-join).
+    //   3. pairs: each signature fans out to 4 7-bit blocks; by
+    //      pigeonhole ANY pair with hamming ≤ 3 shares at least one
+    //      block, so the ≤ 3 output is EXACT (3 differing bits
+    //      cannot cover 4 blocks), while the candidate space stays
+    //      linear in the corpus instead of quadratic.
+    // Scale: one byte-explode pass map-side-combines to ≤32 rows/doc;
+    // everything downstream is signature-sized. Per-block bucket skew
+    // is the q56c trade (gradient bits are not uniform). -----
+    q("q224_phash_near_dup",
+      """WITH bytes AS (
+        |  SELECT doc_id, length(text) AS L, i.i AS i,
+        |    ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, ((i-1)*32) // L AS cell,
+        |          sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY doc_id, ((i-1)*32) // L),
+        |grid AS (SELECT d.doc_id, g.cell, coalesce(px0.px, 0) AS px
+        |         FROM (SELECT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT unnest(range(32)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = d.doc_id
+        |                      AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id ORDER BY cell) AS pxr
+        |       FROM grid),
+        |bits AS (SELECT doc_id, (cell // 8) * 7 + (cell % 8) AS j,
+        |           CASE WHEN px < pxr THEN 1 ELSE 0 END AS bit
+        |         FROM b0 WHERE cell % 8 < 7),
+        |ph AS (SELECT doc_id,
+        |         CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS phash
+        |       FROM bits GROUP BY doc_id),
+        |bl AS (SELECT doc_id, phash, j, (phash >> (7*j)) & 127 AS bkt
+        |       FROM ph CROSS JOIN (SELECT unnest(range(4)) AS j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           a.phash AS ha, b.phash AS hb
+        |         FROM bl a JOIN bl b ON a.j = b.j AND a.bkt = b.bkt
+        |           AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val ph = phash(Tables.t(s, dir, "documents"))
+      val bl = ph.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bkt", expr("shiftright(phash, 7*j) & 127"))
+      val a = bl.select(col("doc_id").as("doc_a"), col("j"), col("bkt"),
+        col("phash").as("ha"))
+      val b = bl.select(col("doc_id").as("doc_b"), col("j"), col("bkt"),
+        col("phash").as("hb"))
+      a.join(b, Seq("j", "bkt"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
+
+  /** The 28-bit integer dHash per document (4 rows × 8 cols) —
+    * factored so MultimodalSpec can pin signature invariants and the
+    * decade probes can hash alone. All-integer: binning, pooling and
+    * the bit pack are div/mod/shift on exact longs, zero float
+    * surface (the q223 discipline applied to the multimodal family). */
+  private[pipeline] def phash(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bytes = docs
+      .select(col("doc_id"), length(col("text")).as("L"),
+        explode(expr("sequence(1, length(text))")).as("i"), col("text"))
+      .select(col("doc_id"), col("L"), col("i"),
+        ascii(expr("substring(text, i, 1)")).as("b"))
+    val px0 = bytes
+      .withColumn("cell", expr("((i-1)*32) div L"))
+      .groupBy(col("doc_id"), col("cell"))
+      .agg(expr("sum(b) div count(1)").as("px"))
+    val grid = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(31))).as("cell"))
+      .join(px0, Seq("doc_id", "cell"), "left")
+      .select(col("doc_id"), col("cell"),
+        coalesce(col("px"), lit(0L)).as("px"))
+    // 32-row partitions — the bounded-window precedent (q181/q223)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cell"))
+    grid.withColumn("pxr", lead(col("px"), 1).over(w))
+      .filter(col("cell") % 8 < 7)
+      .select(col("doc_id"),
+        (expr("cell div 8") * 7 + col("cell") % 8).as("j"),
+        when(col("px") < col("pxr"), 1L).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("bit * shiftleft(cast(1 as bigint), j)"))
+        .cast("long").as("phash"))
+  }
 }

@@ -208,6 +208,14 @@ class PlanSpec extends SparkSpec {
       "candidate generation regressed to a non-equi join")
   }
 
+  test("q224 pHash pairs: block-bucket equi join, never all-pairs") {
+    val p = plan("q224_phash_near_dup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "pHash candidate generation regressed to a non-equi join")
+    // the pigeonhole join must key on the (block, bucket) pair
+    assert(p.contains("bkt"), "candidate join lost its bucket key")
+  }
+
   test("q167 semdedup: no cartesian pair space — only centroid broadcasts cross") {
     val p = plan("q167_semdedup")
     // the ONLY nested-loop joins allowed are corpus × broadcast(centroids)

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavioural pins for q224's integer dHash beyond the oracle
+  * hash-compare: signature range, the pigeonhole EXACTNESS claim
+  * (blocked candidates lose NO pair at hamming ≤ 3 vs the all-pairs
+  * truth), and the identical-payload ⇒ hamming-0 contract.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.fn(spark, sf)
+
+  test("q224 dHash: 28-bit signatures, deterministic") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val sigs = Multimodal.phash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(sigs.nonEmpty)
+    sigs.values.foreach(h => assert(h >= 0L && h < (1L << 28)))
+    val again = Multimodal.phash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(sigs == again)
+  }
+
+  test("q224 pigeonhole: blocked candidates equal the all-pairs truth at hamming <= 3") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val sigs = Multimodal.phash(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+    // brute-force ground truth on the driver (sf0.001: 500 sigs)
+    val truth = (for {
+      (da, ha) <- sigs; (db, hb) <- sigs if da < db
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (da, db, h)).toSet
+    val blocked = run("q224_phash_near_dup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming").toLong.toInt)).toSet
+    assert(truth.nonEmpty, "corpus has no <=3 pairs — spec lost its teeth")
+    assert(blocked == truth,
+      s"blocked path lost/invented pairs: missing=${truth -- blocked}, extra=${blocked -- truth}")
+  }
+
+  test("q224: identical payloads hash identically (hamming-0 pair)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different payload bytes with other words entirely zz"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.phash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L),
+      "distinct payloads collided at 28 bits on a 3-doc corpus — suspicious")
+  }
+}
