@@ -436,13 +436,35 @@ object LangModel extends QueryModule {
     if (withDoc) base else base.drop("doc_id")
   }
 
+  /** The KN-family vocab-cap dial (r13 verdict item 6; the bm25MaxDf
+    * loud-knob pattern — the driver never sets it): bigrams with
+    * count < GRAFT_KN_MINCOUNT are dropped from the model table
+    * BEFORE every marginal and every scoring join. Standard LM
+    * practice (KenLM prunes singletons by default at scale), and the
+    * bound that matters in the vocab~N adversarial regime: replica
+    * suffixing makes almost every bigram a singleton, so the count
+    * table grows CORPUS-sized (q222's replica-1000× 336 s wall — the
+    * shared q214/q215/q220/q222 bound), while minCount=2 collapses it
+    * to the shared-structure core and the scoring joins' build side
+    * becomes vocab-bounded again. Semantics delta (documented,
+    * spec-pinned): pruned bigrams score through the backoff path
+    * (continuation / floor), exactly as unseen bigrams always did;
+    * marginals are those OF THE PRUNED MODEL. Default 1 = identity —
+    * the oracle-checked registry path is bit-for-bit the unpruned
+    * model (LangModelSpec pins it). */
+  private val knMinCount: Long =
+    sys.env.get("GRAFT_KN_MINCOUNT").map(_.toLong).getOrElse(1L)
+
   /** The bigram-count table — THE one corpus pass. localCheckpointed
     * because every smoothing marginal below derives from it: without
     * the truncation each marginal re-runs the corpus explode (the r5
     * Pregel-lineage lesson; caught by PlanSpec showing 4 scans). */
-  private[pipeline] def bigramCounts(b: DataFrame): DataFrame =
-    b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+  private[pipeline] def bigramCounts(b: DataFrame,
+      minCount: Long = knMinCount): DataFrame = {
+    val c = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    (if (minCount <= 1L) c else c.filter(col("c") >= minCount))
       .localCheckpoint()
+  }
 
   /** The bigram model table with every smoothing marginal joined on:
     * (w1, w2, c, ctx, nf, np, ntot). All marginals aggregate the
@@ -569,7 +591,7 @@ object LangModel extends QueryModule {
     * corpora make the bigram table corpus-sized, the worst case);
     * this form mirrors the oracle's CTEs one-to-one. Shared by q215
     * (held-out ppl) and q220 (Moore-Lewis). */
-  private def docScore(hb: DataFrame, cb: DataFrame): DataFrame =
+  private[pipeline] def docScore(hb: DataFrame, cb: DataFrame): DataFrame =
     termX(hb, cb)
       .select(col("doc_id"), floor(col("x")).cast("long").as("tq"))
       .groupBy(col("doc_id"))

@@ -193,4 +193,44 @@ class LangModelSpec extends SparkSpec {
       assert(m > 1e-7, s"$n margin $m is inside the libm 1-ulp danger zone")
     }
   }
+
+  // ---- vocab-cap dial (r13 verdict item 6) ---------------------------
+
+  test("KN minCount dial: default/1 is bit-identical to the unpruned model") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val b = LangModel.bigrams(docs)
+    val raw = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val dflt = LangModel.bigramCounts(LangModel.bigrams(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val one = LangModel.bigramCounts(LangModel.bigrams(docs), minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(dflt == raw && one == raw)
+  }
+
+  test("KN minCount dial: pruning drops singletons, scoring stays total via backoff") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val full = LangModel.bigramCounts(LangModel.bigrams(docs))
+    val pruned = LangModel.bigramCounts(LangModel.bigrams(docs), minCount = 2)
+    val nFull = full.count()
+    val nPruned = pruned.count()
+    assert(nPruned < nFull, "corpus has no singleton bigrams — dial untestable here")
+    assert(pruned.filter(col("c") < 2).count() == 0)
+    // every held-out doc still gets a score: pruned bigrams fall
+    // through to the continuation/floor backoff like any unseen pair
+    val hb = LangModel.bigrams(docs.filter(col("doc_id") % 2 === 1),
+      withDoc = true)
+    val sFull = LangModel.docScore(hb, full)
+    val sPruned = LangModel.docScore(
+      LangModel.bigrams(docs.filter(col("doc_id") % 2 === 1), withDoc = true),
+      pruned)
+    assert(sPruned.count() == sFull.count())
+    // and the semantics delta is real: at least one doc scores lower
+    // (singleton evidence it lost), none scores impossibly (all finite)
+    val joined = sFull.select(col("doc_id"), col("sq").as("sq_f"))
+      .join(sPruned.select(col("doc_id"), col("sq").as("sq_p")), "doc_id")
+    assert(joined.filter(col("sq_p") =!= col("sq_f")).count() > 0)
+  }
 }
