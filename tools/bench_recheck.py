@@ -1,31 +1,50 @@
 #!/usr/bin/env python3
-"""Mechanized in-suite bench variance adjudication (r12 verdict item 5).
+"""Mechanized in-suite bench variance adjudication, v2.
 
-Three rounds running, common-set upticks in the in-suite bench
-(q54 0.71->1.79 etc.) were adjudicated BY HAND with fresh-JVM isolated
-re-runs that cleared them. This tool does that adjudication in the
-close itself:
+v1 (r13) auto-re-ran >25% common-set upticks in a fresh JVM and exited
+non-zero when the isolated number confirmed the regression. It failed
+its first real close on two counts (r13 verdict "what's wrong" 1-2):
 
-  1. compare the fresh local bench against the previous round's bench
-     on common queries;
-  2. any uptick > 25% (and > 0.3 s absolute, so micro-query jitter
-     doesn't spam re-runs) triggers an automatic fresh-JVM isolated
-     re-run of that query via tools/runj_snap.sh graft.Bench <q>;
-  3. both numbers are recorded under an "isolated_recheck" key INSIDE
-     the local bench artifact;
-  4. exit non-zero only when the ISOLATED number confirms the
-     regression (isolated > 1.25x previous) - in-suite variance with a
-     clean isolated number is recorded, not litigated.
+  * it compared against the PREVIOUS round's bench, which ran on the
+    previous testdata GENERATION — so when the driver regenerated the
+    parquet between rounds, 5 of 6 "confirmed regressions" were data,
+    not code, and the close had to be overridden by hand with worktree
+    builds of the old commit on the new data;
+  * the two largest ABSOLUTE movers of the round (q177 +2.71 s at
+    1.239x, q185 +3.05 s at 1.21x) slipped under the 1.25x ratio fence
+    and were never isolated at all.
+
+v2 mechanizes exactly the hand method:
+
+  1. every run stamps the local bench artifact with `testdata_gen`
+     (md5 over each parquet's name/size/footer in the SF dir) and
+     `git_sha` (HEAD at recheck time);
+  2. flagged = in-suite upticks >1.25x AND >0.3 s, UNION the top-5
+     positive absolute deltas >0.3 s regardless of ratio;
+  3. each flagged query gets a fresh-JVM isolated re-run of the NEW
+     code (as v1); a clean isolated number is variance, recorded;
+  4. a dirty isolated number CONFIRMS only when the baseline is known
+     to be same-data (gen stamps present and equal). Otherwise the
+     tool builds the BASELINE COMMIT in a git worktree (sha from the
+     previous artifact's stamp, or --baseline-sha), re-runs the query
+     on TODAY's data with the old classes, records
+     `prev_code_same_data`, and confirms only when
+     isolated > 1.25x * prev_code_same_data;
+  5. exit non-zero only on a confirmed same-data regression — a
+     testdata regeneration can no longer fail the close by itself.
 
 Usage: bench_recheck.py <new_local_bench.json> <prev_bench.json>
+                        [--baseline-sha <sha>]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        SNAP_CP (required - snapshot classes dir for runj_snap.sh),
-       SPARK_GRAFT_CPUS / JAVA_EXTRA passed through to the re-run.
+       SPARK_GRAFT_CPUS / JAVA_EXTRA passed through to the re-runs.
 """
-import json, os, re, subprocess, sys
+import hashlib, json, os, re, subprocess, sys
 
-UPTICK = 1.25      # in-suite trigger AND isolated confirmation fence
+UPTICK = 1.25      # ratio trigger AND confirmation fence
 ABS_FLOOR = 0.3    # seconds; below this, jitter dominates
+TOP_ABS = 5        # top-N absolute movers isolated regardless of ratio
+WORKTREE = "target/recheck_wt"
 
 
 def load(path):
@@ -55,8 +74,38 @@ def load(path):
     raise SystemExit(f"[recheck] {path}: no queries map found")
 
 
-def isolated_run(q, sfdir):
+def testdata_gen(sfdir):
+    """Generation id of an SF dir: md5 over (relpath, size, last 4KB)
+    of every parquet part, sorted — regenerated data changes file
+    contents even at identical sizes (the footer carries row-group
+    stats), so the id rolls with the generation."""
+    h = hashlib.md5()
+    parts = []
+    for root, _, files in os.walk(sfdir):
+        for fn in files:
+            if fn.endswith(".parquet") or fn == "_SUCCESS":
+                parts.append(os.path.join(root, fn))
+    for p in sorted(parts):
+        st = os.stat(p)
+        h.update(os.path.relpath(p, sfdir).encode())
+        h.update(str(st.st_size).encode())
+        if st.st_size > 0:
+            with open(p, "rb") as f:
+                f.seek(max(0, st.st_size - 4096))
+                h.update(f.read())
+    return h.hexdigest()
+
+
+def git_head():
+    r = subprocess.run(["git", "rev-parse", "HEAD"],
+                       capture_output=True, text=True)
+    return r.stdout.strip() or None
+
+
+def isolated_run(q, sfdir, snap_cp=None):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir)
+    if snap_cp:
+        env["SNAP_CP"] = snap_cp
     r = subprocess.run(["tools/runj_snap.sh", "graft.Bench", q],
                        capture_output=True, text=True, env=env)
     for line in r.stdout.splitlines():
@@ -68,36 +117,111 @@ def isolated_run(q, sfdir):
     return None
 
 
-def main(new_path, prev_path):
+def build_baseline(sha):
+    """git-worktree the baseline commit and compile it; returns the
+    classes dir, or None on failure. Idempotent per sha."""
+    marker = os.path.join(WORKTREE, f".built_{sha}")
+    classes = os.path.join(WORKTREE, "target/scala-2.13/classes")
+    if os.path.exists(marker):
+        return classes
+    subprocess.run(["git", "worktree", "remove", "--force", WORKTREE],
+                   capture_output=True)
+    r = subprocess.run(["git", "worktree", "add", "--force", WORKTREE, sha],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        print(f"  [recheck] worktree add failed: {r.stderr[-300:]!r}")
+        return None
+    print(f"  [recheck] compiling baseline {sha[:9]} in {WORKTREE} ...")
+    r = subprocess.run(["sbt", "-batch", "compile"], cwd=WORKTREE,
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not os.path.isdir(classes):
+        print(f"  [recheck] baseline compile failed: {r.stdout[-300:]!r}")
+        return None
+    open(marker, "w").close()
+    return classes
+
+
+def main(argv):
+    new_path, prev_path = argv[0], argv[1]
+    baseline_sha = None
+    if "--baseline-sha" in argv:
+        baseline_sha = argv[argv.index("--baseline-sha") + 1]
+    with open(new_path) as f:
+        new_doc = json.load(f)
     new, prev = load(new_path), load(prev_path)
     nq, pq = new["queries"], prev["queries"]
     sfdir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # ---- stamp the new artifact (consumed by NEXT round's recheck) ----
+    gen_now = testdata_gen(sfdir)
+    sha_now = git_head()
+    new_doc.setdefault("testdata_gen", gen_now)
+    new_doc.setdefault("git_sha", sha_now)
+
+    with open(prev_path) as f:
+        prev_doc = json.load(f)
+    gen_prev = prev_doc.get("testdata_gen")
+    same_data = gen_prev is not None and gen_prev == gen_now
+    baseline_sha = baseline_sha or prev_doc.get("git_sha")
+    print(f"[recheck] testdata_gen now={gen_now[:12]} "
+          f"prev={'unknown' if gen_prev is None else gen_prev[:12]} "
+          f"-> same_data={same_data}; baseline_sha="
+          f"{(baseline_sha or 'unknown')[:9]}")
+
+    # ---- flag: ratio fence UNION top-N absolute movers ----------------
     common = sorted(set(nq) & set(pq))
-    flagged = [q for q in common
-               if nq[q] > pq[q] * UPTICK and nq[q] - pq[q] > ABS_FLOOR]
-    print(f"[recheck] {len(common)} common queries, {len(flagged)} "
-          f"upticks > {UPTICK}x + {ABS_FLOOR}s: {flagged}")
+    ratio_flagged = [q for q in common
+                     if nq[q] > pq[q] * UPTICK and nq[q] - pq[q] > ABS_FLOOR]
+    movers = sorted((q for q in common if nq[q] - pq[q] > ABS_FLOOR),
+                    key=lambda q: pq[q] - nq[q])[:TOP_ABS]
+    flagged = sorted(set(ratio_flagged) | set(movers))
+    print(f"[recheck] {len(common)} common queries; ratio-flagged "
+          f"{ratio_flagged}; top-{TOP_ABS} movers {movers}")
+
     rechecks, confirmed = {}, []
+    prev_classes = None
     for q in flagged:
         iso = isolated_run(q, sfdir)
-        rechecks[q] = {"prev": pq[q], "in_suite": nq[q], "isolated": iso}
-        if iso is None or iso > pq[q] * UPTICK:
+        rec = {"prev": pq[q], "in_suite": nq[q], "isolated": iso,
+               "same_data": same_data}
+        clean = iso is not None and iso <= pq[q] * UPTICK
+        if not clean and not same_data:
+            # the r13 hand method, mechanized: the old-data baseline
+            # cannot adjudicate — rebuild the baseline commit and ask
+            # what ITS code costs on TODAY's data
+            if prev_classes is None and baseline_sha:
+                prev_classes = build_baseline(baseline_sha)
+            if prev_classes:
+                base = isolated_run(q, sfdir, snap_cp=os.path.abspath(
+                    prev_classes))
+                rec["prev_code_same_data"] = base
+                clean = (iso is not None and base is not None
+                         and iso <= base * UPTICK)
+            else:
+                rec["prev_code_same_data"] = None
+                print(f"  [recheck] {q}: no baseline build available — "
+                      "treating dirty isolated number as confirmed")
+        rechecks[q] = rec
+        if not clean:
             confirmed.append(q)
         print(f"  [recheck] {q}: prev={pq[q]} in_suite={nq[q]} "
-              f"isolated={iso} -> "
-              f"{'CONFIRMED REGRESSION' if q in confirmed else 'variance'}")
+              f"isolated={iso} "
+              f"prev_code_same_data={rec.get('prev_code_same_data', 'n/a')} "
+              f"-> {'CONFIRMED REGRESSION' if q in confirmed else 'variance'}")
+
     if rechecks:
-        new["isolated_recheck"] = rechecks
-        with open(new_path, "w") as f:
-            json.dump(new, f)
-        print(f"[recheck] wrote isolated_recheck into {new_path}")
+        new_doc["isolated_recheck"] = rechecks
+    with open(new_path, "w") as f:
+        json.dump(new_doc, f)
+    print(f"[recheck] stamped {new_path} (testdata_gen, git_sha"
+          f"{', isolated_recheck' if rechecks else ''})")
     if confirmed:
-        print(f"[recheck] FAIL: isolated re-runs confirm regression on "
+        print(f"[recheck] FAIL: same-data evidence confirms regression on "
               f"{confirmed}")
         return 1
-    print("[recheck] ok: no isolated-confirmed regressions")
+    print("[recheck] ok: no same-data-confirmed regressions")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
