@@ -129,8 +129,10 @@ object Bench {
     // r13 additions: domain reweighting + language budget allocation
     "q222_doremi_weights",
     "q223_unimax_mix",
-    // r14 addition: multimodal perceptual-hash near-dup
-    "q224_phash_near_dup")
+    // r14 additions: multimodal perceptual-hash near-dup + its
+    // dup-heavy-regime scale path (exact-signature cluster reduction)
+    "q224_phash_near_dup",
+    "q225_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

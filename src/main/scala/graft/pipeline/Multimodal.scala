@@ -177,6 +177,54 @@ object Multimodal extends QueryModule {
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- exact-signature cluster reduction — q224's scale path for
+    // DUP-HEAVY corpora: when a corpus is mostly duplicates (the
+    // replica-1000x adversarial regime: 1000-copy families), the
+    // materialized pair list is Θ(dups²) BY DEFINITION (2.5e9 rows at
+    // 5M docs — the probe row q224 deliberately does not have), but
+    // the operator a pipeline actually runs there is per-doc cluster
+    // assignment: group by the 28-bit signature, representative =
+    // min doc_id — ONE map-side-combined agg + one hash join back,
+    // linear at ANY duplicate density (the q136 dup_of shape).
+    // Near-dup pairing at scale then runs q224's blocked join over
+    // DISTINCT signatures only — replicas collapse before any pair
+    // space exists. -----
+    q("q225_phash_dedup",
+      """WITH bytes AS (
+        |  SELECT doc_id, length(text) AS L, i.i AS i,
+        |    ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, ((i-1)*32) // L AS cell,
+        |          sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY doc_id, ((i-1)*32) // L),
+        |grid AS (SELECT d.doc_id, g.cell, coalesce(px0.px, 0) AS px
+        |         FROM (SELECT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT unnest(range(32)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = d.doc_id
+        |                      AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id ORDER BY cell) AS pxr
+        |       FROM grid),
+        |bits AS (SELECT doc_id, (cell // 8) * 7 + (cell % 8) AS j,
+        |           CASE WHEN px < pxr THEN 1 ELSE 0 END AS bit
+        |         FROM b0 WHERE cell % 8 < 7),
+        |ph AS (SELECT doc_id,
+        |         CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS phash
+        |       FROM bits GROUP BY doc_id),
+        |reps AS (SELECT phash, min(doc_id) AS dup_of FROM ph
+        |         GROUP BY phash)
+        |SELECT ph.doc_id, ph.phash, reps.dup_of,
+        |  CAST(ph.doc_id <> reps.dup_of AS INTEGER) AS is_dup
+        |FROM ph JOIN reps USING (phash)
+        |ORDER BY ph.doc_id""") { (s, dir) =>
+      val ph = phash(Tables.t(s, dir, "documents"))
+      val reps = ph.groupBy(col("phash")).agg(min(col("doc_id")).as("dup_of"))
+      ph.join(reps, "phash")
+        .select(col("doc_id"), col("phash"), col("dup_of"),
+          (col("doc_id") =!= col("dup_of")).cast("int").as("is_dup"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -29,7 +29,27 @@ import org.apache.spark.sql.functions._
   * ~ ln r / ln V. Doc length is 30 + (h mod 120) words, mean ~90,
   * in the band of the driver's testdata documents.
   *
+  * QUALITY-HETEROGENEITY regime (r13 verdict item 2, `hetero=1`):
+  * the plain draw is structurally homogeneous — every word renders
+  * "w<rank>", so the Gopher gate's stopword rule rejects 100% of
+  * docs and gate probes degenerate (replica corpora degenerate the
+  * other way: word-suffixing breaks stopword matches, 0.35%
+  * admission, adversarially favorable to preGate). With hetero on,
+  * each doc draws a deterministic quality class:
+  *   A (40%) organic-good — head Zipf ranks render as REAL stopwords
+  *     ("the","of","and","a","to","in","is","be" — covering both the
+  *     Gopher stopList and the teacher sigmoid's list), so most pass;
+  *   B (18%) stopword-free — "x<rank>" rendering, fails stopHits;
+  *   C (18%) boilerplate — one 6-word phrase repeated, fails the
+  *     dup-fraction rule (stopwords present, mwl in range);
+  *   D (14%) length outliers — 5-24 words, fails nWords >= 30;
+  *   E (10%) long-token — "wxqrst<rank>" rendering, fails mwl <= 5.
+  * Target admission 30-50% (class A x its organic pass rate), so
+  * preGate wins, teacher agreement and curation builds measure a
+  * REAL admission boundary instead of a degenerate one.
+  *
   * Usage: ZipfGen <outDir> <nDocs> [vocab=50000] [dim=64] [seed=13]
+  *                [hetero=0]
   * Writes documents.parquet + embeddings.parquet under outDir; copy
   * the remaining TPC-H tables from a real sf dir if a probe needs
   * them (the dedup/retrieval probes only read these two).
@@ -41,6 +61,7 @@ object ZipfGen {
     val vocab = if (args.length > 2) args(2).toInt else 50000
     val dim = if (args.length > 3) args(3).toInt else 64
     val seed = if (args.length > 4) args(4).toLong else 13L
+    val hetero = args.length > 5 && args(5) == "1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,16 +77,44 @@ object ZipfGen {
       (shiftrightunsigned(xxhash64(lit(seed) +: cols: _*), 12)
         .cast("double") / lit(4503599627370496.0))
 
+    // per-doc quality class (hetero only): 0-39 A, 40-57 B, 58-75 C,
+    // 76-89 D, 90-99 E — drawn from the same seeded hash family
+    val cls =
+      if (hetero) pmod(xxhash64(lit(seed), lit("cls"), col("id")), lit(100))
+      else lit(0)
+    val stopArr = array(Seq("the", "of", "and", "a", "to", "in", "is", "be")
+      .map(lit): _*)
+    val phraseArr = array(Seq("the", "data", "of", "pipeline", "and",
+      "quality").map(lit): _*)
+    def zipfRank(p: org.apache.spark.sql.Column) =
+      ceil(pow(lit(vocab.toDouble), u52(lit("w"), col("doc_id"), p)))
+        .cast("long")
     val docs = spark.range(0, nDocs, 1, 32)
-      .select(col("id").as("doc_id"),
-        (lit(30) + pmod(xxhash64(lit(seed), lit("len"), col("id")), lit(120)))
-          .cast("int").as("n_words"))
+      .select(col("id").as("doc_id"), cls.as("cls"),
+        when(cls >= 76 && cls < 90, // D: length outliers, under the gate
+          (lit(5) + pmod(xxhash64(lit(seed), lit("len"), col("id")),
+            lit(20))).cast("int"))
+          .otherwise((lit(30)
+            + pmod(xxhash64(lit(seed), lit("len"), col("id")), lit(120)))
+            .cast("int")).as("n_words"))
       .select(col("doc_id"),
         array_join(
-          transform(sequence(lit(1), col("n_words")),
-            p => concat(lit("w"),
-              ceil(pow(lit(vocab.toDouble),
-                u52(lit("w"), col("doc_id"), p))).cast("long"))),
+          transform(sequence(lit(1), col("n_words")), p => {
+            val r = zipfRank(p)
+            when(col("cls") >= 58 && col("cls") < 76, // C: boilerplate
+              element_at(phraseArr, (pmod(p, lit(6)) + 1).cast("int")))
+              .when(col("cls") >= 40 && col("cls") < 58, // B: no stopwords
+                concat(lit("x"), r))
+              .when(col("cls") >= 90, // E: long tokens, mwl > 5
+                concat(lit("wxqrst"), r))
+              .otherwise( // A + D: organic rendering — real stopword
+                // head under hetero; the plain draw stays bit-
+                // identical to the r13 corpora ("w<rank>" always)
+                if (hetero)
+                  when(r <= 8, element_at(stopArr, r.cast("int")))
+                    .otherwise(concat(lit("w"), r))
+                else concat(lit("w"), r))
+          }),
           " ").as("text"))
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         concat(lit("src"), pmod(col("doc_id"), lit(5))).as("source"),

@@ -41,6 +41,21 @@ class MultimodalSpec extends SparkSpec {
       s"blocked path lost/invented pairs: missing=${truth -- blocked}, extra=${blocked -- truth}")
   }
 
+  test("q225 cluster reduction: representative is the min id of each signature class") {
+    val rows = run("q225_phash_dedup").collect()
+    assert(rows.nonEmpty)
+    val byHash = rows.groupBy(_.getAs[Long]("phash"))
+    byHash.foreach { case (_, grp) =>
+      val ids = grp.map(_.getAs[Long]("doc_id"))
+      val reps = grp.map(_.getAs[Long]("dup_of")).distinct
+      assert(reps.length == 1 && reps.head == ids.min)
+    }
+    rows.foreach { r =>
+      assert((r.getAs[Int]("is_dup") == 1) ==
+        (r.getAs[Long]("doc_id") != r.getAs[Long]("dup_of")))
+    }
+  }
+
   test("q224: identical payloads hash identically (hamming-0 pair)") {
     import spark.implicits._
     val docs = Seq(
