@@ -15,6 +15,16 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   * current_timestamp() per micro-batch. Keyed state/timers lower to
   * flatMapGroupsWithState (GroupState + GroupStateTimeout), windows
   * to window()/session_window aggregations.
+  *
+  * DOCUMENTED NEGATIVE (COVERAGE.md §2.10 — the full statement):
+  * there is deliberately NO engine-global punctuated watermark
+  * assigner (AssignerWithPunctuatedWatermarks.java:56). Structured
+  * Streaming's watermark is periodic-by-engine-design, computed
+  * between micro-batches, with no surface to advance it from inside
+  * a batch; punctuatedSeal reproduces the operator-level behavior
+  * with a per-KEY punctuation clock (+ optional engine fallback),
+  * and a job-wide marker is expressed by fanning the marker out to
+  * every key upstream (StreamEnvSpec "cross-key markers").
   */
 final class StreamEnv(val spark: SparkSession) {
 

@@ -102,6 +102,39 @@ class StreamEnvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("punctuatedSeal cross-key markers: upstream flatMap fan-out routes one marker to all keys") {
+    implicit val sc = spark.sqlContext
+    // The COVERAGE.md documented-negative workaround: a marker that
+    // must seal EVERY key's buffer (the reference's engine-global
+    // punctuated watermark) is fanned out to each key upstream — a
+    // plain flatMap over the known key domain — because per-key
+    // punctuation clocks are the only clocks markers can advance.
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
+    val keys = Seq(1L, 2L)
+    val sealed_ = new StreamOps(
+      input.toDF().toDF("k", "ts", "typ", "id")
+        .withWatermark("ts", "1 hour")
+        .as[(Long, Timestamp, String, Long)])
+      .flatMap(e => if (e._3 == "wm") keys.map(k => e.copy(_1 = k))
+                    else Seq(e))
+      .keyBy(_._1)
+      .punctuatedSeal(_._2.getTime, _._4)(_._3 == "wm")
+      .map(e => (e._1, e._4))
+    val q = sealed_.writeStream.format("memory")
+      .queryName("graft_test_punct_fan").outputMode("append").start()
+    def ids() = spark.table("graft_test_punct_fan")
+      .as[(Long, Long)].collect().toSet
+    try {
+      input.addData((1L, ts(0), "ev", 1L), (2L, ts(0), "ev", 9L))
+      q.processAllAvailable()
+      assert(ids().isEmpty)
+      // ONE global marker (sent on any key) seals BOTH keys' buffers
+      input.addData((1L, ts(1), "wm", 100L))
+      q.processAllAvailable()
+      assert(ids() == Set((1L, 1L), (2L, 9L)))
+    } finally q.stop()
+  }
+
   test("punctuatedSeal engine fallback bounds state for marker-less keys") {
     implicit val sc = spark.sqlContext
     // short 1-minute delay watermark + fallback: key 2 never sees a
