@@ -446,14 +446,20 @@ object CorpusStats extends QueryModule {
     * inter derives from signature agreement in ALL-INTEGER form:
     * Broder's resemblance estimate j ≈ agree/16 inverted through
     * inter = j·(n_a+n_b)/(1+j) = agree·(n_a+n_b) div (16+agree) —
-    * exact integer division, zero float surface, so the routed output
-    * is engine-replayable exactly like the exact path. The pair space
-    * never exceeds sources², and the corpus-sized self-join is gone. */
+    * exact integer division, zero float surface. Permutations are
+    * xxhash64(j, gh), NOT the md5 h52 device: this path never serves
+    * below the route threshold, so it has no DuckDB oracle to
+    * mirror, and 16 md5 digests per distinct gram were measured as
+    * the routed wall itself in the all-unique-grams replica regime
+    * (355 s at 1000× vs 162 s exact; xxhash64 is ~free and equally a
+    * deterministic uniform permutation for Broder's estimator). The
+    * pair space never exceeds sources², and the corpus-sized
+    * self-join is gone. */
   private[pipeline] def sourceOverlapRouted(
       g: DataFrame, pr: DataFrame): DataFrame = {
     val p = g
       .select(col("source"), posexplode(array((0 until 16).map(j =>
-        h52(concat(lit(s"$j:"), col("gh")))): _*)).as(Seq("j", "hj")))
+        xxhash64(lit(j), col("gh"))): _*)).as(Seq("j", "hj")))
       .groupBy(col("source"), col("j"))
       .agg(min(col("hj")).as("mh"))
     val ag = p.select(col("source").as("src_a"), col("j"), col("mh").as("ma"))
