@@ -390,10 +390,10 @@ object LangModel extends QueryModule {
             * (coalesce(col("np"), lit(0L)).cast("double") / col("ntot")))
       .when(col("np").isNotNull, col("np").cast("double") / col("ntot"))
       .otherwise(lit(1.0) / col("ntot"))
-    hb.join(cb.select(col("w1"), col("w2"), col("c")),
+    hb.join(maybeBroadcast(cb.select(col("w1"), col("w2"), col("c"))),
         Seq("w1", "w2"), "left")
-      .join(cx, Seq("w1"), "left")
-      .join(ctu, Seq("w2"), "left")
+      .join(maybeBroadcast(cx), Seq("w1"), "left")
+      .join(maybeBroadcast(ctu), Seq("w2"), "left")
       .crossJoin(broadcast(nt))
       .select(col("doc_id"),
         (lit(1000000.0) * log(greatest(p, lit(1e-9)))).as("xk"),
@@ -455,15 +455,40 @@ object LangModel extends QueryModule {
   private val knMinCount: Long =
     sys.env.get("GRAFT_KN_MINCOUNT").map(_.toLong).getOrElse(1L)
 
+  /** The ABSOLUTE model-size cap (GRAFT_KN_MAXTYPES): keep only the
+    * top-K bigram types by (count, w1, w2) — a deterministic total
+    * order. minCount alone cannot restore vocab-boundedness in the
+    * replica regime (suffixing manufactures vocab-proportional TYPES
+    * at every count level: pruned-x1000 measured 249 s vs 336 s off —
+    * a real cut, not a different complexity class), whereas a hard K
+    * bounds the model and every scoring-join build side at ANY corpus
+    * size — so with the cap set, the scorer broadcast-hints the model
+    * and its marginals (K rows each) and the probe side never
+    * shuffles. Default MaxValue = identity, oracle-checked. */
+  private val knMaxTypes: Long =
+    sys.env.get("GRAFT_KN_MAXTYPES").map(_.toLong).getOrElse(Long.MaxValue)
+
+  /** True when a dial bounds the model table enough to broadcast the
+    * scoring builds. */
+  private def knModelBounded: Boolean = knMaxTypes != Long.MaxValue
+
+  private def maybeBroadcast(df: DataFrame): DataFrame =
+    if (knModelBounded) broadcast(df) else df
+
   /** The bigram-count table — THE one corpus pass. localCheckpointed
     * because every smoothing marginal below derives from it: without
     * the truncation each marginal re-runs the corpus explode (the r5
     * Pregel-lineage lesson; caught by PlanSpec showing 4 scans). */
   private[pipeline] def bigramCounts(b: DataFrame,
-      minCount: Long = knMinCount): DataFrame = {
+      minCount: Long = knMinCount,
+      maxTypes: Long = knMaxTypes): DataFrame = {
     val c = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    (if (minCount <= 1L) c else c.filter(col("c") >= minCount))
-      .localCheckpoint()
+    val pruned = if (minCount <= 1L) c else c.filter(col("c") >= minCount)
+    val capped =
+      if (maxTypes == Long.MaxValue) pruned
+      else pruned.orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(math.min(maxTypes, Int.MaxValue.toLong).toInt)
+    capped.localCheckpoint()
   }
 
   /** The bigram model table with every smoothing marginal joined on:
@@ -621,10 +646,10 @@ object LangModel extends QueryModule {
             * (coalesce(col("np"), lit(0L)).cast("double") / col("ntot")))
       .when(col("np").isNotNull, col("np").cast("double") / col("ntot"))
       .otherwise(lit(1.0) / col("ntot"))
-    hb.join(cb.select(col("w1"), col("w2"), col("c")),
+    hb.join(maybeBroadcast(cb.select(col("w1"), col("w2"), col("c"))),
         Seq("w1", "w2"), "left")
-      .join(cx, Seq("w1"), "left")
-      .join(ct, Seq("w2"), "left")
+      .join(maybeBroadcast(cx), Seq("w1"), "left")
+      .join(maybeBroadcast(ct), Seq("w2"), "left")
       .crossJoin(broadcast(nt))
       .select(col("doc_id"),
         (lit(1000000.0) * log(greatest(p, lit(1e-9)))).as("x"))

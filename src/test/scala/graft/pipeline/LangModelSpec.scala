@@ -233,4 +233,31 @@ class LangModelSpec extends SparkSpec {
       .join(sPruned.select(col("doc_id"), col("sq").as("sq_p")), "doc_id")
     assert(joined.filter(col("sq_p") =!= col("sq_f")).count() > 0)
   }
+
+  test("KN maxTypes cap: deterministic top-K model, scoring stays total") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val full = LangModel.bigramCounts(LangModel.bigrams(docs))
+    val k = 50
+    val capped = LangModel.bigramCounts(LangModel.bigrams(docs),
+      minCount = 1, maxTypes = k)
+    assert(capped.count() == math.min(k, full.count()))
+    // the kept set is exactly the top-K under (c desc, w1, w2) —
+    // a total order, so two builds agree row-for-row
+    val a = capped.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = LangModel.bigramCounts(LangModel.bigrams(docs),
+      minCount = 1, maxTypes = k).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+    val minKept = capped.agg(min(col("c"))).collect()(0).getLong(0)
+    val strictlyAbove = full.filter(col("c") > minKept).count()
+    assert(strictlyAbove <= k,
+      "cap dropped a bigram strictly more frequent than one it kept")
+    // scoring under the capped model: every doc still scored (backoff)
+    val hb = LangModel.bigrams(docs.filter(col("doc_id") % 2 === 1),
+      withDoc = true)
+    assert(LangModel.docScore(hb, capped).count() ==
+      docs.filter(col("doc_id") % 2 === 1)
+        .filter(size(split(lower(col("text")), " ")) >= 2).count())
+  }
 }
