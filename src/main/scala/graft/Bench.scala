@@ -132,7 +132,12 @@ object Bench {
     // r14 additions: multimodal perceptual-hash near-dup + its
     // dup-heavy-regime scale path (exact-signature cluster reduction)
     "q224_phash_near_dup",
-    "q225_phash_dedup")
+    "q225_phash_dedup",
+    // r14 additions: scene segmentation, fertility accounting,
+    // per-doc excess-loss selection
+    "q226_scene_segments",
+    "q227_tokenizer_fertility",
+    "q228_rho_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -90,6 +90,10 @@ object QuantGuard {
       Covered(Set("q222_ln_uni_int", "q222_exp_u_int", "q222_ppb_int")),
     "pipeline/LangModel.scala#doremiX" ->
       Covered(Set("q222_ln_uni_int")),
+    // q228 reuses doremiX's fused scoring pass verbatim — its oracle's
+    // ln sites are the q222/q215 expressions, measured by those margins
+    "pipeline/LangModel.scala#q228_rho_select" ->
+      Covered(Set("q222_ln_uni_int", "q215_ln_int")),
     "pipeline/LangModel.scala#doremiGrid" ->
       Covered(Set("q222_exp_u_int", "q222_ppb_int")),
     "pipeline/LangModel.scala#intMargin" -> infra,

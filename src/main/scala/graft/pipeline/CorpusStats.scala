@@ -381,6 +381,65 @@ object CorpusStats extends QueryModule {
         .groupBy(col("lang")).agg(count(lit(1)).as("avail"))
         .localCheckpoint()
       unimaxAlloc(tok, epochCap = 2, budgetDiv = 2)
+    },
+
+    // ----- tokenizer fertility per language (r14) — the companion
+    // diagnostic every multilingual pretraining pipeline runs next to
+    // the q223 allocator: how many SUBWORD tokens the tokenizer spends
+    // per word and per character, by language. The reference tokenizer
+    // is the deterministic fixed-stride proxy (a word of length L
+    // costs ceil(L/4) subwords — the q59 decode-stub stance: the BPE
+    // trainer q216/q217 exists separately; here the plumbing under
+    // audit is the corpus-wide per-language cost accounting, so the
+    // per-word cost function is the replayable fake). ALL-INTEGER end
+    // to end (the q223 discipline): ceil via (L+3) div 4 on exact
+    // longs, the two micro-ratios computed with decimal(38,0)/HUGEINT
+    // widening so the 1e6 products cannot wrap at any corpus size.
+    // Scale: ONE corpus pass, per-doc costs reduce inside the
+    // documents scan (no explode survives the aggregate), |langs|-row
+    // output — map-side combine collapses partials to |langs| cells
+    // per task, the q223 shuffle shape. -----
+    q("q227_tokenizer_fertility",
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        w -> w <> '')) AS words,
+        |    list_sum(list_transform(
+        |      list_filter(string_split(lower(text), ' '), w -> w <> ''),
+        |      w -> (length(w) + 3) // 4)) AS subwords,
+        |    length(replace(text, ' ', '')) AS chars
+        |  FROM documents),
+        |ag AS (SELECT lang, count(*) AS n_docs, sum(words) AS words,
+        |         sum(subwords) AS subwords, sum(chars) AS chars
+        |       FROM d GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(words AS BIGINT) AS words,
+        |  CAST(subwords AS BIGINT) AS subwords,
+        |  CAST(chars AS BIGINT) AS chars,
+        |  CAST((CAST(subwords AS HUGEINT) * 1000000) // words AS BIGINT)
+        |    AS fertility_micro,
+        |  CAST((CAST(chars AS HUGEINT) * 1000000) // subwords AS BIGINT)
+        |    AS chars_per_subword_micro
+        |FROM ag ORDER BY lang""") { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("lang"),
+          expr("""aggregate(filter(split(lower(text), ' '), w -> w != ''),
+                 |  0L, (a, w) -> a + 1L)""".stripMargin).as("words"),
+          expr("""aggregate(filter(split(lower(text), ' '), w -> w != ''),
+                 |  0L, (a, w) -> a + (length(w) + 3) div 4)""".stripMargin)
+            .as("subwords"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
+          sum(col("subwords")).as("subwords"), sum(col("chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
+          col("chars"),
+          expr("(cast(subwords as decimal(38,0)) * 1000000) div words")
+            .cast("long").as("fertility_micro"),
+          expr("(cast(chars as decimal(38,0)) * 1000000) div subwords")
+            .cast("long").as("chars_per_subword_micro"))
+        .orderBy(col("lang"))
     }
   )
 

@@ -338,6 +338,70 @@ object LangModel extends QueryModule {
             .as("w0_ppb"))
         .join(wfin, "source").join(wavg, "source")
         .orderBy(col("source"))
+    },
+
+    // ----- RHO-style per-DOC excess-loss selection (r14) — the
+    // document-granular twin of q222's per-DOMAIN reweighting
+    // (Mindermann et al. 2022's reducible-holdout-loss signal,
+    // re-expressed relationally): a doc's learnability is how many
+    // micro-nats per pair the stronger reference model (the KN bigram)
+    // improves on the weak proxy (the unigram marginal) — high-excess
+    // docs carry learnable structure, near-zero docs are noise or
+    // memorized boilerplate. SAME fused scoring pass as q222
+    // (doremiX: both models are aggregates of the ONE checkpointed
+    // bigram table; scoring separately would double the corpus scan),
+    // then a per-doc reduction and a bounded top-k
+    // (TakeOrderedAndProject — never a global sort), tie-broken by
+    // doc_id so the k boundary is deterministic. Integer micro-nats
+    // throughout; the floor-of-exact-quotient is the q222 `exm`
+    // device (single correctly-rounded IEEE division, engine-
+    // identical). [quant-guard] the ln sites are doremiX's, measured
+    // as q222_ln_uni_int / q215_ln_int. -----
+    q("q228_rho_select",
+      "WITH " + duckKnBody("documents", "g_") +
+        """,
+          |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |       FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+          |             FROM (SELECT doc_id, string_split(lower(text),' ') AS w
+          |                   FROM documents)
+          |             WHERE len(w) >= 2)),
+          |""".stripMargin +
+        duckScoreBody("hb", "g_") +
+        """,
+          |uni AS (SELECT w2, sum(c) AS cu FROM g_cb GROUP BY w2),
+          |utot AS (SELECT sum(c) AS tot FROM g_cb),
+          |usc AS (SELECT hb.doc_id,
+          |    CAST(floor(1000000.0 * ln(greatest(
+          |      coalesce(uni.cu, 0)::DOUBLE / utot.tot::DOUBLE, 1e-9)))
+          |      AS BIGINT) AS tq
+          |  FROM hb LEFT JOIN uni ON hb.w2 = uni.w2 CROSS JOIN utot),
+          |uag AS (SELECT doc_id, sum(tq) AS squ FROM usc GROUP BY doc_id),
+          |ex AS (SELECT g.doc_id, g.n,
+          |         CAST(floor((g.sq - u.squ)::DOUBLE / g.n) AS BIGINT)
+          |           AS excess_micro
+          |       FROM g_ag g JOIN uag u USING (doc_id))
+          |SELECT d.doc_id, d.source, CAST(ex.n AS BIGINT) AS n_pairs,
+          |  ex.excess_micro
+          |FROM ex JOIN documents d USING (doc_id)
+          |ORDER BY ex.excess_micro DESC, d.doc_id LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val hb = bigrams(docs, withDoc = true)
+      val cb = bigramCounts(bigrams(docs))
+      doremiX(hb, cb)
+        .select(col("doc_id"), floor(col("xk")).cast("long").as("tk"),
+          floor(col("xu")).cast("long").as("tu"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("tk")).as("sk"),
+          sum(col("tu")).as("su"))
+        .select(col("doc_id"), col("n_pairs"),
+          floor((col("sk") - col("su")).cast("double") / col("n_pairs"))
+            .cast("long").as("excess_micro"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_pairs"),
+          col("excess_micro"))
+        .orderBy(col("excess_micro").desc, col("doc_id"))
+        .limit(100)
     }
   )
 

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One row per document after binary featurization. */
@@ -191,6 +191,72 @@ object Multimodal extends QueryModule {
     // Near-dup pairing at scale then runs q224's blocked join over
     // DISTINCT signatures only — replicas collapse before any pair
     // space exists. -----
+    // ----- temporal scene segmentation — the VIDEO shape of the
+    // q224 device (r14): per-frame integer signatures over the q124
+    // framing (64-byte frames), consecutive frames whose signatures
+    // differ by hamming ≤ 1 collapse into one scene, a larger jump is
+    // a CUT. This is the frame-dedup / scene-boundary pass a video
+    // pipeline runs before sampling one representative frame per
+    // scene (shot-boundary detection by frame-signature distance;
+    // the decode stub stance of q59/q124 — bytes stand in for pixels,
+    // the framing/windowing/segmentation plumbing is the real thing).
+    //   1. frame signature: each 64-byte frame average-pools onto 8
+    //      cells (cell = offset div 8, integer mean), 7 adjacent-cell
+    //      gradient bits pack to a 7-bit signature — one dHash ROW at
+    //      frame granularity, all-integer (the q223/q224 discipline).
+    //      Partial tail frames densify their missing cells to 0 via
+    //      the per-frame 8-cell grid (the q224 densify device).
+    //   2. cuts: lag(sig) over (doc ORDER BY frame), cut when
+    //      bit_count(xor) > 1 or first frame; scene_id = running sum
+    //      of cuts (frames-between-cuts share a scene).
+    //   3. scenes: group (doc, scene): start/end frame, n_frames,
+    //      rep_sig = min(sig) (deterministic representative).
+    // Scale: one byte-explode pass map-side-combines to ≤8 rows per
+    // frame; every window is partitioned by doc (or doc,frame) with
+    // frames-per-payload-bounded partitions — no global window, no
+    // join beyond the grid densify, linear in corpus bytes. -----
+    q("q226_scene_segments",
+      """WITH bytes AS (
+        |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |          ((i-1) % 64) // 8 AS cell, sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY 1, 2, 3),
+        |frames AS (SELECT DISTINCT doc_id, frame_idx FROM px0),
+        |grid AS (SELECT f.doc_id, f.frame_idx, g.cell,
+        |           coalesce(px0.px, 0) AS px
+        |         FROM frames f
+        |         CROSS JOIN (SELECT unnest(range(8)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = f.doc_id
+        |           AND px0.frame_idx = f.frame_idx AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, frame_idx, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id, frame_idx
+        |                        ORDER BY cell) AS pxr
+        |       FROM grid),
+        |sig AS (SELECT doc_id, frame_idx,
+        |          CAST(sum(CASE WHEN px < pxr THEN 1::BIGINT << cell
+        |                        ELSE 0 END) AS BIGINT) AS sig
+        |        FROM b0 WHERE cell < 7 GROUP BY doc_id, frame_idx),
+        |cuts AS (SELECT doc_id, frame_idx, sig,
+        |           CASE WHEN lag(sig) OVER w IS NULL THEN 1
+        |                WHEN bit_count(xor(sig, lag(sig) OVER w)) > 1
+        |                THEN 1 ELSE 0 END AS cut
+        |         FROM sig WINDOW w AS (PARTITION BY doc_id
+        |                               ORDER BY frame_idx)),
+        |sc AS (SELECT doc_id, frame_idx, sig,
+        |         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |           ROWS UNBOUNDED PRECEDING) AS scene_id
+        |       FROM cuts)
+        |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+        |  CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(min(sig) AS BIGINT) AS rep_sig
+        |FROM sc GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id""") { (s, dir) =>
+      sceneSegments(Tables.t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("scene_id"))
+    },
+
     q("q225_phash_dedup",
       """WITH bytes AS (
         |  SELECT doc_id, length(text) AS L, i.i AS i,
@@ -227,6 +293,49 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** q226's engine, factored so MultimodalSpec can drive synthetic
+    * frame sequences: per-frame 7-bit signatures (one dHash row per
+    * 64-byte frame), cuts where consecutive-frame hamming > 1, scene
+    * rows per (doc, running cut count). Unordered — the query sorts. */
+  private[pipeline] def sceneSegments(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE conditional aggregation builds all 8 cell means per frame
+    // (missing tail-frame cells densify to 0 via the coalesce — the
+    // oracle's grid CTE expressed as 16 pivoted agg columns), so the
+    // signature needs no densify join and no per-frame window: one
+    // corpus scan, one (doc, frame)-keyed shuffle.
+    val cellPx: Seq[Column] = (0 to 7).map { k =>
+      coalesce(expr(s"sum(case when cell = $k then b end) " +
+        s"div count(case when cell = $k then b end)"), lit(0L)).as(s"px$k")
+    }
+    val sig = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text))")).as("i"), col("text"))
+      .select(col("doc_id"), expr("(i-1) div 64").as("frame_idx"),
+        expr("((i-1) % 64) div 8").as("cell"),
+        ascii(expr("substring(text, i, 1)")).as("b"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(cellPx.head, cellPx.tail: _*)
+      .select(col("doc_id"), col("frame_idx"),
+        (0 to 6).map { j =>
+          when(col(s"px$j") < col(s"px${j + 1}"), lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _).as("sig"))
+    // per-doc window: frames-per-payload-bounded (len/64 rows)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sig.withColumn("prev", lag(col("sig"), 1).over(wd))
+      .withColumn("cut",
+        when(col("prev").isNull, 1L)
+          .when(bit_count(col("sig").bitwiseXOR(col("prev"))) > 1, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).cast("long").as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        min(col("sig")).as("rep_sig"))
+  }
 
   /** The 28-bit integer dHash per document (4 rows × 8 cols) —
     * factored so MultimodalSpec can pin signature invariants and the

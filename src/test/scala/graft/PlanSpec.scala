@@ -504,4 +504,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "par/ag totals join the lang frame via broadcast")
   }
+
+  test("q226 scenes: ONE corpus scan, no join, doc-partitioned windows only") {
+    val p = plan("q226_scene_segments")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "the 8 cell means pivot inside one frame aggregate — the grid " +
+        "densify must not become a second corpus pass")
+    assert(!p.contains("Join"), "signature build is join-free")
+    // every window partitions by doc_id — a partition-less window
+    // would serialize the corpus through one task
+    "PartitionSpec: \\[\\]".r.findFirstIn(p).foreach { _ =>
+      fail("global (partition-less) window in the scene plan")
+    }
+  }
+
+  test("q227 fertility: ONE corpus scan pruned to (text, lang), map-side combined") {
+    val p = plan("q227_tokenizer_fertility")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "per-doc costs must reduce inside one documents pass")
+    assert(p.contains("text:string"), "scan prunes to text+lang")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "lang aggregate must map-side combine")
+  }
+
+  test("q228 RHO selection: scoring joins stay equi, output is bounded TopK") {
+    val p = plan("q228_rho_select")
+    assert(!p.contains("CartesianProduct"),
+      "model joins are word-keyed equi joins (the one crossJoin is " +
+        "the broadcast 1-row totals frame)")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k boundary must be a bounded TopK, not a global sort+limit")
+  }
 }

@@ -107,4 +107,35 @@ class CorpusStatsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("q227 fertility: integer ratios match a driver-side recomputation exactly") {
+    val rows = graft.Registry.all.find(_.name == "q227_tokenizer_fertility")
+      .get.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the per-lang sums on the driver from the raw corpus
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val texts = byLang(lang).map(_._2)
+      val words = texts.map(_.toLowerCase.split(" ").count(_.nonEmpty)
+        .toLong).sum
+      val subwords = texts.map(_.toLowerCase.split(" ").filter(_.nonEmpty)
+        .map(w => (w.length + 3L) / 4L).sum).sum
+      val chars = texts.map(_.count(_ != ' ').toLong).sum
+      assert(r.getAs[Long]("n_docs") == texts.length.toLong)
+      assert(r.getAs[Long]("words") == words)
+      assert(r.getAs[Long]("subwords") == subwords)
+      assert(r.getAs[Long]("chars") == chars)
+      // the decimal-widened micro ratios are exact integer floor-division
+      assert(r.getAs[Long]("fertility_micro") ==
+        (BigInt(subwords) * 1000000 / BigInt(words)).toLong)
+      assert(r.getAs[Long]("chars_per_subword_micro") ==
+        (BigInt(chars) * 1000000 / BigInt(subwords)).toLong)
+      // every word costs >= 1 subword, so fertility >= 1.0
+      assert(r.getAs[Long]("fertility_micro") >= 1000000L)
+    }
+  }
 }

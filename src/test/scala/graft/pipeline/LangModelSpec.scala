@@ -260,4 +260,45 @@ class LangModelSpec extends SparkSpec {
       docs.filter(col("doc_id") % 2 === 1)
         .filter(size(split(lower(col("text")), " ")) >= 2).count())
   }
+
+  test("q228 RHO selection: bounded top-k, deterministic order, excess consistent with q222's domains") {
+    val rows = graft.Registry.all.find(_.name == "q228_rho_select").get
+      .fn(spark, sf).collect()
+    assert(rows.length == 100)
+    // deterministic total order: excess desc, doc_id asc
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ea, eb) = (a.getAs[Long]("excess_micro"),
+          b.getAs[Long]("excess_micro"))
+        assert(ea > eb ||
+          (ea == eb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ =>
+    }
+    // the selection really ranks the doremiX signal: recompute one
+    // selected doc's excess from the shared fused scorer
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val hb = LangModel.bigrams(docs, withDoc = true)
+    val cb = LangModel.bigramCounts(LangModel.bigrams(docs))
+    val top = rows.head
+    val re = LangModel.doremiX(
+        hb.filter(col("doc_id") === top.getAs[Long]("doc_id")), cb)
+      .select(col("doc_id"), floor(col("xk")).cast("long").as("tk"),
+        floor(col("xu")).cast("long").as("tu"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("tk")).as("sk"),
+        sum(col("tu")).as("su")).collect()(0)
+    val expected = math.floor(
+      (re.getAs[Long]("sk") - re.getAs[Long]("su")).toDouble /
+        re.getAs[Long]("n")).toLong
+    assert(top.getAs[Long]("excess_micro") == expected)
+    assert(top.getAs[Long]("n_pairs") == re.getAs[Long]("n"))
+  }
+
+  test("q228 plan: selection is a bounded TakeOrdered, never a global sort") {
+    val df = graft.Registry.all.find(_.name == "q228_rho_select").get
+      .fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k operator, got:\n$plan")
+  }
 }

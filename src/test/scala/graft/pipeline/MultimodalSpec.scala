@@ -56,6 +56,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q226 scenes: partition each doc's frames exactly, cuts respect the hamming fence") {
+    val rows = run("q226_scene_segments").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every doc gets scenes")
+    byDoc.foreach { case (id, scenes) =>
+      val sorted = scenes.sortBy(_.getAs[Long]("scene_id"))
+      // scenes tile the frame range with no gap or overlap
+      val nFrames = (docs(id) + 63) / 64
+      assert(sorted.head.getAs[Long]("start_frame") == 0L)
+      assert(sorted.map(_.getAs[Long]("n_frames")).sum == nFrames)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_frame") ==
+            a.getAs[Long]("start_frame") + a.getAs[Long]("n_frames"))
+          assert(b.getAs[Long]("scene_id") == a.getAs[Long]("scene_id") + 1)
+        case _ =>
+      }
+      sorted.foreach(r => assert(r.getAs[Long]("rep_sig") >= 0L &&
+        r.getAs[Long]("rep_sig") < 128L))
+    }
+  }
+
+  test("q226: identical consecutive frames share a scene, a signature jump cuts") {
+    import spark.implicits._
+    // 3 frames: f0 == f1 byte-identical (hamming 0 — same scene);
+    // f2 reverses the gradient (high bytes first — guaranteed cut)
+    val up = "aaaaaaaabbbbbbbbccccccccddddddddeeeeeeeeffffffffgggggggghhhhhhhh"
+    val down = up.reverse
+    val docs = Seq((1L, up + up + down)).toDF("doc_id", "text")
+    val tiny = Multimodal.sceneSegments(docs).collect()
+      .sortBy(_.getAs[Long]("scene_id"))
+    assert(tiny.length == 2, s"expected 2 scenes, got ${tiny.toSeq}")
+    assert(tiny(0).getAs[Long]("n_frames") == 2L)
+    assert(tiny(1).getAs[Long]("start_frame") == 2L)
+  }
+
   test("q224: identical payloads hash identically (hamming-0 pair)") {
     import spark.implicits._
     val docs = Seq(
