@@ -119,8 +119,9 @@ object Multimodal extends QueryModule {
     //      At real image sizes scale the same plan to 8×9/64-bit.
     //   2. gradient bits: bit(r,c) = px(r,c) < px(r,c+1) for the 7
     //      adjacent-column pairs of each of the 4 rows → a 28-bit
-    //      signature (one lead() window over 32-row partitions,
-    //      never a self-join).
+    //      signature (all 32 cell means pivot inside ONE conditional
+    //      aggregate — r14 fusion: no densify join, no window, never
+    //      a self-join).
     //   3. pairs: each signature fans out to 4 7-bit blocks; by
     //      pigeonhole ANY pair with hamming ≤ 3 shares at least one
     //      block, so the ≤ 3 output is EXACT (3 differing bits
@@ -204,17 +205,19 @@ object Multimodal extends QueryModule {
     //      cells (cell = offset div 8, integer mean), 7 adjacent-cell
     //      gradient bits pack to a 7-bit signature — one dHash ROW at
     //      frame granularity, all-integer (the q223/q224 discipline).
-    //      Partial tail frames densify their missing cells to 0 via
-    //      the per-frame 8-cell grid (the q224 densify device).
+    //      Partial tail frames densify their missing cells to 0 (the
+    //      oracle spells this as the q224 grid CTE; the Spark plan
+    //      pivots all 8 cell means inside ONE conditional aggregate,
+    //      so no densify join exists).
     //   2. cuts: lag(sig) over (doc ORDER BY frame), cut when
     //      bit_count(xor) > 1 or first frame; scene_id = running sum
     //      of cuts (frames-between-cuts share a scene).
     //   3. scenes: group (doc, scene): start/end frame, n_frames,
     //      rep_sig = min(sig) (deterministic representative).
-    // Scale: one byte-explode pass map-side-combines to ≤8 rows per
-    // frame; every window is partitioned by doc (or doc,frame) with
+    // Scale: one byte-explode pass map-side-combines to one row per
+    // frame (16 pivoted agg cells); the only window is per-doc with
     // frames-per-payload-bounded partitions — no global window, no
-    // join beyond the grid densify, linear in corpus bytes. -----
+    // join at all, linear in corpus bytes (PlanSpec-pinned). -----
     q("q226_scene_segments",
       """WITH bytes AS (
         |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
@@ -340,33 +343,40 @@ object Multimodal extends QueryModule {
   /** The 28-bit integer dHash per document (4 rows × 8 cols) —
     * factored so MultimodalSpec can pin signature invariants and the
     * decade probes can hash alone. All-integer: binning, pooling and
-    * the bit pack are div/mod/shift on exact longs, zero float
+    * the bit pack are div/shift/compare on exact longs, zero float
     * surface (the q223 discipline applied to the multimodal family). */
   private[pipeline] def phash(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bytes = docs
+    // ONE aggregation pivots all 32 cell means per doc (empty cells
+    // densify to 0 via the coalesce — the oracle's grid CTE as 64
+    // pivoted agg columns), so the signature needs no densify join
+    // and no per-doc window: the r14 q226 fusion applied back to the
+    // document hash. Measured honestly (fused.log): LOCAL walls are at
+    // parity with the first cut's grid-join + lead()-window form
+    // (x1000: 195.7 vs 183.6 s — the wall is the 1.5e9-row byte
+    // explode both forms share, not the window), and the 64
+    // case-branches cost a little at small scale (sf0.1 2.8 → 3.2 s).
+    // The fusion is kept for the CLUSTER shape: the windowed form
+    // shuffles 32 rows/doc by doc_id and sorts every partition, while
+    // this form map-side-combines to ONE row per doc before the
+    // exchange — 32× less shuffle volume and no sort at 100 TB.
+    val cellPx: Seq[Column] = (0 to 31).map { k =>
+      coalesce(expr(s"sum(case when cell = $k then b end) " +
+        s"div count(case when cell = $k then b end)"), lit(0L)).as(s"px$k")
+    }
+    docs
       .select(col("doc_id"), length(col("text")).as("L"),
         explode(expr("sequence(1, length(text))")).as("i"), col("text"))
-      .select(col("doc_id"), col("L"), col("i"),
-        ascii(expr("substring(text, i, 1)")).as("b"))
-    val px0 = bytes
-      .withColumn("cell", expr("((i-1)*32) div L"))
-      .groupBy(col("doc_id"), col("cell"))
-      .agg(expr("sum(b) div count(1)").as("px"))
-    val grid = docs.select(col("doc_id"),
-        explode(sequence(lit(0), lit(31))).as("cell"))
-      .join(px0, Seq("doc_id", "cell"), "left")
-      .select(col("doc_id"), col("cell"),
-        coalesce(col("px"), lit(0L)).as("px"))
-    // 32-row partitions — the bounded-window precedent (q181/q223)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("cell"))
-    grid.withColumn("pxr", lead(col("px"), 1).over(w))
-      .filter(col("cell") % 8 < 7)
       .select(col("doc_id"),
-        (expr("cell div 8") * 7 + col("cell") % 8).as("j"),
-        when(col("px") < col("pxr"), 1L).otherwise(0L).as("bit"))
+        expr("((i-1)*32) div L").as("cell"),
+        ascii(expr("substring(text, i, 1)")).as("b"))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("bit * shiftleft(cast(1 as bigint), j)"))
-        .cast("long").as("phash"))
+      .agg(cellPx.head, cellPx.tail: _*)
+      .select(col("doc_id"),
+        (for (r <- 0 to 3; c <- 0 to 6) yield {
+          val j = r * 7 + c
+          val k = r * 8 + c
+          when(col(s"px$k") < col(s"px${k + 1}"), lit(1L << j))
+            .otherwise(lit(0L))
+        }).reduce(_ + _).as("phash"))
   }
 }

@@ -216,6 +216,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bkt"), "candidate join lost its bucket key")
   }
 
+  test("q225 cluster reduction: the signature build is window-free with one corpus scan") {
+    // the r14 phash fusion: 32 cell means pivot inside ONE hash
+    // aggregate. Measured LOCAL parity with the windowed form (x1000:
+    // 195.7 vs 183.6 s — the wall is the byte explode, not the
+    // window); the fusion is kept for the CLUSTER shape: one
+    // map-side-combined row per doc crosses the wire instead of 32
+    // rows plus a per-doc-partition sort. The reps branch reuses ph's
+    // aggregate exchange (the q203 AQE mechanism), so the one-scan
+    // claim pins on the EXECUTED plan.
+    val p = plan("q225_phash_dedup")
+    assert(!p.contains("Window"), "phash regressed to the windowed form")
+    val fp = finalPlan("q225_phash_dedup")
+    assert(fp.contains("ReusedExchange"),
+      "reps branch must reuse the phash aggregate exchange")
+    assert("FileScan parquet".r.findAllIn(fp).size == 1,
+      "signature build must execute one corpus pass")
+  }
+
   test("q167 semdedup: no cartesian pair space — only centroid broadcasts cross") {
     val p = plan("q167_semdedup")
     // the ONLY nested-loop joins allowed are corpus × broadcast(centroids)
