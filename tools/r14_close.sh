@@ -31,7 +31,7 @@ R=tools/runj_snap.sh
 step sf001_dump $R graft.Verify /root/testdata/sf0.01 target/verify_r14_final
 step sf001_check bash -c "python3 tools/check.py /root/testdata/sf0.01 target/verify_r14_final 2>/dev/null | tail -3"
 step sf01_dump $R graft.Verify /root/testdata/sf0.1 target/verify_sf01_r14
-NOTE="Second-scale-factor oracle sweep for round 14: full graft.Verify dump at sf0.1 (key-count guard green) hash-compared against DuckDB per tools/check.py, q61_graph_cc via the certificate checker (tools/cc_cert.py). Registry grew to 227 this round (q224 pHash near-dup pairs, q225 exact-signature cluster reduction); rows carry the driver's rows_match/schema_match/hash_match booleans; assembly self-enforcing against the live registry size."
+NOTE="Second-scale-factor oracle sweep for round 14: full graft.Verify dump at sf0.1 (key-count guard green) hash-compared against DuckDB per tools/check.py, q61_graph_cc via the certificate checker (tools/cc_cert.py). Registry grew to 230 this round (q224 pHash near-dup pairs, q225 exact-signature cluster reduction, q226 scene segmentation, q227 tokenizer fertility, q228 RHO excess-loss selection); rows carry the driver's rows_match/schema_match/hash_match booleans; assembly self-enforcing against the live registry size."
 step sf01_artifact python3 tools/sf01_artifact.py /root/testdata/sf0.1 target/verify_sf01_r14 14 "$NOTE"
 step bench bash -c "SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $R graft.Bench | grep '\"metric\"' > BENCH_r14_local.json; cat BENCH_r14_local.json"
 step bench_recheck env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python3 tools/bench_recheck.py BENCH_r14_local.json BENCH_r13.json --baseline-sha 7f687b4
