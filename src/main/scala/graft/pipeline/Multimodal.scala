@@ -127,9 +127,11 @@ object Multimodal extends QueryModule {
     //      block, so the ≤ 3 output is EXACT (3 differing bits
     //      cannot cover 4 blocks), while the candidate space stays
     //      linear in the corpus instead of quadratic.
-    // Scale: one byte-explode pass map-side-combines to ≤32 rows/doc;
-    // everything downstream is signature-sized. Per-block bucket skew
-    // is the q56c trade (gradient bits are not uniform). -----
+    // Scale (r15): the signature is ONE codegen'd expression over
+    // the payload bytes (scan → project, nothing exploded, nothing
+    // aggregated — MediaSig.DHashSig); everything downstream is
+    // signature-sized. Per-block bucket skew is the q56c trade
+    // (gradient bits are not uniform). -----
     q("q224_phash_near_dup",
       """WITH bytes AS (
         |  SELECT doc_id, length(text) AS L, i.i AS i,
@@ -214,10 +216,12 @@ object Multimodal extends QueryModule {
     //      of cuts (frames-between-cuts share a scene).
     //   3. scenes: group (doc, scene): start/end frame, n_frames,
     //      rep_sig = min(sig) (deterministic representative).
-    // Scale: one byte-explode pass map-side-combines to one row per
-    // frame (16 pivoted agg cells); the only window is per-doc with
-    // frames-per-payload-bounded partitions — no global window, no
-    // join at all, linear in corpus bytes (PlanSpec-pinned). -----
+    // Scale (r15): per-frame signatures come out of ONE codegen'd
+    // pass over the payload (MediaSig.FrameSigs) — the only Generate
+    // is one LONG per 64-byte frame (len/64 rows, not len); the only
+    // window is per-doc with frames-per-payload-bounded partitions —
+    // no global window, no join at all, linear in corpus bytes
+    // (PlanSpec-pinned). -----
     q("q226_scene_segments",
       """WITH bytes AS (
         |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
@@ -288,9 +292,17 @@ object Multimodal extends QueryModule {
         |  CAST(ph.doc_id <> reps.dup_of AS INTEGER) AS is_dup
         |FROM ph JOIN reps USING (phash)
         |ORDER BY ph.doc_id""") { (s, dir) =>
+      // r15: with the signature now a pure scan→project (codegen'd
+      // DHashSig), the representative is a frame-less MIN over a
+      // phash-partitioned window — ONE corpus pass, ONE exchange
+      // keyed on the 8-byte hash, no join (the r14 agg+join-back
+      // form cost a second corpus-sized exchange). Signature classes
+      // are duplicate families (≤ replica count), so no partition
+      // outgrows a task at any corpus size.
+      import org.apache.spark.sql.expressions.Window
       val ph = phash(Tables.t(s, dir, "documents"))
-      val reps = ph.groupBy(col("phash")).agg(min(col("doc_id")).as("dup_of"))
-      ph.join(reps, "phash")
+      ph.withColumn("dup_of", min(col("doc_id")).over(
+          Window.partitionBy(col("phash"))))
         .select(col("doc_id"), col("phash"), col("dup_of"),
           (col("doc_id") =!= col("dup_of")).cast("int").as("is_dup"))
         .orderBy(col("doc_id"))
@@ -303,28 +315,20 @@ object Multimodal extends QueryModule {
     * rows per (doc, running cut count). Unordered — the query sorts. */
   private[pipeline] def sceneSegments(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE conditional aggregation builds all 8 cell means per frame
-    // (missing tail-frame cells densify to 0 via the coalesce — the
-    // oracle's grid CTE expressed as 16 pivoted agg columns), so the
-    // signature needs no densify join and no per-frame window: one
-    // corpus scan, one (doc, frame)-keyed shuffle.
-    val cellPx: Seq[Column] = (0 to 7).map { k =>
-      coalesce(expr(s"sum(case when cell = $k then b end) " +
-        s"div count(case when cell = $k then b end)"), lit(0L)).as(s"px$k")
-    }
+    // r15: the per-frame signatures come out of ONE codegen'd pass
+    // over the payload bytes (functions/MediaSig.FrameSigs — the
+    // VecMath treatment), so the plan is scan → frame_sigs →
+    // posexplode(one LONG per FRAME, len/64 rows — not len rows) →
+    // per-doc window. The r14 form's per-byte Generate (1.5e9 rows at
+    // the 1000× tier, PLANS.md's named wall) and its 8-cell pivoted
+    // aggregate + (doc, frame) shuffle no longer exist in the plan.
+    // Bit-identical signatures — the oracle still spells the
+    // relational form; an empty payload now yields zero frames,
+    // matching the oracle (the r14 ADVICE divergence, closed).
     val sig = docs
       .select(col("doc_id"),
-        explode(expr("sequence(1, length(text))")).as("i"), col("text"))
-      .select(col("doc_id"), expr("(i-1) div 64").as("frame_idx"),
-        expr("((i-1) % 64) div 8").as("cell"),
-        ascii(expr("substring(text, i, 1)")).as("b"))
-      .groupBy(col("doc_id"), col("frame_idx"))
-      .agg(cellPx.head, cellPx.tail: _*)
-      .select(col("doc_id"), col("frame_idx"),
-        (0 to 6).map { j =>
-          when(col(s"px$j") < col(s"px${j + 1}"), lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce(_ + _).as("sig"))
+        posexplode(graft.functions.MediaSig.frame_sigs(
+          encode(col("text"), "UTF-8"))).as(Seq("frame_idx", "sig")))
     // per-doc window: frames-per-payload-bounded (len/64 rows)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     sig.withColumn("prev", lag(col("sig"), 1).over(wd))
@@ -345,38 +349,19 @@ object Multimodal extends QueryModule {
     * decade probes can hash alone. All-integer: binning, pooling and
     * the bit pack are div/shift/compare on exact longs, zero float
     * surface (the q223 discipline applied to the multimodal family). */
-  private[pipeline] def phash(docs: DataFrame): DataFrame = {
-    // ONE aggregation pivots all 32 cell means per doc (empty cells
-    // densify to 0 via the coalesce — the oracle's grid CTE as 64
-    // pivoted agg columns), so the signature needs no densify join
-    // and no per-doc window: the r14 q226 fusion applied back to the
-    // document hash. Measured honestly (fused.log): LOCAL walls are at
-    // parity with the first cut's grid-join + lead()-window form
-    // (x1000: 195.7 vs 183.6 s — the wall is the 1.5e9-row byte
-    // explode both forms share, not the window), and the 64
-    // case-branches cost a little at small scale (sf0.1 2.8 → 3.2 s).
-    // The fusion is kept for the CLUSTER shape: the windowed form
-    // shuffles 32 rows/doc by doc_id and sorts every partition, while
-    // this form map-side-combines to ONE row per doc before the
-    // exchange — 32× less shuffle volume and no sort at 100 TB.
-    val cellPx: Seq[Column] = (0 to 31).map { k =>
-      coalesce(expr(s"sum(case when cell = $k then b end) " +
-        s"div count(case when cell = $k then b end)"), lit(0L)).as(s"px$k")
-    }
-    docs
-      .select(col("doc_id"), length(col("text")).as("L"),
-        explode(expr("sequence(1, length(text))")).as("i"), col("text"))
-      .select(col("doc_id"),
-        expr("((i-1)*32) div L").as("cell"),
-        ascii(expr("substring(text, i, 1)")).as("b"))
-      .groupBy(col("doc_id"))
-      .agg(cellPx.head, cellPx.tail: _*)
-      .select(col("doc_id"),
-        (for (r <- 0 to 3; c <- 0 to 6) yield {
-          val j = r * 7 + c
-          val k = r * 8 + c
-          when(col(s"px$k") < col(s"px${k + 1}"), lit(1L << j))
-            .otherwise(lit(0L))
-        }).reduce(_ + _).as("phash"))
-  }
+  private[pipeline] def phash(docs: DataFrame): DataFrame =
+    // r15: the whole signature — nearest-rank binning, integer-mean
+    // pooling, gradient-bit pack — runs inside ONE codegen'd
+    // expression over the payload bytes (functions/MediaSig.DHashSig,
+    // the VecMath treatment), so the plan is scan → project: the
+    // per-byte Generate (1.5e9 rows at the 1000× tier — PLANS.md r14's
+    // named wall for this family), the 64-branch pivoted aggregate,
+    // and the per-doc shuffle they fed ALL disappear; nothing larger
+    // than (doc_id, 8-byte hash) leaves the scan stage. Bit-identical
+    // to the relational form (the oracle still spells that form);
+    // empty payloads now hash to the oracle's densified 0 instead of
+    // the exploded form's phantom sequence(1,0) rows (r14 ADVICE).
+    docs.select(col("doc_id"),
+      graft.functions.MediaSig.dhash_sig(
+        encode(col("text"), "UTF-8")).as("phash"))
 }

@@ -208,30 +208,39 @@ class PlanSpec extends SparkSpec {
       "candidate generation regressed to a non-equi join")
   }
 
-  test("q224 pHash pairs: block-bucket equi join, never all-pairs") {
+  test("q224 pHash pairs: block-bucket equi join, never all-pairs, byte-explode-free") {
     val p = plan("q224_phash_near_dup")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "pHash candidate generation regressed to a non-equi join")
     // the pigeonhole join must key on the (block, bucket) pair
     assert(p.contains("bkt"), "candidate join lost its bucket key")
+    // r15: the signature stage is the codegen'd dhash_sig projection —
+    // the only Generate allowed is the 4-element block fan-out; the
+    // r14 per-byte sequence(1, length) explode must never come back
+    assert(p.contains("dhash_sig"),
+      "signature must be the fused MediaSig expression")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the signature stage")
   }
 
-  test("q225 cluster reduction: the signature build is window-free with one corpus scan") {
-    // the r14 phash fusion: 32 cell means pivot inside ONE hash
-    // aggregate. Measured LOCAL parity with the windowed form (x1000:
-    // 195.7 vs 183.6 s — the wall is the byte explode, not the
-    // window); the fusion is kept for the CLUSTER shape: one
-    // map-side-combined row per doc crosses the wire instead of 32
-    // rows plus a per-doc-partition sort. The reps branch reuses ph's
-    // aggregate exchange (the q203 AQE mechanism), so the one-scan
-    // claim pins on the EXECUTED plan.
+  test("q225 cluster reduction: one corpus scan, no join, no byte explode") {
+    // r15: signature = scan → project(dhash_sig); representative =
+    // frame-less MIN over a phash-partitioned window. ONE corpus
+    // pass, ONE exchange keyed on the 8-byte hash, join-free — the
+    // r14 agg+join-back shape (and before it the 1.5e9-row byte
+    // explode) are both gone from the plan.
     val p = plan("q225_phash_dedup")
-    assert(!p.contains("Window"), "phash regressed to the windowed form")
-    val fp = finalPlan("q225_phash_dedup")
-    assert(fp.contains("ReusedExchange"),
-      "reps branch must reuse the phash aggregate exchange")
-    assert("FileScan parquet".r.findAllIn(fp).size == 1,
+    assert(p.contains("dhash_sig"),
+      "signature must be the fused MediaSig expression")
+    assert(!p.contains("Generate") && !p.contains("sequence(1, length"),
+      "per-byte explode returned to the signature stage")
+    assert(!p.contains("Join"), "cluster reduction must be join-free")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
       "signature build must execute one corpus pass")
+    // the representative window must partition by phash (a global
+    // window would serialize the corpus through one task)
+    assert("windowspecdefinition\\(phash".r.findAllIn(p).nonEmpty,
+      "dup_of window must partition by the signature")
   }
 
   test("q167 semdedup: no cartesian pair space — only centroid broadcasts cross") {
@@ -526,14 +535,25 @@ class PlanSpec extends SparkSpec {
   test("q226 scenes: ONE corpus scan, no join, doc-partitioned windows only") {
     val p = plan("q226_scene_segments")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
-      "the 8 cell means pivot inside one frame aggregate — the grid " +
-        "densify must not become a second corpus pass")
+      "per-frame signatures come from one corpus pass")
     assert(!p.contains("Join"), "signature build is join-free")
+    // r15: the only Generate is posexplode of the frame_sigs array —
+    // one LONG per 64-byte frame; the per-byte explode (len rows) and
+    // the 8-cell pivoted aggregate must never come back
+    assert(p.contains("frame_sigs"),
+      "signature must be the fused MediaSig expression")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the signature stage")
+    assert(!p.contains("HashAggregate(keys=[doc_id") ||
+      !p.contains("cell"), "pivoted cell aggregate returned")
     // every window partitions by doc_id — a partition-less window
-    // would serialize the corpus through one task
-    "PartitionSpec: \\[\\]".r.findFirstIn(p).foreach { _ =>
-      fail("global (partition-less) window in the scene plan")
-    }
+    // would serialize the corpus through one task (r15: the old
+    // "PartitionSpec: []" probe matched nothing in toString output;
+    // pin on the windowspecdefinition arg list instead)
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(specs > 0, "scene plan lost its windows entirely")
+    assert("windowspecdefinition\\(doc_id".r.findAllIn(p).size == specs,
+      "global (partition-less) window in the scene plan")
   }
 
   test("q227 fertility: ONE corpus scan pruned to (text, lang), map-side combined") {
