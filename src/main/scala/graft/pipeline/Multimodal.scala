@@ -306,6 +306,48 @@ object Multimodal extends QueryModule {
         .select(col("doc_id"), col("phash"), col("dup_of"),
           (col("doc_id") =!= col("dup_of")).cast("int").as("is_dup"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- q229: perceptual-hash dedup AT INGEST — the streaming
+    // twin of q224/q225, completing the multimodal pillar's ingest
+    // story the way q136/q137/q139 did for text and embeddings. Each
+    // arriving payload hashes inside the codegen'd DHashSig (per-row,
+    // streaming-safe), blocks into the q224 pigeonhole buckets in
+    // keyed state, and on watermark-seal flags the smallest EARLIER
+    // doc within hamming ≤ 3 — exact vs the all-pairs truth by the
+    // 4-block pigeonhole, batching-independent by watermark sealing.
+    // The oracle replays the batch truth: the q224 signature CTE plus
+    // a min-earlier-neighbor join. Engine: StreamingDedup.phashDedup
+    // (state per (block, bucket) = 16-byte member signatures,
+    // horizon-boundable for unbounded streams). -----
+    q("q229_stream_phash_dedup",
+      """WITH bytes AS (
+        |  SELECT doc_id, length(text) AS L, i.i AS i,
+        |    ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, ((i-1)*32) // L AS cell,
+        |          sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY doc_id, ((i-1)*32) // L),
+        |grid AS (SELECT d.doc_id, g.cell, coalesce(px0.px, 0) AS px
+        |         FROM (SELECT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT unnest(range(32)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = d.doc_id
+        |                      AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id ORDER BY cell) AS pxr
+        |       FROM grid),
+        |bits AS (SELECT doc_id, (cell // 8) * 7 + (cell % 8) AS j,
+        |           CASE WHEN px < pxr THEN 1 ELSE 0 END AS bit
+        |         FROM b0 WHERE cell % 8 < 7),
+        |ph AS (SELECT doc_id,
+        |         CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS phash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id, min(b.doc_id) AS dup_of
+        |FROM ph a JOIN ph b ON b.doc_id < a.doc_id
+        |  AND bit_count(xor(a.phash, b.phash)) <= 3
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""") { (s, dir) =>
+      StreamingDedup.phashDedup(s, dir)
     }
   )
 

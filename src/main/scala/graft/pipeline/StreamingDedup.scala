@@ -188,6 +188,103 @@ object StreamingDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash dedup at ingest — the MULTIMODAL sibling of
+    * [[minhashDedup]] (q229), completing the at-ingest story for the
+    * q224/q225 family: payloads arrive one per second (doc_id order),
+    * each computes its 28-bit integer dHash inside the codegen'd
+    * [[graft.functions.MediaSig.DHashSig]] expression (per-row, no
+    * aggregation — streaming-safe by construction), fans out to the
+    * q224 pigeonhole blocks (4 × 7-bit), and each sealed doc flags
+    * the smallest EARLIER doc within hamming ≤ maxHamming. Blocking
+    * is EXACT at maxHamming ≤ 3: any such pair shares at least one
+    * of the 4 blocks, so the verdict equals the all-pairs truth (the
+    * q224 argument, now applied to state-bucket membership). Same
+    * watermark-sealing determinism as the text side: output is
+    * independent of micro-batch boundaries; state per (block, bucket)
+    * is the member signature list — 16 bytes a member, bounded by
+    * `horizonSeconds` for unbounded streams. */
+  def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3,
+      horizonSeconds: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    require(maxHamming <= 3,
+      s"4-block pigeonhole is exact only to hamming 3, got $maxHamming")
+    val batch = s.read.parquet(s"$dir/documents.parquet")
+    val raw = batch.schema
+    val maxId = batch.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId + 1 < SentinelSec,
+      s"doc_id $maxId reaches the watermark sentinel epoch $SentinelSec")
+    implicit val sq = s.sqlContext
+    // same survival rule as minhashDedup's sentinel; no filter exists
+    // below the watermark node here, and as the stream's maximum
+    // timestamp the sentinel never seals nor serves as a candidate
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    sentinel.addData((SentinelSec, "zsentinel"))
+    val fileDocs =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs = fileDocs
+      .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+      .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+      .withWatermark("ts", "0 seconds")
+      .withColumn("phash", graft.functions.MediaSig.dhash_sig(
+        encode(col("text"), "UTF-8")))
+
+    val banded = docs
+      .select(col("ts"), unix_micros(col("ts")).as("tsUs"),
+        col("doc_id"), col("phash"),
+        posexplode(array((0 to 3).map(j =>
+          expr(s"shiftright(phash, ${7 * j}) & 127")): _*))
+          .as(Seq("blk", "bkt")))
+      .select(col("blk"), col("bkt"), col("ts"), col("tsUs"),
+        col("doc_id"), col("phash"))
+      .as[(Int, Long, java.sql.Timestamp, Long, Long, Long)]
+
+    type PMember = (Long, Long, Long, Boolean) // (tsUs, docId, phash, emitted)
+    implicit val stEnc = org.apache.spark.sql.Encoders.kryo[Seq[PMember]]
+    val pairs = banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), it: Iterator[(Int, Long, java.sql.Timestamp, Long, Long, Long)],
+            state: GroupState[Seq[PMember]]) => {
+          val members = (state.getOption.getOrElse(Seq.empty) ++
+            it.map(r => (r._4, r._5, r._6, false)))
+            .sortBy(m => (m._1, m._2)).toIndexedSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          // running horizon lower bound — see minhashDedup
+          var lo = 0
+          val updated = members.zipWithIndex.map { case (m @ (ts, doc, h, emitted), i) =>
+            if (emitted || ts >= wmUs) m
+            else {
+              horizonSeconds.foreach { hz =>
+                val minTs = ts - hz * 1000000L
+                while (lo < i && members(lo)._1 < minTs) lo += 1
+              }
+              val dup = members.iterator.slice(
+                  if (horizonSeconds.isDefined) lo else 0, i)
+                .filter(e => java.lang.Long.bitCount(e._3 ^ h) <= maxHamming)
+                .map(_._2).minOption
+              dup.foreach(d => out += ((doc, d)))
+              (ts, doc, h, true)
+            }
+          }
+          evictAndArm(state, updated, horizonSeconds)(_._1, _._4)
+          out.iterator
+        })
+      .toDF("doc_id", "dup_of_bucket")
+
+    // a pair within hamming ≤ 3 can share up to 4 blocks → min over
+    // buckets (same completed-stream batch reduction as the text side)
+    viaMemorySink(s, pairs, "graft_stream_phash_dedup")
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of_bucket")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming embedding near-dup at ingest — the cosine sibling of
     * [[minhashDedup]]: vectors arrive one per second (vec_id order),
     * block either by the stored coarse bucket (`label`) or — the

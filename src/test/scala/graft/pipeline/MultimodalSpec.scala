@@ -96,6 +96,53 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny(1).getAs[Long]("start_frame") == 2L)
   }
 
+  test("q229 streaming phash dedup equals the batch all-pairs truth") {
+    // the pigeonhole-in-state argument: bucket-local smallest-earlier
+    // verdicts reduce (via min over blocks) to exactly the global
+    // smallest earlier doc within hamming <= 3 — checked against a
+    // driver-side brute force over the real corpus signatures
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val sigs = Multimodal.phash(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+      .sortBy(_._1)
+    val truth = (for {
+      ((da, ha), i) <- sigs.zipWithIndex
+      dup = sigs.take(i).filter(e => java.lang.Long.bitCount(e._2 ^ ha) <= 3)
+        .map(_._1).minOption
+      d <- dup
+    } yield (da, d)).toMap
+    assert(truth.nonEmpty, "corpus has no <=3 dup for any doc — spec lost its teeth")
+    val streamed = run("q229_stream_phash_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(streamed == truth,
+      s"stream verdict diverged: missing=${truth.toSet -- streamed.toSet}, " +
+        s"extra=${streamed.toSet -- truth.toSet}")
+  }
+
+  test("q229 horizon forgets payload duplicates older than the window") {
+    import spark.implicits._
+    // ids 1 and 200 byte-identical (hamming 0) but 199 synthetic
+    // seconds apart; 210/211 adjacent identicals
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph_horizon").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (200L, "the quick brown fox jumps over the lazy dog again and again"),
+      (210L, "pack my box with five dozen liquor jugs right now my friend"),
+      (211L, "pack my box with five dozen liquor jugs right now my friend")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(dir + "/documents.parquet")
+
+    val global = StreamingDedup.phashDedup(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(global == Set((200L, 1L), (211L, 210L)))
+
+    // 60s horizon: doc 1 has aged out when 200 arrives; the adjacent
+    // pair still dedups
+    val windowed = StreamingDedup.phashDedup(spark, dir, horizonSeconds = Some(60L))
+      .as[(Long, Long)].collect().toSet
+    assert(windowed == Set((211L, 210L)))
+  }
+
   test("q224: identical payloads hash identically (hamming-0 pair)") {
     import spark.implicits._
     val docs = Seq(
