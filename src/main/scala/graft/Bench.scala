@@ -137,7 +137,11 @@ object Bench {
     // per-doc excess-loss selection
     "q226_scene_segments",
     "q227_tokenizer_fertility",
-    "q228_rho_select")
+    "q228_rho_select",
+    // r15 additions: at-ingest perceptual-hash dedup (streaming twin
+    // of q224) and audio energy/silence segmentation
+    "q229_stream_phash_dedup",
+    "q230_audio_segments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -103,6 +103,31 @@ object MediaSig {
     new GenericArrayData(out)
   }
 
+  /** Per-frame integer energy over the q124 framing (64-byte
+    * frames): energy = mean square byte value, `sum(b²) div count` —
+    * the audio-shape analog of [[frameSigsCompute]] (q230). Returns
+    * ceil(len/64) longs; all-integer, oracle-replayable. */
+  def frameEnergiesCompute(bytes: Array[Byte]): GenericArrayData = {
+    val len = bytes.length
+    val nFrames = (len + 63) / 64
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val from = f * 64
+      val until = math.min(from + 64, len)
+      var sum = 0L
+      var p = from
+      while (p < until) {
+        val b = (bytes(p) & 0xff).toLong
+        sum += b * b
+        p += 1
+      }
+      out(f) = sum / (until - from)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private[functions] def checkBinaryInput(fname: String,
       child: Expression): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -116,6 +141,10 @@ object MediaSig {
   /** Array of per-64-byte-frame 7-bit signatures, one codegen'd pass. */
   def frame_sigs(payload: Column): Column =
     Bridge.column(FrameSigs(Bridge.expression(payload)))
+
+  /** Array of per-64-byte-frame mean-square energies, one codegen'd pass. */
+  def frame_energies(payload: Column): Column =
+    Bridge.column(FrameEnergies(Bridge.expression(payload)))
 }
 
 case class DHashSig(child: Expression) extends UnaryExpression {
@@ -154,4 +183,23 @@ case class FrameSigs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "frame_sigs"
+}
+
+case class FrameEnergies(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    MediaSig.checkBinaryInput(prettyName, child)
+
+  override protected def nullSafeEval(payload: Any): Any =
+    MediaSig.frameEnergiesCompute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.MediaSig.frameEnergiesCompute($p)")
+
+  override protected def withNewChildInternal(newChild: Expression): FrameEnergies =
+    copy(child = newChild)
+
+  override def prettyName: String = "frame_energies"
 }

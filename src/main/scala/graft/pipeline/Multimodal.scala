@@ -348,6 +348,60 @@ object Multimodal extends QueryModule {
         |GROUP BY a.doc_id
         |ORDER BY a.doc_id""") { (s, dir) =>
       StreamingDedup.phashDedup(s, dir)
+    },
+
+    // ----- q230: energy/silence segmentation — the AUDIO shape of
+    // the q226 device (r14 verdict Next-round #6), completing the
+    // pillar's image (q224/q225) / video (q226) / audio triad. The
+    // framed payload's per-frame integer energy (mean square byte —
+    // the decode-stub stance: bytes stand in for PCM samples, the
+    // framing/threshold/segmentation plumbing is the real thing)
+    // classifies frames silent/active against a PER-DOC adaptive
+    // threshold (the doc's own mean frame energy — the classic
+    // adaptive silence-detection posture, and deliberately NOT a
+    // global corpus scalar: no second corpus pass, no broadcast, the
+    // whole operator stays one scan), then gaps-and-islands collapses
+    // threshold runs into segments: cut where the silent flag flips,
+    // seg_id = running cut count, one row per (doc, run) with frame
+    // extent and total energy. All-integer (sum/div/compare on
+    // longs), so DuckDB replays it exactly.
+    // Scale: per-frame energies come out of ONE codegen'd pass
+    // (MediaSig.FrameEnergies); the threshold is an array-local
+    // aggregate (no shuffle); the only Generate is one long per
+    // frame; the only window is per-doc. Linear in corpus bytes,
+    // join-free (PlanSpec-pinned). -----
+    q("q230_audio_segments",
+      """WITH bytes AS (
+        |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |fr AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |         sum(b*b) // count(*) AS energy
+        |       FROM bytes GROUP BY 1, 2),
+        |fl AS (SELECT doc_id, frame_idx, energy,
+        |         CASE WHEN energy <
+        |           sum(energy) OVER (PARTITION BY doc_id) //
+        |           count(*) OVER (PARTITION BY doc_id)
+        |         THEN 1 ELSE 0 END AS silent
+        |       FROM fr),
+        |cuts AS (SELECT doc_id, frame_idx, energy, silent,
+        |           CASE WHEN lag(silent) OVER w IS NULL
+        |                  OR lag(silent) OVER w <> silent
+        |           THEN 1 ELSE 0 END AS cut
+        |         FROM fl WINDOW w AS (PARTITION BY doc_id
+        |                              ORDER BY frame_idx)),
+        |sg AS (SELECT doc_id, frame_idx, energy, silent,
+        |         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |           ROWS UNBOUNDED PRECEDING) AS seg_id
+        |       FROM cuts)
+        |SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+        |  CAST(min(silent) AS INTEGER) AS is_silence,
+        |  CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS tot_energy
+        |FROM sg GROUP BY doc_id, seg_id
+        |ORDER BY doc_id, seg_id""") { (s, dir) =>
+      audioSegments(Tables.t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("seg_id"))
     }
   )
 
@@ -384,6 +438,40 @@ object Multimodal extends QueryModule {
       .agg(min(col("frame_idx")).cast("long").as("start_frame"),
         count(lit(1)).as("n_frames"),
         min(col("sig")).as("rep_sig"))
+  }
+
+  /** q230's engine, factored so MultimodalSpec can drive synthetic
+    * payloads: per-frame mean-square energy (one codegen'd pass),
+    * per-doc adaptive threshold (the doc's mean frame energy,
+    * computed array-locally — no shuffle, no second pass), silent
+    * runs collapsed gaps-and-islands style. Unordered — the query
+    * sorts. */
+  private[pipeline] def audioSegments(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fl = docs
+      .select(col("doc_id"),
+        graft.functions.MediaSig.frame_energies(
+          encode(col("text"), "UTF-8")).as("en"))
+      // per-doc threshold from the array itself: sum div size — the
+      // exact integer mean the oracle's per-doc window computes
+      .withColumn("thr",
+        expr("aggregate(en, 0L, (a, x) -> a + x) div size(en)"))
+      .select(col("doc_id"), col("thr"),
+        posexplode(col("en")).as(Seq("frame_idx", "energy")))
+      .withColumn("silent",
+        when(col("energy") < col("thr"), 1L).otherwise(0L))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fl.withColumn("prev", lag(col("silent"), 1).over(wd))
+      .withColumn("cut",
+        when(col("prev").isNull || col("prev") =!= col("silent"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("cut")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("seg_id"))
+      .agg(min(col("silent")).cast("int").as("is_silence"),
+        min(col("frame_idx")).cast("long").as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("tot_energy"))
   }
 
   /** The 28-bit integer dHash per document (4 rows × 8 cols) —

@@ -556,6 +556,23 @@ class PlanSpec extends SparkSpec {
       "global (partition-less) window in the scene plan")
   }
 
+  test("q230 audio segments: one corpus scan, join-free, frame-granularity generate only") {
+    val p = plan("q230_audio_segments")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "per-frame energies come from one corpus pass")
+    assert(!p.contains("Join"),
+      "per-doc adaptive threshold must stay array-local — a corpus " +
+        "threshold join crept in")
+    assert(p.contains("frame_energies"),
+      "energy must be the fused MediaSig expression")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the energy stage")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(specs > 0, "segment plan lost its windows entirely")
+    assert("windowspecdefinition\\(doc_id".r.findAllIn(p).size == specs,
+      "global (partition-less) window in the segment plan")
+  }
+
   test("q227 fertility: ONE corpus scan pruned to (text, lang), map-side combined") {
     val p = plan("q227_tokenizer_fertility")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,

@@ -143,6 +143,49 @@ class MultimodalSpec extends SparkSpec {
     assert(windowed == Set((211L, 210L)))
   }
 
+  test("q230 segments tile each doc's frames; silent flags alternate by construction") {
+    val rows = run("q230_audio_segments").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every doc gets segments")
+    byDoc.foreach { case (id, segs) =>
+      val sorted = segs.sortBy(_.getAs[Long]("seg_id"))
+      val nFrames = (docs(id) + 63) / 64
+      assert(sorted.head.getAs[Long]("start_frame") == 0L)
+      assert(sorted.map(_.getAs[Long]("n_frames")).sum == nFrames)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_frame") ==
+            a.getAs[Long]("start_frame") + a.getAs[Long]("n_frames"))
+          // consecutive segments must differ in flag — otherwise the
+          // run should have merged
+          assert(a.getAs[Int]("is_silence") != b.getAs[Int]("is_silence"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q230: quiet frames segment away from loud frames at the doc-mean threshold") {
+    import spark.implicits._
+    // 4 frames: two all-'z' (energy 122^2), two all-space (32^2) —
+    // threshold = mean, so exactly two segments: loud then silent
+    val loud = "z" * 128
+    val quiet = " " * 128
+    val tiny = Multimodal.audioSegments(
+        Seq((1L, loud + quiet)).toDF("doc_id", "text"))
+      .collect().sortBy(_.getAs[Long]("seg_id"))
+    assert(tiny.length == 2, s"expected 2 segments, got ${tiny.toSeq}")
+    assert(tiny(0).getAs[Int]("is_silence") == 0 &&
+      tiny(0).getAs[Long]("n_frames") == 2L)
+    assert(tiny(1).getAs[Int]("is_silence") == 1 &&
+      tiny(1).getAs[Long]("start_frame") == 2L)
+    assert(tiny(0).getAs[Long]("tot_energy") == 2L * 122 * 122)
+    assert(tiny(1).getAs[Long]("tot_energy") == 2L * 32 * 32)
+  }
+
   test("q224: identical payloads hash identically (hamming-0 pair)") {
     import spark.implicits._
     val docs = Seq(

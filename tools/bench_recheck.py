@@ -33,8 +33,20 @@ v2 mechanizes exactly the hand method:
   5. exit non-zero only on a confirmed same-data regression — a
      testdata regeneration can no longer fail the close by itself.
 
+v3 (r15) adds DRIVER-ARTIFACT adjudication (r14 verdict "what's
+wrong" 1): BENCH_r14.json carried q212 12.34 s / q213 8.78 s / q219
+5.93 s where the stamped local artifact had 3.16/3.08/4.96 on
+identical code+data — the official record looked like a 3x regression
+that never happened, and the v2 recheck only ever adjudicated the
+local suite. With `--driver <BENCH_rN.json>`, rows where the driver's
+number exceeds the local number by >DRIVER_FENCE and >ABS_FLOOR get a
+fresh-JVM isolated re-run: isolated ~ local ⇒ the driver row was
+run-context contention (recorded, pass); isolated reproducing the
+driver-high number ⇒ the LOCAL artifact is the anomaly (fail — the
+close must not ship an optimistic record).
+
 Usage: bench_recheck.py <new_local_bench.json> <prev_bench.json>
-                        [--baseline-sha <sha>]
+                        [--baseline-sha <sha>] [--driver <BENCH_rN.json>]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        SNAP_CP (required - snapshot classes dir for runj_snap.sh),
        SPARK_GRAFT_CPUS / JAVA_EXTRA passed through to the re-runs.
@@ -44,6 +56,7 @@ import hashlib, json, os, re, subprocess, sys
 UPTICK = 1.25      # ratio trigger AND confirmation fence
 ABS_FLOOR = 0.3    # seconds; below this, jitter dominates
 TOP_ABS = 5        # top-N absolute movers isolated regardless of ratio
+DRIVER_FENCE = 2.0 # driver-vs-local ratio that demands adjudication
 WORKTREE = "target/recheck_wt"
 
 
@@ -209,17 +222,57 @@ def main(argv):
               f"prev_code_same_data={rec.get('prev_code_same_data', 'n/a')} "
               f"-> {'CONFIRMED REGRESSION' if q in confirmed else 'variance'}")
 
+    # ---- driver-artifact adjudication (v3) ----------------------------
+    driver_bad = []
+    if "--driver" in argv:
+        driver_path = argv[argv.index("--driver") + 1]
+        dq = load(driver_path)["queries"]
+        d_flagged = sorted(q for q in set(dq) & set(nq)
+                           if dq[q] > nq[q] * DRIVER_FENCE
+                           and dq[q] - nq[q] > ABS_FLOOR)
+        print(f"[recheck] driver artifact {driver_path}: "
+              f"{len(set(dq) & set(nq))} common rows; "
+              f">={DRIVER_FENCE}x-over-local flagged {d_flagged}")
+        d_rechecks = {}
+        for q in d_flagged:
+            iso = isolated_run(q, sfdir)
+            # contention: a fresh idle JVM lands at the local number;
+            # anomalous-local: the fresh JVM reproduces the driver-high
+            # number, meaning the stamped local artifact underreports
+            contention = iso is not None and iso <= nq[q] * UPTICK
+            d_rechecks[q] = {"driver": dq[q], "local": nq[q],
+                             "isolated": iso,
+                             "verdict": "contention" if contention
+                                        else "local_artifact_anomalous"}
+            if not contention:
+                driver_bad.append(q)
+            print(f"  [recheck] driver-row {q}: driver={dq[q]} "
+                  f"local={nq[q]} isolated={iso} -> "
+                  f"{d_rechecks[q]['verdict']}")
+        if d_rechecks:
+            new_doc["driver_recheck"] = d_rechecks
+
     if rechecks:
         new_doc["isolated_recheck"] = rechecks
     with open(new_path, "w") as f:
         json.dump(new_doc, f)
-    print(f"[recheck] stamped {new_path} (testdata_gen, git_sha"
-          f"{', isolated_recheck' if rechecks else ''})")
+    stamps = ["testdata_gen", "git_sha"]
+    if rechecks:
+        stamps.append("isolated_recheck")
+    if new_doc.get("driver_recheck"):
+        stamps.append("driver_recheck")
+    print(f"[recheck] stamped {new_path} ({', '.join(stamps)})")
     if confirmed:
         print(f"[recheck] FAIL: same-data evidence confirms regression on "
               f"{confirmed}")
         return 1
-    print("[recheck] ok: no same-data-confirmed regressions")
+    if driver_bad:
+        print(f"[recheck] FAIL: fresh-JVM runs reproduce the driver-high "
+              f"numbers on {driver_bad} — the local artifact is the anomaly")
+        return 1
+    print("[recheck] ok: no same-data-confirmed regressions"
+          + ("; driver-vs-local divergences adjudicated as contention"
+             if "--driver" in argv else ""))
     return 0
 
 
