@@ -141,7 +141,9 @@ object Bench {
     // r15 additions: at-ingest perceptual-hash dedup (streaming twin
     // of q224) and audio energy/silence segmentation
     "q229_stream_phash_dedup",
-    "q230_audio_segments")
+    "q230_audio_segments",
+    "q231_video_near_dup",
+    "q232_media_qa_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -402,6 +402,181 @@ object Multimodal extends QueryModule {
         |ORDER BY doc_id, seg_id""") { (s, dir) =>
       audioSegments(Tables.t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("seg_id"))
+    },
+
+    // ----- q231: video near-duplicate pairs via SCENE-SIGNATURE
+    // shingles — the video-level composition of the q226 scene
+    // machinery with the q54 n-gram Jaccard device. Two videos are
+    // near-dups when their ordered scene signatures share most of
+    // their local structure, robust to re-encoding noise that flips
+    // individual frames (frame-level hashes would miss it) and to
+    // temporal shifts (shingles are position-free):
+    //   1. scenes (q226) → per doc the ORDERED rep_sig sequence;
+    //   2. shingle: consecutive scene trigrams packed into one
+    //      integer (sig1·128² + sig2·128 + sig3 — rep_sigs are
+    //      7-bit, so the shingle is exact arithmetic < 2²¹, no hash
+    //      needed: the oracle replays it verbatim), distinct per doc;
+    //   3. pairs: inverted-index equi-join on the shingle value,
+    //      intersection counts per pair, Jaccard as an ALL-INTEGER
+    //      inequality (100·∩ ≥ 50·∪ — no float ratio anywhere).
+    // Scale: the pair space is shared-shingle only (never all-pairs);
+    // hot boilerplate shingles would widen it the way hot grams widen
+    // q54's — the q177 maxDfFrac dial is the one-liner to add at the
+    // corpus where that bites. Sizes join is doc-count-sized. -----
+    q("q231_video_near_dup",
+      """WITH bytes AS (
+        |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |          ((i-1) % 64) // 8 AS cell, sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY 1, 2, 3),
+        |frames AS (SELECT DISTINCT doc_id, frame_idx FROM px0),
+        |grid AS (SELECT f.doc_id, f.frame_idx, g.cell,
+        |           coalesce(px0.px, 0) AS px
+        |         FROM frames f
+        |         CROSS JOIN (SELECT unnest(range(8)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = f.doc_id
+        |           AND px0.frame_idx = f.frame_idx AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, frame_idx, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id, frame_idx
+        |                        ORDER BY cell) AS pxr
+        |       FROM grid),
+        |sig AS (SELECT doc_id, frame_idx,
+        |          CAST(sum(CASE WHEN px < pxr THEN 1::BIGINT << cell
+        |                        ELSE 0 END) AS BIGINT) AS sig
+        |        FROM b0 WHERE cell < 7 GROUP BY doc_id, frame_idx),
+        |cuts AS (SELECT doc_id, frame_idx, sig,
+        |           CASE WHEN lag(sig) OVER w IS NULL THEN 1
+        |                WHEN bit_count(xor(sig, lag(sig) OVER w)) > 1
+        |                THEN 1 ELSE 0 END AS cut
+        |         FROM sig WINDOW w AS (PARTITION BY doc_id
+        |                               ORDER BY frame_idx)),
+        |sc AS (SELECT doc_id, frame_idx, sig,
+        |         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |           ROWS UNBOUNDED PRECEDING) AS scene_id
+        |       FROM cuts),
+        |scenes AS (SELECT doc_id, scene_id, min(sig) AS rep_sig
+        |           FROM sc GROUP BY doc_id, scene_id),
+        |tri AS (SELECT doc_id,
+        |          rep_sig * 16384
+        |            + lead(rep_sig, 1) OVER w * 128
+        |            + lead(rep_sig, 2) OVER w AS sh
+        |        FROM scenes WINDOW w AS (PARTITION BY doc_id
+        |                                 ORDER BY scene_id)),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM tri WHERE sh IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_shared
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(100 * n_shared // (sa.n + sb.n - n_shared) AS BIGINT)
+        |    AS jac_pct
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE 100 * n_shared >= 50 * (sa.n + sb.n - n_shared)
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      videoNearDup(Tables.t(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- q232: per-source media QA report — the corpus-curation
+    // dashboard a multimodal ingest pipeline runs before admitting a
+    // source (the media analog of the q208/q210 quality reports):
+    // per source, document and duplicate counts (q225's exact-
+    // signature dedup), scene density (q226's cut rule) and silent-
+    // frame ratio (q230's adaptive threshold). The design point is
+    // ONE corpus scan: all three per-doc statistics derive from the
+    // three MediaSig expressions in a single projection, with the
+    // scene count and silent count computed ARRAY-LOCALLY (higher-
+    // order functions over the signature/energy arrays — no explode,
+    // no per-frame shuffle, no window below the doc level); the only
+    // cross-doc operations are the phash-partitioned dup window and
+    // the final source-keyed aggregate. All-integer throughout
+    // (silent_pct is an integer-division percentage). -----
+    q("q232_media_qa_report",
+      """WITH bytes AS (
+        |  SELECT doc_id, length(text) AS L, i.i AS i,
+        |    ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, ((i-1)*32) // L AS cell,
+        |          sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY doc_id, ((i-1)*32) // L),
+        |grid AS (SELECT d.doc_id, g.cell, coalesce(px0.px, 0) AS px
+        |         FROM (SELECT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT unnest(range(32)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = d.doc_id
+        |                      AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id ORDER BY cell) AS pxr
+        |       FROM grid),
+        |bits AS (SELECT doc_id, (cell // 8) * 7 + (cell % 8) AS j,
+        |           CASE WHEN px < pxr THEN 1 ELSE 0 END AS bit
+        |         FROM b0 WHERE cell % 8 < 7),
+        |ph AS (SELECT doc_id,
+        |         CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS phash
+        |       FROM bits GROUP BY doc_id),
+        |reps AS (SELECT phash, min(doc_id) AS dup_of FROM ph
+        |         GROUP BY phash),
+        |dup AS (SELECT ph.doc_id,
+        |          CASE WHEN ph.doc_id <> reps.dup_of THEN 1 ELSE 0 END
+        |            AS is_dup
+        |        FROM ph JOIN reps USING (phash)),
+        |fpx0 AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |           ((i-1) % 64) // 8 AS cell, sum(b) // count(*) AS px
+        |         FROM bytes GROUP BY 1, 2, 3),
+        |fframes AS (SELECT DISTINCT doc_id, frame_idx FROM fpx0),
+        |fgrid AS (SELECT f.doc_id, f.frame_idx, g.cell,
+        |            coalesce(fpx0.px, 0) AS px
+        |          FROM fframes f
+        |          CROSS JOIN (SELECT unnest(range(8)) AS cell) g
+        |          LEFT JOIN fpx0 ON fpx0.doc_id = f.doc_id
+        |            AND fpx0.frame_idx = f.frame_idx AND fpx0.cell = g.cell),
+        |fb0 AS (SELECT doc_id, frame_idx, cell, px,
+        |          lead(px) OVER (PARTITION BY doc_id, frame_idx
+        |                         ORDER BY cell) AS pxr
+        |        FROM fgrid),
+        |fsig AS (SELECT doc_id, frame_idx,
+        |           CAST(sum(CASE WHEN px < pxr THEN 1::BIGINT << cell
+        |                         ELSE 0 END) AS BIGINT) AS sig
+        |         FROM fb0 WHERE cell < 7 GROUP BY doc_id, frame_idx),
+        |fcuts AS (SELECT doc_id, frame_idx,
+        |            CASE WHEN lag(sig) OVER w IS NULL THEN 1
+        |                 WHEN bit_count(xor(sig, lag(sig) OVER w)) > 1
+        |                 THEN 1 ELSE 0 END AS cut
+        |          FROM fsig WINDOW w AS (PARTITION BY doc_id
+        |                                 ORDER BY frame_idx)),
+        |sccnt AS (SELECT doc_id, sum(cut) AS n_scenes FROM fcuts
+        |          GROUP BY doc_id),
+        |fr AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |         sum(b*b) // count(*) AS energy
+        |       FROM bytes GROUP BY 1, 2),
+        |fl AS (SELECT doc_id, energy,
+        |         CASE WHEN energy <
+        |           sum(energy) OVER (PARTITION BY doc_id) //
+        |           count(*) OVER (PARTITION BY doc_id)
+        |         THEN 1 ELSE 0 END AS silent
+        |       FROM fr),
+        |frst AS (SELECT doc_id, count(*) AS n_frames,
+        |           sum(silent) AS n_silent
+        |         FROM fl GROUP BY doc_id)
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dup.is_dup) AS BIGINT) AS dup_docs,
+        |  CAST(sum(coalesce(sccnt.n_scenes, 0)) AS BIGINT) AS n_scenes,
+        |  CAST(sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS n_frames,
+        |  CAST(100 * sum(coalesce(frst.n_silent, 0))
+        |    // sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS silent_pct
+        |FROM documents d
+        |JOIN dup ON dup.doc_id = d.doc_id
+        |LEFT JOIN sccnt ON sccnt.doc_id = d.doc_id
+        |LEFT JOIN frst ON frst.doc_id = d.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""") { (s, dir) =>
+      mediaQaReport(Tables.t(s, dir, "documents"))
+        .orderBy(col("source"))
     }
   )
 
@@ -472,6 +647,78 @@ object Multimodal extends QueryModule {
         min(col("frame_idx")).cast("long").as("start_frame"),
         count(lit(1)).as("n_frames"),
         sum(col("energy")).as("tot_energy"))
+  }
+
+  /** q232's engine: one projection computes all three MediaSig
+    * expressions; scene count and silent count fold over the arrays
+    * in place (higher-order functions — no explode, no sub-doc
+    * window); the phash dup flag is the q225 window; the report is
+    * one source-keyed aggregate. Unordered — the query sorts. */
+  private[pipeline] def mediaQaReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        graft.functions.MediaSig.dhash_sig(
+          encode(col("text"), "UTF-8")).as("phash"),
+        graft.functions.MediaSig.frame_sigs(
+          encode(col("text"), "UTF-8")).as("fs"),
+        graft.functions.MediaSig.frame_energies(
+          encode(col("text"), "UTF-8")).as("fe"))
+      // scenes = 1 + #(consecutive-frame hamming jumps > 1): exactly
+      // the q226 cut rule, folded array-locally
+      .withColumn("n_scenes", expr(
+        """CASE WHEN size(fs) <= 1 THEN CAST(size(fs) AS BIGINT)
+          |ELSE CAST(size(filter(sequence(1, size(fs)-1),
+          |       i -> bit_count(fs[i] ^ fs[i-1]) > 1)) + 1 AS BIGINT)
+          |END""".stripMargin))
+      // silent frames vs the q230 per-doc adaptive threshold, folded
+      // array-locally (the doc's own mean frame energy)
+      .withColumn("n_silent", expr(
+        """CASE WHEN size(fe) = 0 THEN 0L
+          |ELSE CAST(size(filter(fe,
+          |       e -> e < aggregate(fe, 0L, (a, x) -> a + x)
+          |              div size(fe))) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("n_frames", expr("CAST(size(fe) AS BIGINT)"))
+    perDoc
+      .withColumn("dup_of",
+        min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("dup_of")).cast("long")).as("dup_docs"),
+        sum(col("n_scenes")).as("n_scenes"),
+        sum(col("n_frames")).as("n_frames"),
+        expr("100 * sum(n_silent) div sum(n_frames)").as("silent_pct"))
+  }
+
+  /** q231's engine: scene-trigram shingles (exact integer packing of
+    * three consecutive 7-bit scene rep_sigs) → shared-shingle pair
+    * join → all-integer Jaccard fence at 50 %. Docs with fewer than 3
+    * scenes carry no shingles and never pair. Unordered — the query
+    * sorts. */
+  private[pipeline] def videoNearDup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("scene_id"))
+    val sh = sceneSegments(docs)
+      .select(col("doc_id"), col("scene_id"), col("rep_sig"))
+      .withColumn("s2", lead(col("rep_sig"), 1).over(wd))
+      .withColumn("s3", lead(col("rep_sig"), 2).over(wd))
+      .filter(col("s3").isNotNull)
+      .select(col("doc_id"),
+        (col("rep_sig") * 16384 + col("s2") * 128 + col("s3")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(100) * col("n_shared") >=
+        lit(50) * (col("na") + col("nb") - col("n_shared")))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("100 * n_shared div (na + nb - n_shared)").as("jac_pct"))
   }
 
   /** The 28-bit integer dHash per document (4 rows × 8 cols) —

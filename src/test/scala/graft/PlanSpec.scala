@@ -573,6 +573,34 @@ class PlanSpec extends SparkSpec {
       "global (partition-less) window in the segment plan")
   }
 
+  test("q231 video near-dup: shingle equi-join only, signature stage explode-free") {
+    val p = plan("q231_video_near_dup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "pair generation regressed to a non-equi join")
+    assert(p.contains("frame_sigs"),
+      "scene signatures must come from the fused MediaSig expression")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the signature stage")
+    // the pair join must be an equi join KEYED on the packed shingle
+    // value (broadcast at test scale, shuffled-hash/sort-merge at
+    // corpus scale — either way the key is sh, never a cross product)
+    assert("Join [^\n]*\\[sh#".r.findAllIn(p).nonEmpty,
+      "pair join lost its shingle key")
+  }
+
+  test("q232 media QA: one corpus scan, generate-free, only the phash window crosses docs") {
+    val p = plan("q232_media_qa_report")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "all three statistics fold over one projection's arrays")
+    assert(!p.contains("Generate"),
+      "scene/silent counts must stay array-local — an explode crept in")
+    assert(!p.contains("Join"), "the report is window + aggregate, join-free")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(specs > 0 &&
+      "windowspecdefinition\\(phash".r.findAllIn(p).size == specs,
+      "the only window is the phash-partitioned dup flag")
+  }
+
   test("q227 fertility: ONE corpus scan pruned to (text, lang), map-side combined") {
     val p = plan("q227_tokenizer_fertility")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
