@@ -143,7 +143,9 @@ object Bench {
     "q229_stream_phash_dedup",
     "q230_audio_segments",
     "q231_video_near_dup",
-    "q232_media_qa_report")
+    "q232_media_qa_report",
+    "q233_stream_media_qa",
+    "q234_video_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One row per document after binary featurization. */
@@ -577,6 +577,138 @@ object Multimodal extends QueryModule {
         |ORDER BY d.source""") { (s, dir) =>
       mediaQaReport(Tables.t(s, dir, "documents"))
         .orderBy(col("source"))
+    },
+
+    // ----- q233: STREAMING media QA — the live-ingest twin of q232
+    // (the dashboard a pipeline watches while a source streams in,
+    // the way q193 watches trending terms): per 100 s event-time
+    // window per source, document counts, scene density and silent-
+    // frame ratio. The per-doc statistics are the same ARRAY-LOCAL
+    // folds over the MediaSig expressions (per-row, no aggregation —
+    // streaming-safe by construction), so the stream is one
+    // watermarked windowed aggregation; groups seal as the watermark
+    // passes and the sink holds windows × sources rows. Dup counting
+    // is deliberately absent here — cross-doc signature state is
+    // q229's job; this operator is the stateless-per-doc health view.
+    // Arrival convention: ts = doc_id + 1 s (the q136/q193 clock). -----
+    q("q233_stream_media_qa",
+      """WITH bytes AS (
+        |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |fpx0 AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |           ((i-1) % 64) // 8 AS cell, sum(b) // count(*) AS px
+        |         FROM bytes GROUP BY 1, 2, 3),
+        |fframes AS (SELECT DISTINCT doc_id, frame_idx FROM fpx0),
+        |fgrid AS (SELECT f.doc_id, f.frame_idx, g.cell,
+        |            coalesce(fpx0.px, 0) AS px
+        |          FROM fframes f
+        |          CROSS JOIN (SELECT unnest(range(8)) AS cell) g
+        |          LEFT JOIN fpx0 ON fpx0.doc_id = f.doc_id
+        |            AND fpx0.frame_idx = f.frame_idx AND fpx0.cell = g.cell),
+        |fb0 AS (SELECT doc_id, frame_idx, cell, px,
+        |          lead(px) OVER (PARTITION BY doc_id, frame_idx
+        |                         ORDER BY cell) AS pxr
+        |        FROM fgrid),
+        |fsig AS (SELECT doc_id, frame_idx,
+        |           CAST(sum(CASE WHEN px < pxr THEN 1::BIGINT << cell
+        |                         ELSE 0 END) AS BIGINT) AS sig
+        |         FROM fb0 WHERE cell < 7 GROUP BY doc_id, frame_idx),
+        |fcuts AS (SELECT doc_id, frame_idx,
+        |            CASE WHEN lag(sig) OVER w IS NULL THEN 1
+        |                 WHEN bit_count(xor(sig, lag(sig) OVER w)) > 1
+        |                 THEN 1 ELSE 0 END AS cut
+        |          FROM fsig WINDOW w AS (PARTITION BY doc_id
+        |                                 ORDER BY frame_idx)),
+        |sccnt AS (SELECT doc_id, sum(cut) AS n_scenes FROM fcuts
+        |          GROUP BY doc_id),
+        |fr AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |         sum(b*b) // count(*) AS energy
+        |       FROM bytes GROUP BY 1, 2),
+        |fl AS (SELECT doc_id, energy,
+        |         CASE WHEN energy <
+        |           sum(energy) OVER (PARTITION BY doc_id) //
+        |           count(*) OVER (PARTITION BY doc_id)
+        |         THEN 1 ELSE 0 END AS silent
+        |       FROM fr),
+        |frst AS (SELECT doc_id, count(*) AS n_frames,
+        |           sum(silent) AS n_silent
+        |         FROM fl GROUP BY doc_id)
+        |SELECT epoch_ms(((d.doc_id + 1) // 100) * 100000) AS w_start,
+        |  d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(sccnt.n_scenes, 0)) AS BIGINT) AS n_scenes,
+        |  CAST(sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS n_frames,
+        |  CAST(100 * sum(coalesce(frst.n_silent, 0))
+        |    // sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS silent_pct
+        |FROM documents d
+        |LEFT JOIN sccnt ON sccnt.doc_id = d.doc_id
+        |LEFT JOIN frst ON frst.doc_id = d.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY w_start, source""") { (s, dir) =>
+      streamMediaQa(s, dir)
+    },
+
+    // ----- q234: exact scene-sequence video dedup — q225's cluster
+    // reduction brought to the video family, and q231's DUP-HEAVY
+    // routing target. In a replica-heavy corpus the true near-dup
+    // pair list is Θ(dups²) BY DEFINITION (measured: the x1000
+    // replica corpus walls q231's shared-shingle join at Σdf² ≈
+    // 1.4e10 candidate rows — PLANS.md r15), but the operator a
+    // pipeline actually runs there is per-doc cluster assignment:
+    // group by the FULL ordered scene-signature sequence,
+    // representative = min doc_id — one aggregate to build the
+    // sequence key, one phash-window-style reduction, linear at ANY
+    // duplicate density. Replicas collapse here BEFORE q231's pair
+    // machinery ever sees them (dedup-then-pair, the q225→q224
+    // order). The sequence key is the exact rep_sig list — byte-for-
+    // byte scene equality, zero collision risk at any corpus size
+    // (the sequences are short; a hash key would be the optimization
+    // to reach for when sequences grow long). -----
+    q("q234_video_dedup",
+      """WITH bytes AS (
+        |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |px0 AS (SELECT doc_id, (i-1) // 64 AS frame_idx,
+        |          ((i-1) % 64) // 8 AS cell, sum(b) // count(*) AS px
+        |        FROM bytes GROUP BY 1, 2, 3),
+        |frames AS (SELECT DISTINCT doc_id, frame_idx FROM px0),
+        |grid AS (SELECT f.doc_id, f.frame_idx, g.cell,
+        |           coalesce(px0.px, 0) AS px
+        |         FROM frames f
+        |         CROSS JOIN (SELECT unnest(range(8)) AS cell) g
+        |         LEFT JOIN px0 ON px0.doc_id = f.doc_id
+        |           AND px0.frame_idx = f.frame_idx AND px0.cell = g.cell),
+        |b0 AS (SELECT doc_id, frame_idx, cell, px,
+        |         lead(px) OVER (PARTITION BY doc_id, frame_idx
+        |                        ORDER BY cell) AS pxr
+        |       FROM grid),
+        |sig AS (SELECT doc_id, frame_idx,
+        |          CAST(sum(CASE WHEN px < pxr THEN 1::BIGINT << cell
+        |                        ELSE 0 END) AS BIGINT) AS sig
+        |        FROM b0 WHERE cell < 7 GROUP BY doc_id, frame_idx),
+        |cuts AS (SELECT doc_id, frame_idx, sig,
+        |           CASE WHEN lag(sig) OVER w IS NULL THEN 1
+        |                WHEN bit_count(xor(sig, lag(sig) OVER w)) > 1
+        |                THEN 1 ELSE 0 END AS cut
+        |         FROM sig WINDOW w AS (PARTITION BY doc_id
+        |                               ORDER BY frame_idx)),
+        |sc AS (SELECT doc_id, frame_idx, sig,
+        |         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |           ROWS UNBOUNDED PRECEDING) AS scene_id
+        |       FROM cuts),
+        |scenes AS (SELECT doc_id, scene_id, min(sig) AS rep_sig
+        |           FROM sc GROUP BY doc_id, scene_id),
+        |seqs AS (SELECT doc_id, list(rep_sig ORDER BY scene_id) AS sq,
+        |           count(*) AS n_scenes
+        |         FROM scenes GROUP BY doc_id),
+        |reps AS (SELECT sq, min(doc_id) AS dup_of FROM seqs GROUP BY sq)
+        |SELECT seqs.doc_id, CAST(seqs.n_scenes AS BIGINT) AS n_scenes,
+        |  reps.dup_of,
+        |  CAST(seqs.doc_id <> reps.dup_of AS INTEGER) AS is_dup
+        |FROM seqs JOIN reps ON seqs.sq = reps.sq
+        |ORDER BY seqs.doc_id""") { (s, dir) =>
+      videoDedup(Tables.t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -654,24 +786,22 @@ object Multimodal extends QueryModule {
     * in place (higher-order functions — no explode, no sub-doc
     * window); the phash dup flag is the q225 window; the report is
     * one source-keyed aggregate. Unordered — the query sorts. */
-  private[pipeline] def mediaQaReport(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perDoc = docs.select(col("doc_id"), col("source"),
-        graft.functions.MediaSig.dhash_sig(
-          encode(col("text"), "UTF-8")).as("phash"),
-        graft.functions.MediaSig.frame_sigs(
-          encode(col("text"), "UTF-8")).as("fs"),
-        graft.functions.MediaSig.frame_energies(
-          encode(col("text"), "UTF-8")).as("fe"))
-      // scenes = 1 + #(consecutive-frame hamming jumps > 1): exactly
-      // the q226 cut rule, folded array-locally
+  /** Per-row media statistics, folded ARRAY-LOCALLY over the MediaSig
+    * expressions (no explode, no sub-doc window — streaming-safe, so
+    * q233 reuses it per-row inside a watermarked stream): n_scenes =
+    * 1 + #(consecutive-frame hamming jumps > 1) (the q226 cut rule),
+    * n_silent vs the q230 per-doc adaptive threshold, n_frames. */
+  private def withMediaStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fs", graft.functions.MediaSig.frame_sigs(
+        encode(col("text"), "UTF-8")))
+      .withColumn("fe", graft.functions.MediaSig.frame_energies(
+        encode(col("text"), "UTF-8")))
       .withColumn("n_scenes", expr(
         """CASE WHEN size(fs) <= 1 THEN CAST(size(fs) AS BIGINT)
           |ELSE CAST(size(filter(sequence(1, size(fs)-1),
           |       i -> bit_count(fs[i] ^ fs[i-1]) > 1)) + 1 AS BIGINT)
           |END""".stripMargin))
-      // silent frames vs the q230 per-doc adaptive threshold, folded
-      // array-locally (the doc's own mean frame energy)
       .withColumn("n_silent", expr(
         """CASE WHEN size(fe) = 0 THEN 0L
           |ELSE CAST(size(filter(fe,
@@ -679,7 +809,63 @@ object Multimodal extends QueryModule {
           |              div size(fe))) AS BIGINT)
           |END""".stripMargin))
       .withColumn("n_frames", expr("CAST(size(fe) AS BIGINT)"))
-    perDoc
+      .drop("fs", "fe")
+
+  /** q233's engine: watermark-sealed windowed per-source media
+    * stats; per-doc statistics fold per ROW (withMediaStats — no
+    * sub-aggregation), so the stream is one windowed aggregation in
+    * append mode, deterministic under any micro-batch boundaries.
+    * The far-future sentinel drives the watermark past the last real
+    * doc so every real window seals (its own window never does and
+    * is never emitted — the q136/q193 device). */
+  private[pipeline] def streamMediaQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val sentinelSec = 4102444800L // epoch 2100 — the q136 convention
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val maxId = Tables.t(s, dir, "documents")
+      .agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId + 1 < sentinelSec,
+      s"doc_id $maxId reaches the watermark sentinel epoch $sentinelSec")
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    sentinel.addData((sentinelSec, "zsentinel", "zsrc"))
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("source"))
+        .unionByName(sentinel.toDF().toDF("doc_id", "text", "source"))
+        .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+        .withWatermark("ts", "0 seconds")
+    val agg = withMediaStats(stream)
+      .groupBy(window(col("ts"), "100 seconds"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scenes")).as("n_scenes"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("n_silent")).as("n_silent"))
+    val qname = "graft_stream_media_qa"
+    s.catalog.dropTempView(qname)
+    val query = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    s.table(qname)
+      .select(col("window.start").as("w_start"), col("source"),
+        col("n_docs"), col("n_scenes"), col("n_frames"),
+        expr("100 * n_silent div n_frames").as("silent_pct"))
+      .orderBy(col("w_start"), col("source"))
+  }
+
+  private[pipeline] def mediaQaReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withMediaStats(
+      docs.select(col("doc_id"), col("source"), col("text")))
+      .withColumn("phash", graft.functions.MediaSig.dhash_sig(
+        encode(col("text"), "UTF-8")))
+      .drop("text")
       .withColumn("dup_of",
         min(col("doc_id")).over(Window.partitionBy(col("phash"))))
       .groupBy(col("source"))
@@ -690,15 +876,47 @@ object Multimodal extends QueryModule {
         expr("100 * sum(n_silent) div sum(n_frames)").as("silent_pct"))
   }
 
+  /** q234's engine: per-doc ordered scene-signature sequence (one
+    * aggregate — sort_array over (scene_id, rep_sig) structs keeps
+    * the order deterministic without a second window), then the q225
+    * reduction: representative = min doc_id over the sequence-
+    * partitioned window. Linear at any duplicate density. */
+  private[pipeline] def videoDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqs = sceneSegments(docs)
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(scene_id, rep_sig))), " +
+        "x -> x.rep_sig)").as("sq"),
+        count(lit(1)).as("n_scenes"))
+    seqs
+      .withColumn("dup_of",
+        min(col("doc_id")).over(Window.partitionBy(col("sq"))))
+      .select(col("doc_id"), col("n_scenes"), col("dup_of"),
+        (col("doc_id") =!= col("dup_of")).cast("int").as("is_dup"))
+  }
+
   /** q231's engine: scene-trigram shingles (exact integer packing of
     * three consecutive 7-bit scene rep_sigs) → shared-shingle pair
     * join → all-integer Jaccard fence at 50 %. Docs with fewer than 3
     * scenes carry no shingles and never pair. Unordered — the query
-    * sorts. */
-  private[pipeline] def videoNearDup(docs: DataFrame): DataFrame = {
+    * sorts.
+    *
+    * `maxDf` is the hot-shingle guard (the q54 maxBucketWidth / q177
+    * maxDfFrac posture): shingles appearing in more than maxDf docs
+    * are dropped from BOTH the pair join and the Jaccard sizes
+    * (rare-shingle Jaccard — consistent, deterministic,
+    * oracle-replayable), bounding the candidate space to N·maxDf
+    * where a corpus with multiplied shingle frequencies would grow
+    * it as Σdf². Default None keeps exact semantics (measured: df
+    * stays single-digit at sf0.1, Σdf² ≈ 1e8 at the 100×/z100 tier —
+    * fine; the 1000×-REPLICA regime's true pair list is Θ(dups²) by
+    * definition and routes to q234's cluster reduction instead —
+    * PLANS.md r15). */
+  private[pipeline] def videoNearDup(docs: DataFrame,
+      maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("scene_id"))
-    val sh = sceneSegments(docs)
+    val sh0 = sceneSegments(docs)
       .select(col("doc_id"), col("scene_id"), col("rep_sig"))
       .withColumn("s2", lead(col("rep_sig"), 1).over(wd))
       .withColumn("s3", lead(col("rep_sig"), 2).over(wd))
@@ -706,6 +924,11 @@ object Multimodal extends QueryModule {
       .select(col("doc_id"),
         (col("rep_sig") * 16384 + col("s2") * 128 + col("s3")).as("sh"))
       .distinct()
+    val sh = maxDf.fold(sh0) { cap =>
+      val rare = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("sh"))
+      sh0.join(rare, "sh") // equi semi-shape; rare is shingle-count-sized
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -601,6 +601,18 @@ class PlanSpec extends SparkSpec {
       "the only window is the phash-partitioned dup flag")
   }
 
+  test("q234 video dedup: one corpus scan, join-free, explode-free cluster reduction") {
+    val p = plan("q234_video_dedup")
+    assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
+      "scene sequences come from one corpus pass")
+    assert(!p.contains("Join"),
+      "cluster reduction must be the sequence-partitioned window, not a join-back")
+    assert(p.contains("frame_sigs"),
+      "scene signatures must come from the fused MediaSig expression")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the signature stage")
+  }
+
   test("q227 fertility: ONE corpus scan pruned to (text, lang), map-side combined") {
     val p = plan("q227_tokenizer_fertility")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,

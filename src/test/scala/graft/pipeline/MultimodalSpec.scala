@@ -186,6 +186,59 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny(1).getAs[Long]("tot_energy") == 2L * 32 * 32)
   }
 
+  test("q231 maxDf guard drops hot-shingle pairs, keeps rare-shingle pairs") {
+    import spark.implicits._
+    // 12 identical "hot" docs (their shared shingles reach df 12) and
+    // one unrelated pair (df-2 shingles). Alternating rising/falling
+    // 64-byte frames force a cut at every frame boundary -> 4 scenes
+    // -> 2 trigram shingles per doc.
+    val up = "aaaaaaaabbbbbbbbccccccccddddddddeeeeeeeeffffffffgggggggghhhhhhhh"
+    val down = up.reverse
+    val hot = up + down + up + down
+    // distinct byte mix -> different scene signatures from `hot`
+    val up2 = "aabbccddeeffgghhaabbccddeeffgghhaabbccddeeffgghhaabbccddeeffzzzz"
+    val rare = up2 + up2.reverse + up2 + up2.reverse
+    val docs = ((1 to 12).map(i => (i.toLong, hot)) ++
+      Seq((100L, rare), (101L, rare))).toDF("doc_id", "text")
+    val full = Multimodal.videoNearDup(docs)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(full.contains((100L, 101L)), "rare pair missing from exact run")
+    assert(full.count(p => p._1 <= 12 && p._2 <= 12) == 66,
+      "hot family must pair completely in the exact run")
+    val capped = Multimodal.videoNearDup(docs, maxDf = Some(10L))
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"maxDf=10 must keep only the rare pair, got $capped")
+  }
+
+  test("q234 cluster reduction: identical scene sequences share the min-id representative") {
+    val rows = run("q234_video_dedup").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.length == docs, "every doc gets a cluster row")
+    rows.foreach { r =>
+      assert((r.getAs[Int]("is_dup") == 1) ==
+        (r.getAs[Long]("doc_id") != r.getAs[Long]("dup_of")))
+      assert(r.getAs[Long]("dup_of") <= r.getAs[Long]("doc_id"))
+    }
+    // q234 clusters refine q225's: same scene sequence ⇒ docs also
+    // agree frame-for-frame far more often than the 28-bit dHash, so
+    // any two docs q234 groups must hash-agree under q224's dHash
+    // only if their full byte layout agrees — no containment either
+    // way is guaranteed; what IS guaranteed: identical text ⇒ same
+    // cluster. Check it on the corpus's exact-text duplicates.
+    val texts = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val byText = texts.groupBy(_._2).values.filter(_.length > 1)
+    val cluster = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    byText.foreach { grp =>
+      val reps = grp.map(g => cluster(g._1)).distinct
+      assert(reps.length == 1, s"identical texts split clusters: $grp")
+    }
+  }
+
   test("q224: identical payloads hash identically (hamming-0 pair)") {
     import spark.implicits._
     val docs = Seq(
