@@ -166,10 +166,16 @@ object StreamingDedup {
                 val minTs = ts - h * 1000000L
                 while (lo < i && members(lo)._1 < minTs) lo += 1
               }
+              // members sort ascending (ts, doc) and ts is monotone in
+              // doc, so the FIRST match is the smallest earlier dup —
+              // find() early-exits where the old filter+minOption
+              // walked the whole window (Θ(width²) per dup-heavy
+              // bucket; r15 — replica corpora put ~replica-count
+              // members in one bucket and the base doc sits early)
               val dup = members.iterator.slice(
                   if (horizonSeconds.isDefined) lo else 0, i)
-                .filter(e => jaccard(e._3, sh) >= threshold)
-                .map(_._2).minOption
+                .find(e => jaccard(e._3, sh) >= threshold)
+                .map(_._2)
               dup.foreach(d => out += ((doc, d)))
               (ts, doc, sh, true)
             }
@@ -264,10 +270,12 @@ object StreamingDedup {
                 val minTs = ts - hz * 1000000L
                 while (lo < i && members(lo)._1 < minTs) lo += 1
               }
+              // first match = smallest earlier dup (sorted members,
+              // ts monotone in doc) — see minhashDedup
               val dup = members.iterator.slice(
                   if (horizonSeconds.isDefined) lo else 0, i)
-                .filter(e => java.lang.Long.bitCount(e._3 ^ h) <= maxHamming)
-                .map(_._2).minOption
+                .find(e => java.lang.Long.bitCount(e._3 ^ h) <= maxHamming)
+                .map(_._2)
               dup.foreach(d => out += ((doc, d)))
               (ts, doc, h, true)
             }
@@ -397,16 +405,18 @@ object StreamingDedup {
                 val minTs = ts - h * 1000000L
                 while (lo < i && members(lo)._1 < minTs) lo += 1
               }
+              // first match = smallest earlier dup (sorted members,
+              // ts monotone in id) — see minhashDedup
               val dup = members.iterator.slice(
                   if (horizonSeconds.isDefined) lo else 0, i)
-                .filter { e =>
+                .find { e =>
                   var dot = 0.0
                   var k = 0
                   while (k < v.length) { dot += v(k) * e._3(k); k += 1 }
                   // same rounded-score comparison as the batch q96 oracle
                   BigDecimal(dot / (nrm * e._4))
                     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= threshold
-                }.map(_._2).minOption
+                }.map(_._2)
               dup.foreach(d => out += ((id, d)))
               (ts, id, v, nrm, true)
             }

