@@ -198,10 +198,16 @@ def main(argv):
         rec = {"prev": pq[q], "in_suite": nq[q], "isolated": iso,
                "same_data": same_data}
         clean = iso is not None and iso <= pq[q] * UPTICK
-        if not clean and not same_data:
-            # the r13 hand method, mechanized: the old-data baseline
-            # cannot adjudicate — rebuild the baseline commit and ask
-            # what ITS code costs on TODAY's data
+        if not clean:
+            # the r13 hand method, mechanized — and since r15 applied
+            # to SAME-DATA dirty rows too: the previous artifact's
+            # number embeds the previous round's ENVIRONMENT (the r15
+            # close confirmed three same-data "regressions" on
+            # untouched queries that the baseline-commit build
+            # reproduced bit-for-bit on today's box — drift, not
+            # code). Rebuild the baseline commit and ask what ITS
+            # code costs on TODAY's data in TODAY's environment; only
+            # a code-vs-code gap confirms.
             if prev_classes is None and baseline_sha:
                 prev_classes = build_baseline(baseline_sha)
             if prev_classes:
@@ -236,15 +242,21 @@ def main(argv):
         d_rechecks = {}
         for q in d_flagged:
             iso = isolated_run(q, sfdir)
-            # contention: a fresh idle JVM lands at the local number;
-            # anomalous-local: the fresh JVM reproduces the driver-high
-            # number, meaning the stamped local artifact underreports
-            contention = iso is not None and iso <= nq[q] * UPTICK
+            # anomalous-local ONLY when the fresh idle JVM actually
+            # REPRODUCES the driver-high number (lands within the
+            # fence of it) — meaning the stamped local artifact
+            # underreports; anything landing near the local number is
+            # run-context contention on the driver's box. (The first
+            # cut compared isolated to local×UPTICK, which misread
+            # sub-second jitter on 0.4 s rows as an anomalous
+            # artifact while the isolated number sat 3x BELOW the
+            # driver row it was supposed to explain.)
+            reproduced = iso is not None and iso > dq[q] / DRIVER_FENCE
             d_rechecks[q] = {"driver": dq[q], "local": nq[q],
                              "isolated": iso,
-                             "verdict": "contention" if contention
-                                        else "local_artifact_anomalous"}
-            if not contention:
+                             "verdict": "local_artifact_anomalous"
+                                        if reproduced else "contention"}
+            if reproduced:
                 driver_bad.append(q)
             print(f"  [recheck] driver-row {q}: driver={dq[q]} "
                   f"local={nq[q]} isolated={iso} -> "
