@@ -145,7 +145,12 @@ object Bench {
     "q231_video_near_dup",
     "q232_media_qa_report",
     "q233_stream_media_qa",
-    "q234_video_dedup")
+    "q234_video_dedup",
+    // r15 batch 3: landmark alignment retrieval, tokenizer vocab
+    // sizing, embedding-space drift monitoring
+    "q235_media_align",
+    "q236_vocab_coverage",
+    "q237_embed_drift_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

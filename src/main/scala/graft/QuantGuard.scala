@@ -100,6 +100,11 @@ object QuantGuard {
     // ---- gate family (Quality) --------------------------------------
     "pipeline/Quality.scala#q210_psi_drift" ->
       Covered(Set("q210_psi_int")),
+    // q237 reuses psiPreQuant verbatim over the embedding-cluster
+    // histograms; the oracle string's log2 is the site — its margin
+    // measures the same pre-floor term on q237's own (p_ref, p_cur)
+    "pipeline/Quality.scala#q237_embed_drift_psi" ->
+      Covered(Set("q237_psi_int")),
     "pipeline/Quality.scala#q213_classifier_gate" ->
       Covered(Set("q213_q219_score_half", "q213_q219_gate_half")),
     "pipeline/Quality.scala#q219_stream_classifier_gate" ->

@@ -134,6 +134,78 @@ object CorpusStats extends QueryModule {
     // one-row type total. The spectrum's cardinality is ~log-scale
     // in the corpus (distinct frequency VALUES), so the output and
     // every post-vocab stage stay tiny at 100 TB. -----
+    // ----- q236: vocabulary coverage curve — the tokenizer-sizing
+    // diagnostic (how many types must a vocab keep to cover 50/90/95/
+    // 99 % of corpus tokens): rank types by frequency (ties don't
+    // matter — the crossing depends only on counts) and report the
+    // smallest V whose top-V types reach each coverage target. The
+    // whole curve derives from the FREQUENCY SPECTRUM (q203's
+    // log-scale-sized frame), never from a global type ranking: one
+    // running sum over the spectrum ordered by descending frequency
+    // (a partition-less window on a ≤|distinct-freqs| frame — the
+    // q203 "spectrum stays log-scale-sized" argument), then each
+    // target's first crossing resolves the marginal frequency's
+    // partial take with integer ceil division. ALL-INTEGER. -----
+    q("q236_vocab_coverage",
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |sp AS (SELECT c AS freq, count(*) AS n_terms FROM c GROUP BY c),
+        |cum AS (SELECT freq, n_terms,
+        |          sum(n_terms) OVER wf AS cum_words,
+        |          sum(freq * n_terms) OVER wf AS cum_tokens
+        |        FROM sp WINDOW wf AS (ORDER BY freq DESC
+        |          ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT CAST(sum(freq * n_terms) AS BIGINT) AS t FROM sp),
+        |th AS (SELECT unnest([50, 90, 95, 99]) AS threshold),
+        |need AS (SELECT threshold, (threshold * t + 99) // 100 AS need,
+        |           t FROM th, tot),
+        |cross1 AS (SELECT n.threshold, n.need, n.t, c.freq, c.n_terms,
+        |             c.cum_words, c.cum_tokens
+        |           FROM need n JOIN cum c ON c.cum_tokens >= n.need),
+        |first1 AS (SELECT *, row_number() OVER (PARTITION BY threshold
+        |             ORDER BY cum_tokens) AS rk FROM cross1)
+        |SELECT CAST(threshold AS INTEGER) AS threshold,
+        |  CAST(need AS BIGINT) AS tokens_needed,
+        |  CAST((cum_words - n_terms)
+        |    + (need - (cum_tokens - freq * n_terms) + freq - 1) // freq
+        |    AS BIGINT) AS v_needed,
+        |  CAST(t AS BIGINT) AS total_tokens
+        |FROM first1 WHERE rk = 1
+        |ORDER BY threshold""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sp = Tables.t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c").as("freq")).agg(count(lit(1)).as("n_terms"))
+      // partition-less window is safe here and ONLY here: the frame
+      // is the spectrum (distinct frequencies), log-scale-sized at
+      // any corpus size (q203's argument)
+      val wf = Window.orderBy(col("freq").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = sp
+        .withColumn("cum_words", sum(col("n_terms")).over(wf))
+        .withColumn("cum_tokens", sum(col("freq") * col("n_terms")).over(wf))
+      val th = s.range(1)
+        .select(explode(expr("array(50, 90, 95, 99)")).as("threshold"))
+      val need = cum.crossJoin(broadcast(
+          sp.agg(sum(col("freq") * col("n_terms")).as("t"))))
+        .crossJoin(broadcast(th))
+      need
+        .withColumn("need", expr("(threshold * t + 99) div 100"))
+        .filter(col("cum_tokens") >= col("need"))
+        .groupBy(col("threshold"))
+        .agg(min(struct(col("cum_tokens"), col("freq"), col("n_terms"),
+          col("cum_words"), col("need"), col("t"))).as("m"))
+        .select(col("threshold").cast("int").as("threshold"),
+          col("m.need").cast("long").as("tokens_needed"),
+          expr("""CAST((m.cum_words - m.n_terms)
+            + (m.need - (m.cum_tokens - m.freq * m.n_terms) + m.freq - 1)
+              div m.freq AS BIGINT)""").as("v_needed"),
+          col("m.t").cast("long").as("total_tokens"))
+        .orderBy(col("threshold"))
+    },
+
     q("q203_freq_spectrum",
       """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
         |           FROM documents),

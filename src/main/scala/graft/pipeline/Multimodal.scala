@@ -709,6 +709,58 @@ object Multimodal extends QueryModule {
         |ORDER BY seqs.doc_id""") { (s, dir) =>
       videoDedup(Tables.t(s, dir, "documents"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- q235: media temporal ALIGNMENT — the landmark-hashing
+    // retrieval device (Wang 2003's audio-fingerprint shape): which
+    // corpus recording does a query clip come from, and at what time
+    // offset? Energy PEAKS (frames louder than both neighbors) pair
+    // into landmarks (anchor, target) within a 15-frame fan-out; a
+    // landmark's key packs the two energy buckets and the frame gap
+    // into one integer (ea·512 + eb·16 + dt — exact arithmetic, no
+    // hash); query landmarks match corpus landmarks by key, and every
+    // match VOTES for the time offset anchor_q − anchor_c. The best
+    // (match, offset) per query is the alignment — the offset
+    // HISTOGRAM is what distinguishes this from q231's set-Jaccard:
+    // a true containment concentrates votes on ONE offset, while
+    // coincidental key collisions scatter. Query split: doc_id%10=9
+    // clips against the rest (the q185 convention). ALL-INTEGER.
+    // Scale: landmarks generate ARRAY-LOCALLY per doc (peaks are
+    // collected per doc — frames-per-payload-bounded — and pairs
+    // unfold inside one transform, no self-join); the vote join is
+    // key-equi with a 16k key space — the hot-key trade is q231's,
+    // with the same dial escape if a real corpus needs it. -----
+    q("q235_media_align",
+      """WITH bytes AS (
+        |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+        |fr AS (SELECT doc_id, (i-1) // 64 AS f,
+        |         sum(b*b) // count(*) AS e
+        |       FROM bytes GROUP BY 1, 2),
+        |pk AS (SELECT doc_id, f, e,
+        |         lag(e) OVER w AS pe, lead(e) OVER w AS ne
+        |       FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        |peaks AS (SELECT doc_id, f, e FROM pk
+        |          WHERE pe IS NOT NULL AND ne IS NOT NULL
+        |            AND e > pe AND e > ne),
+        |lm AS (SELECT DISTINCT a.doc_id,
+        |         (a.e // 512) * 512 + (b.e // 512) * 16 + (b.f - a.f)
+        |           AS key,
+        |         a.f AS af
+        |       FROM peaks a JOIN peaks b ON b.doc_id = a.doc_id
+        |         AND b.f > a.f AND b.f - a.f <= 15),
+        |v AS (SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+        |        q.af - c.af AS t_offset, count(*) AS votes
+        |      FROM lm q JOIN lm c ON c.key = q.key
+        |      WHERE q.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, match_id, t_offset) AS rk FROM v)
+        |SELECT query_id, match_id, CAST(t_offset AS BIGINT) AS t_offset,
+        |  CAST(votes AS BIGINT) AS votes
+        |FROM r WHERE rk = 1 ORDER BY query_id""") { (s, dir) =>
+      mediaAlign(Tables.t(s, dir, "documents"))
+        .orderBy(col("query_id"))
     }
   )
 
@@ -874,6 +926,50 @@ object Multimodal extends QueryModule {
         sum(col("n_scenes")).as("n_scenes"),
         sum(col("n_frames")).as("n_frames"),
         expr("100 * sum(n_silent) div sum(n_frames)").as("silent_pct"))
+  }
+
+  /** q235's engine: peaks per doc from one energy window, landmark
+    * pairs unfolded ARRAY-LOCALLY (no self-join — peak lists are
+    * frames-per-payload-bounded), key-equi vote join, best alignment
+    * per query via one min-struct aggregate. Unordered — the query
+    * sorts. */
+  private[pipeline] def mediaAlign(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    val peaks = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.MediaSig.frame_energies(
+          encode(col("text"), "UTF-8"))).as(Seq("f", "e")))
+      .withColumn("pe", lag(col("e"), 1).over(wd))
+      .withColumn("ne", lead(col("e"), 1).over(wd))
+      .filter(col("pe").isNotNull && col("ne").isNotNull &&
+        col("e") > col("pe") && col("e") > col("ne"))
+    val lms = peaks.groupBy(col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(f, e)))").as("ps"))
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  filter(transform(ps, (b, j) ->
+          |    CASE WHEN j > i AND b.f - a.f <= 15 THEN
+          |      struct((a.e div 512) * 512 + (b.e div 512) * 16
+          |               + (b.f - a.f) AS key,
+          |             a.f AS af)
+          |    END), x -> x IS NOT NULL)))""".stripMargin)).as("lm"))
+      .select(col("doc_id"), col("lm.key").as("key"), col("lm.af").as("af"))
+      .distinct()
+    val q = lms.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id").as("query_id"), col("key"), col("af").as("qf"))
+    val c = lms.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("match_id"), col("key"), col("af").as("cf"))
+    q.join(c, "key")
+      .groupBy(col("query_id"), col("match_id"),
+        (col("qf") - col("cf")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("match_id"),
+        col("t_offset"), col("votes"))).as("m"))
+      .select(col("query_id"), col("m.match_id").as("match_id"),
+        col("m.t_offset").cast("long").as("t_offset"),
+        col("m.votes").cast("long").as("votes"))
   }
 
   /** q234's engine: per-doc ordered scene-signature sequence (one

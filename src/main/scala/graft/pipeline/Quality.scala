@@ -259,6 +259,69 @@ object Quality extends QueryModule {
         .orderBy(col("bucket"))
     },
 
+    // ----- q237: EMBEDDING distribution drift — the q210 PSI device
+    // pointed at the representation space (the monitor an embedding
+    // ingest pipeline runs beside the text-side length PSI): fit the
+    // deterministic k-means ONCE on the REFERENCE corpus (vec_id%10≠9
+    // — the standing model, the q176 index posture), assign EVERY
+    // vector against those frozen centroids (one broadcast-centroid
+    // map, corpus never shuffles), and compare the reference vs
+    // delta cluster-occupancy histograms with the same add-1-smoothed
+    // micro-unit PSI quantization q210 uses (floor(1e6·(p_cur−p_ref)
+    // ·log2(p_cur/p_ref)) — the identical guarded expression). New
+    // data drifting into new regions of embedding space concentrates
+    // delta mass in few clusters and the PSI total flags it. Oracle
+    // replays the ref-only Lloyd's fit (the q135 CTE chain filtered
+    // to the reference) plus an assign-all pass against the final
+    // centroids. -----
+    q("q237_embed_drift_psi",
+      s"""WITH ${Similarity.duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |fa AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         unnest(range(len(embedding))) AS i FROM embeddings),
+        |dall AS (SELECT f.vec_id, c.cluster,
+        |           round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |         FROM fa f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |aall AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dall) WHERE rk = 1),
+        |b AS (SELECT unnest(range(8)) AS cluster),
+        |cr AS (SELECT cluster, count(*) AS n FROM aall
+        |       WHERE vec_id % 10 <> 9 GROUP BY cluster),
+        |cc AS (SELECT cluster, count(*) AS n FROM aall
+        |       WHERE vec_id % 10 = 9 GROUP BY cluster),
+        |j AS (SELECT b.cluster,
+        |        coalesce(cr.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur
+        |      FROM b LEFT JOIN cr USING (cluster)
+        |             LEFT JOIN cc USING (cluster)),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+        |p AS (SELECT cluster, n_ref, n_cur,
+        |        (n_ref + 1)::DOUBLE / (t.tr + 8)::DOUBLE AS p_ref,
+        |        (n_cur + 1)::DOUBLE / (t.tc + 8)::DOUBLE AS p_cur
+        |      FROM j, t),
+        |q AS (SELECT cluster, n_ref, n_cur, p_ref, p_cur,
+        |        CAST(floor(1000000.0 * ((p_cur - p_ref) * log2(p_cur / p_ref)))
+        |          AS BIGINT) AS tq
+        |      FROM p)
+        |SELECT CAST(cluster AS INTEGER) AS cluster,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |  tq::DOUBLE / 1000000.0 AS psi_term,
+        |  (SELECT sum(tq) FROM q)::DOUBLE / 1000000.0 AS psi_total
+        |FROM q ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val qd = embedPsiWithP(s, dir).withColumn("tq",
+        floor(psiPreQuant).cast("long"))
+      qd.crossJoin(broadcast(qd.agg(sum(col("tq")).as("tot"))))
+        .select(col("cluster").cast("int").as("cluster"),
+          col("n_ref").cast("long").as("n_ref"),
+          col("n_cur").cast("long").as("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          (col("tq").cast("double") / lit(1000000.0)).as("psi_term"),
+          (col("tot").cast("double") / lit(1000000.0)).as("psi_total"))
+        .orderBy(col("cluster"))
+    },
+
     // ----- quality-aware duplicate canonicalization (the RefinedWeb
     // policy, Penedo et al. 2023): when a near-dup cluster is found,
     // keep the HIGHEST-QUALITY member, not the arbitrary smallest id
@@ -521,6 +584,37 @@ object Quality extends QueryModule {
           / (col("tc") + 10).cast("double")).as("p_cur"))
   }
 
+  /** q237's (p_ref, p_cur) frame: reference-fit k-means assignment
+    * histograms with the q210 add-1 smoothing — same output columns
+    * as [[psiWithP]] so [[psiPreQuant]] and the margin machinery
+    * apply unchanged. */
+  private def embedPsiWithP(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val ref = e.filter(col("vec_id") % 10 =!= 9)
+    val cent = Similarity.kmeansCentroids(ref, 8, 2)
+    val assigned = Similarity.assignWith(e, cent)
+      .withColumn("grp", (col("vec_id") % 10 === 9).cast("int"))
+    val counts = assigned.groupBy(col("grp"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+    val buckets = s.range(8).select(col("id").as("cluster"))
+    val j = buckets
+      .join(counts.filter(col("grp") === 0)
+        .select(col("cluster"), col("n").as("n_ref")), Seq("cluster"), "left")
+      .join(counts.filter(col("grp") === 1)
+        .select(col("cluster"), col("n").as("n_cur")), Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    j.crossJoin(broadcast(j.agg(sum(col("n_ref")).as("tr"),
+        sum(col("n_cur")).as("tc"))))
+      .select(col("cluster"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + 1).cast("double")
+          / (col("tr") + 8).cast("double")).as("p_ref"),
+        ((col("n_cur") + 1).cast("double")
+          / (col("tc") + 8).cast("double")).as("p_cur"))
+  }
+
   /** The pre-floor PSI term: 1e6·(p_cur − p_ref)·log2(p_cur/p_ref).
     * log2 is a transcendental (not IEEE-correctly-rounded), so a
     * 1-ulp JVM-vs-libm divergence flips floor() only when this value
@@ -579,8 +673,17 @@ object Quality extends QueryModule {
           - floor(lit(1000000.0) * col("p"))) - lit(0.5))).as("sh"),
         min(lit(1000000.0) * abs(col("p") - lit(0.5))).as("gh"))
       .collect()(0)
+    val psi237 = {
+      val r = embedPsiWithP(s, dir)
+        .filter(col("p_cur") =!= col("p_ref"))
+        .select(psiPreQuant.as("x"))
+        .agg(min(abs(col("x") - round(col("x"), 0))))
+        .collect()(0)
+      if (r.isNullAt(0)) Double.PositiveInfinity else r.getDouble(0)
+    }
     Seq(
       "q210_psi_int" -> quantMarginPsi(s, dir),
+      "q237_psi_int" -> psi237,
       "q212_grad_floor_int" ->
         (if (sink.isEmpty) Double.PositiveInfinity else sink.min),
       "q212_w_round_half" -> wHalf,

@@ -142,6 +142,13 @@ object Similarity extends QueryModule {
   private[pipeline] def kmeansClusters(e: DataFrame, k: Int, updates: Int): DataFrame =
     assignFlat(edOf(e), kmeansCentroids(e, k, updates))
 
+  /** Assign every vector of `e` against a PRE-FIT centroid frame —
+    * the standing-model assignment pass: fit on the reference corpus,
+    * assign everything (q237's drift monitor; also the "fit on a
+    * sample" posture the kmeansCentroids scaladoc describes). */
+  private[pipeline] def assignWith(e: DataFrame, cent: DataFrame): DataFrame =
+    assignFlat(edOf(e), cent)
+
   /** Two-level nearest-centroid assignment — the escape hatch for the
     * flat pass's Θ(N·k) FLOP cost when k itself scales with the
     * corpus (k ≈ N/clusterSize makes flat assignment Θ(N²/clusterSize);
@@ -557,9 +564,10 @@ object Similarity extends QueryModule {
     * in `a{updates+1}(vec_id, cluster)` ([[lloydFin]]) — the exact
     * assignment the Spark side computes. Shared by q135 (IVF
     * routing), q167 (SemDeDup), q173 (keep-atypical). */
-  private def duckLloydCtes(k: Int = 8, updates: Int = 2): String = {
+  private[pipeline] def duckLloydCtes(k: Int = 8, updates: Int = 2,
+      srcWhere: String = ""): String = {
     val sb = new StringBuilder(
-      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""e AS (SELECT vec_id, embedding FROM embeddings $srcWhere),
          |flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
          |                unnest(range(len(embedding))) AS i FROM e),
          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),

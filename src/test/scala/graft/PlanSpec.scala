@@ -613,6 +613,41 @@ class PlanSpec extends SparkSpec {
       "per-byte explode returned to the signature stage")
   }
 
+  test("q235 media align: array-local landmarks, key-equi vote join, explode-free energies") {
+    val p = plan("q235_media_align")
+    assert(!p.contains("CartesianProduct"),
+      "vote generation regressed to a cartesian")
+    assert(p.contains("frame_energies"),
+      "energies must come from the fused MediaSig expression")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the energy stage")
+    // the vote join must key on the packed landmark value
+    assert("Join [^\n]*\\[key#".r.findAllIn(p).nonEmpty,
+      "vote join lost its landmark key")
+  }
+
+  test("q236 vocab coverage: final plan reuses the spectrum exchange, one corpus pass") {
+    // the totals and cum branches are plan-identical up to the
+    // spectrum exchange (the q203 mechanism); the partition-less
+    // window runs on the log-scale-sized spectrum frame only
+    val p = finalPlan("q236_vocab_coverage")
+    assert(p.contains("ReusedExchange"),
+      "totals branch must reuse the spectrum exchange")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "final plan must read the corpus exactly once")
+  }
+
+  test("q237 embed drift: centroids broadcast into the assignment, no raw cartesian") {
+    val p = plan("q237_embed_drift_psi")
+    // the assignment is corpus × broadcast(8 centroids) — the q135
+    // shape (the fit's vec_id equi joins may legitimately sort-merge);
+    // no NON-broadcast cartesian may appear anywhere
+    assert(!p.contains("CartesianProduct"),
+      "a corpus-side cartesian appeared in the drift plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).nonEmpty,
+      "centroids must broadcast into the assignment map")
+  }
+
   test("q227 fertility: ONE corpus scan pruned to (text, lang), map-side combined") {
     val p = plan("q227_tokenizer_fertility")
     assert("Scan parquet[^\n]*documents".r.findAllIn(p).size == 1,
