@@ -717,7 +717,7 @@ object Multimodal extends QueryModule {
     // offset? Energy PEAKS (frames louder than both neighbors) pair
     // into landmarks (anchor, target) within a 15-frame fan-out; a
     // landmark's key packs the two energy buckets and the frame gap
-    // into one integer (ea·512 + eb·16 + dt — exact arithmetic, no
+    // into one integer (ea·4096 + eb·16 + dt — exact arithmetic, no
     // hash); query landmarks match corpus landmarks by key, and every
     // match VOTES for the time offset anchor_q − anchor_c. The best
     // (match, offset) per query is the alignment — the offset
@@ -728,8 +728,11 @@ object Multimodal extends QueryModule {
     // Scale: landmarks generate ARRAY-LOCALLY per doc (peaks are
     // collected per doc — frames-per-payload-bounded — and pairs
     // unfold inside one transform, no self-join); the vote join is
-    // key-equi with a 16k key space — the hot-key trade is q231's,
-    // with the same dial escape if a real corpus needs it. -----
+    // key-equi; bucket granularity (e div 64, ~230 levels) is the
+    // selectivity/robustness dial — measured on the organic 500k
+    // corpus: 78 keys at div 512 (5.1e9 vote rows, saturated) vs
+    // 1.9k at div 64 (3.2e8, linear-friendly); replica corpora
+    // route through q234 first, like q231. -----
     q("q235_media_align",
       """WITH bytes AS (
         |  SELECT doc_id, i.i AS i, ascii(substr(text, i.i, 1)) AS b
@@ -744,7 +747,7 @@ object Multimodal extends QueryModule {
         |          WHERE pe IS NOT NULL AND ne IS NOT NULL
         |            AND e > pe AND e > ne),
         |lm AS (SELECT DISTINCT a.doc_id,
-        |         (a.e // 512) * 512 + (b.e // 512) * 16 + (b.f - a.f)
+        |         (a.e // 64) * 4096 + (b.e // 64) * 16 + (b.f - a.f)
         |           AS key,
         |         a.f AS af
         |       FROM peaks a JOIN peaks b ON b.doc_id = a.doc_id
@@ -950,7 +953,7 @@ object Multimodal extends QueryModule {
         """flatten(transform(ps, (a, i) ->
           |  filter(transform(ps, (b, j) ->
           |    CASE WHEN j > i AND b.f - a.f <= 15 THEN
-          |      struct((a.e div 512) * 512 + (b.e div 512) * 16
+          |      struct((a.e div 64) * 4096 + (b.e div 64) * 16
           |               + (b.f - a.f) AS key,
           |             a.f AS af)
           |    END), x -> x IS NOT NULL)))""".stripMargin)).as("lm"))
