@@ -12,7 +12,7 @@
 # the last registry change; resume-aware via step markers.
 cd /root/repo
 mkdir -p target/probe_r15
-L=target/probe_r15/close.log
+L=target/probe_r15/close2.log
 touch "$L"
 step() {
   local label="$1"; shift
@@ -57,7 +57,7 @@ step loc_main bash -c '
 step sf001_dump $R graft.Verify /root/testdata/sf0.01 target/verify_r15_final
 step sf001_check bash -c "python3 tools/check.py /root/testdata/sf0.01 target/verify_r15_final 2>/dev/null | tail -3"
 step sf01_dump $R graft.Verify /root/testdata/sf0.1 target/verify_sf01_r15
-NOTE="Second-scale-factor oracle sweep for round 15: full graft.Verify dump at sf0.1 (key-count guard green) hash-compared against DuckDB per tools/check.py, q61_graph_cc via the certificate checker (tools/cc_cert.py). Registry grew to 236 this round (q229 at-ingest perceptual-hash dedup, q230 audio energy/silence segmentation, q231 video near-dup via scene shingles, q232 per-source media QA report, q233 streaming media QA, q234 exact scene-sequence video dedup); rows carry the driver's rows_match/schema_match/hash_match booleans; assembly self-enforcing against the live registry size."
+NOTE="Second-scale-factor oracle sweep for round 15: full graft.Verify dump at sf0.1 (key-count guard green) hash-compared against DuckDB per tools/check.py, q61_graph_cc via the certificate checker (tools/cc_cert.py). Registry grew to 239 this round (q229 at-ingest perceptual-hash dedup, q230 audio segmentation, q231 video near-dup, q232 media QA report, q233 streaming media QA, q234 scene-sequence video dedup, q235 landmark alignment, q236 vocab coverage curve, q237 embedding drift PSI); rows carry the driver's rows_match/schema_match/hash_match booleans; assembly self-enforcing against the live registry size."
 step sf01_artifact python3 tools/sf01_artifact.py /root/testdata/sf0.1 target/verify_sf01_r15 15 "$NOTE"
 step bench bash -c "SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $R graft.Bench | grep '\"metric\"' > BENCH_r15_local.json; cat BENCH_r15_local.json"
 step bench_recheck env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python3 tools/bench_recheck.py BENCH_r15_local.json BENCH_r14_local.json --driver BENCH_r14.json
