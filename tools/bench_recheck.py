@@ -216,6 +216,27 @@ def main(argv):
                 rec["prev_code_same_data"] = base
                 clean = (iso is not None and base is not None
                          and iso <= base * UPTICK)
+                if not clean and iso is not None and base is not None:
+                    # single-shot escalation (v4.1): one isolated pair
+                    # on a 1-2 s row disperses +-30% run-to-run (r15:
+                    # the same code-vs-code comparison flipped verdicts
+                    # between two closes hours apart) — a CONFIRM
+                    # verdict must survive the median of 3 runs per
+                    # side, not one coin flip.
+                    news = [iso] + [isolated_run(q, sfdir) for _ in range(2)]
+                    olds = [base] + [isolated_run(
+                        q, sfdir, snap_cp=os.path.abspath(prev_classes))
+                        for _ in range(2)]
+                    news = sorted(x for x in news if x is not None)
+                    olds = sorted(x for x in olds if x is not None)
+                    rec["isolated_runs"] = news
+                    rec["prev_code_runs"] = olds
+                    if news and olds:
+                        med_n = news[len(news) // 2]
+                        med_o = olds[len(olds) // 2]
+                        rec["isolated_median"] = med_n
+                        rec["prev_code_median"] = med_o
+                        clean = med_n <= med_o * UPTICK
             else:
                 rec["prev_code_same_data"] = None
                 print(f"  [recheck] {q}: no baseline build available — "
