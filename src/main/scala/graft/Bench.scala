@@ -152,9 +152,39 @@ object Bench {
     "q236_vocab_coverage",
     "q237_embed_drift_psi")
 
+  /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
+    * the number of OTHER live JVMs on the box, sampled from /proc.
+    * Stamped into the metric line at run START and END so a
+    * contention-inflated artifact self-identifies (the r14/r15 driver
+    * rows all adjudicated "contention" after expensive fresh-JVM
+    * re-runs) — bench_recheck consumes these fields to skip isolation
+    * when load explains a driver-vs-local gap. */
+  private def runContext: (Double, Int) = {
+    val load = try {
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    val self = ProcessHandle.current().pid()
+    val nJava = try {
+      new java.io.File("/proc").listFiles()
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .count { f =>
+          f.getName.toLong != self && {
+            val cmd = new java.io.File(f, "cmdline")
+            cmd.exists() && {
+              val bytes = java.nio.file.Files.readAllBytes(cmd.toPath)
+              new String(bytes, "UTF-8").contains("java")
+            }
+          }
+        }
+    } catch { case _: Throwable => -1 }
+    (load, nJava)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (load0, njava0) = runContext
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -212,7 +242,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    val (load1, njava1) = runContext
+    val ctx = f""""run_context":{"loadavg_start":$load0%.2f,"n_other_java_start":$njava0,"loadavg_end":$load1%.2f,"n_other_java_end":$njava1}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir",$ctx}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries excluded from timings: " +
         failed.map(_._1).mkString(", "))

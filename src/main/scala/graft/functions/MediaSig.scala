@@ -34,6 +34,18 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * Input is the opaque `binary` payload (the q59 multimodal stance:
   * bytes stand in for pixels; a real decoder swaps in upstream
   * without touching this plan shape).
+  *
+  * ENCODING CONTRACT (r15 ADVICE): "bit-identical to the relational
+  * form" holds for SINGLE-BYTE text. These kernels consume the UTF-8
+  * BYTES of `encode(text, 'UTF-8')` while the DuckDB oracles (and the
+  * replaced relational Spark forms) index CHARACTERS via
+  * `ascii(substr(text, i, 1))` / `length(text)` — on the driver's
+  * ASCII testdata the two are the same sequence, but any multi-byte
+  * character changes both the payload length and per-position values.
+  * That is deliberate, not an oversight: a real media payload IS
+  * bytes, so the byte-indexed kernel is the production semantics and
+  * the character-indexed oracle is the ASCII-corpus replay of it. Do
+  * not rely on oracle equality for non-ASCII payloads.
   */
 object MediaSig {
 

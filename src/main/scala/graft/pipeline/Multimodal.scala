@@ -567,8 +567,9 @@ object Multimodal extends QueryModule {
         |  CAST(sum(dup.is_dup) AS BIGINT) AS dup_docs,
         |  CAST(sum(coalesce(sccnt.n_scenes, 0)) AS BIGINT) AS n_scenes,
         |  CAST(sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS n_frames,
-        |  CAST(100 * sum(coalesce(frst.n_silent, 0))
-        |    // sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS silent_pct
+        |  CAST(CASE WHEN sum(coalesce(frst.n_frames, 0)) = 0 THEN 0
+        |    ELSE 100 * sum(coalesce(frst.n_silent, 0))
+        |      // sum(coalesce(frst.n_frames, 0)) END AS BIGINT) AS silent_pct
         |FROM documents d
         |JOIN dup ON dup.doc_id = d.doc_id
         |LEFT JOIN sccnt ON sccnt.doc_id = d.doc_id
@@ -638,8 +639,9 @@ object Multimodal extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(coalesce(sccnt.n_scenes, 0)) AS BIGINT) AS n_scenes,
         |  CAST(sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS n_frames,
-        |  CAST(100 * sum(coalesce(frst.n_silent, 0))
-        |    // sum(coalesce(frst.n_frames, 0)) AS BIGINT) AS silent_pct
+        |  CAST(CASE WHEN sum(coalesce(frst.n_frames, 0)) = 0 THEN 0
+        |    ELSE 100 * sum(coalesce(frst.n_silent, 0))
+        |      // sum(coalesce(frst.n_frames, 0)) END AS BIGINT) AS silent_pct
         |FROM documents d
         |LEFT JOIN sccnt ON sccnt.doc_id = d.doc_id
         |LEFT JOIN frst ON frst.doc_id = d.doc_id
@@ -910,7 +912,11 @@ object Multimodal extends QueryModule {
     s.table(qname)
       .select(col("window.start").as("w_start"), col("source"),
         col("n_docs"), col("n_scenes"), col("n_frames"),
-        expr("100 * n_silent div n_frames").as("silent_pct"))
+        // zero guard (r15 ADVICE): a window whose docs are all empty
+        // payloads has n_frames = 0 — Spark `div` would yield NULL
+        // while DuckDB `//` raises; both sides emit 0 instead
+        expr("CASE WHEN n_frames = 0 THEN 0L " +
+          "ELSE 100 * n_silent div n_frames END").as("silent_pct"))
       .orderBy(col("w_start"), col("source"))
   }
 
@@ -928,7 +934,10 @@ object Multimodal extends QueryModule {
         sum((col("doc_id") =!= col("dup_of")).cast("long")).as("dup_docs"),
         sum(col("n_scenes")).as("n_scenes"),
         sum(col("n_frames")).as("n_frames"),
-        expr("100 * sum(n_silent) div sum(n_frames)").as("silent_pct"))
+        // zero guard (r15 ADVICE): all-empty-payload sources degrade
+        // to 0 instead of NULL/division-by-zero divergence
+        expr("CASE WHEN sum(n_frames) = 0 THEN 0L " +
+          "ELSE 100 * sum(n_silent) div sum(n_frames) END").as("silent_pct"))
   }
 
   /** q235's engine: peaks per doc from one energy window, landmark

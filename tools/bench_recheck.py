@@ -45,6 +45,17 @@ run-context contention (recorded, pass); isolated reproducing the
 driver-high number ⇒ the LOCAL artifact is the anomaly (fail — the
 close must not ship an optimistic record).
 
+v4.2 (r16): (a) the median-of-3 escalation retries failed runs and,
+when a side still comes up short, truncates BOTH sides to the same
+odd length before taking medians — the v4.1 form compared
+news[len//2] on an even list against the same index on an odd one,
+an asymmetric comparison that could flip borderline verdicts (r15
+ADVICE); (b) driver rows whose artifacts carry `run_context` stamps
+(graft.Bench r16: loadavg + other-live-JVM count at run start/end)
+adjudicate WITHOUT a fresh-JVM re-run when the driver's context shows
+strictly more concurrent JVMs than the local run's — the contention
+explanation the r14/r15 closes spent 679 s of isolation re-proving.
+
 Usage: bench_recheck.py <new_local_bench.json> <prev_bench.json>
                         [--baseline-sha <sha>] [--driver <BENCH_rN.json>]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -73,6 +84,15 @@ def load(path):
         if isinstance(v, dict) and "queries" in v:
             return v
         if isinstance(v, str):
+            # recover the run_context stamp (r16) if it survived the
+            # driver's stdout-tail truncation
+            ctx = None
+            m = re.search(r'"run_context":(\{[^{}]*\})', v)
+            if m:
+                try:
+                    ctx = json.loads(m.group(1))
+                except ValueError:
+                    ctx = None
             # the driver keeps only the LAST bytes of stdout, so the
             # metric line may be truncated mid-map — regex-recover
             # whatever (query, seconds) pairs survive. The lookahead
@@ -83,7 +103,10 @@ def load(path):
             qs = {m.group(1): float(m.group(2)) for m in
                   re.finditer(r'"(q\w+)":\s*([0-9.]+)(?=[,}\s])', v)}
             if qs:
-                return {"queries": qs}
+                out = {"queries": qs}
+                if ctx:
+                    out["run_context"] = ctx
+                return out
     raise SystemExit(f"[recheck] {path}: no queries map found")
 
 
@@ -222,18 +245,31 @@ def main(argv):
                     # the same code-vs-code comparison flipped verdicts
                     # between two closes hours apart) — a CONFIRM
                     # verdict must survive the median of 3 runs per
-                    # side, not one coin flip.
-                    news = [iso] + [isolated_run(q, sfdir) for _ in range(2)]
-                    olds = [base] + [isolated_run(
-                        q, sfdir, snap_cp=os.path.abspath(prev_classes))
-                        for _ in range(2)]
-                    news = sorted(x for x in news if x is not None)
-                    olds = sorted(x for x in olds if x is not None)
+                    # side, not one coin flip. v4.2: failed runs are
+                    # RETRIED (up to 2 extra attempts per side); if a
+                    # side still comes up short, both sides truncate to
+                    # the same odd length (k smallest each) so the
+                    # median comparison stays symmetric — the v4.1 form
+                    # indexed len//2 into lists of different parity.
+                    def runs3(first, snap=None):
+                        out, tries = [first], 0
+                        while len(out) < 3 and tries < 4:
+                            v = isolated_run(q, sfdir, snap_cp=snap)
+                            if v is not None:
+                                out.append(v)
+                            tries += 1
+                        return sorted(out)
+                    news = runs3(iso)
+                    olds = runs3(base,
+                                 snap=os.path.abspath(prev_classes))
                     rec["isolated_runs"] = news
                     rec["prev_code_runs"] = olds
-                    if news and olds:
-                        med_n = news[len(news) // 2]
-                        med_o = olds[len(olds) // 2]
+                    k = min(len(news), len(olds))
+                    if k % 2 == 0:
+                        k -= 1
+                    if k >= 1:
+                        med_n = sorted(news[:k])[k // 2]
+                        med_o = sorted(olds[:k])[k // 2]
                         rec["isolated_median"] = med_n
                         rec["prev_code_median"] = med_o
                         clean = med_n <= med_o * UPTICK
@@ -253,15 +289,41 @@ def main(argv):
     driver_bad = []
     if "--driver" in argv:
         driver_path = argv[argv.index("--driver") + 1]
-        dq = load(driver_path)["queries"]
+        d_doc = load(driver_path)
+        dq = d_doc["queries"]
         d_flagged = sorted(q for q in set(dq) & set(nq)
                            if dq[q] > nq[q] * DRIVER_FENCE
                            and dq[q] - nq[q] > ABS_FLOOR)
         print(f"[recheck] driver artifact {driver_path}: "
               f"{len(set(dq) & set(nq))} common rows; "
               f">={DRIVER_FENCE}x-over-local flagged {d_flagged}")
+        # ---- run-context fast path (v4.2): if BOTH artifacts carry
+        # the graft.Bench context stamp and the driver's run saw
+        # strictly more concurrent JVMs than the local one, the gap
+        # already has its explanation — record contention_by_context
+        # and skip the fresh-JVM isolation those rows used to cost.
+        def other_jvms(doc):
+            c = doc.get("run_context") or {}
+            vals = [c.get("n_other_java_start"), c.get("n_other_java_end")]
+            vals = [v for v in vals if isinstance(v, (int, float)) and v >= 0]
+            return max(vals) if vals else None
+        d_ctx, l_ctx = other_jvms(d_doc), other_jvms(new)
+        ctx_explains = (d_ctx is not None and l_ctx is not None
+                        and d_ctx > l_ctx)
+        if d_flagged:
+            print(f"[recheck] run_context: driver other-JVMs={d_ctx} "
+                  f"local other-JVMs={l_ctx} -> "
+                  f"{'contention self-identified, skipping isolation' if ctx_explains else 'no context explanation, isolating'}")
         d_rechecks = {}
         for q in d_flagged:
+            if ctx_explains:
+                d_rechecks[q] = {"driver": dq[q], "local": nq[q],
+                                 "driver_other_jvms": d_ctx,
+                                 "local_other_jvms": l_ctx,
+                                 "verdict": "contention_by_context"}
+                print(f"  [recheck] driver-row {q}: driver={dq[q]} "
+                      f"local={nq[q]} -> contention_by_context")
+                continue
             iso = isolated_run(q, sfdir)
             # anomalous-local ONLY when the fresh idle JVM actually
             # REPRODUCES the driver-high number (lands within the
