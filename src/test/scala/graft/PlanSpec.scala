@@ -624,6 +624,13 @@ class PlanSpec extends SparkSpec {
     // the vote join must key on the packed landmark value
     assert("Join [^\n]*\\[key#".r.findAllIn(p).nonEmpty,
       "vote join lost its landmark key")
+    // r16: landmarks build ARRAY-LOCALLY (index-lambda peak filter +
+    // nested pair transform) — the r15 per-frame explode + per-doc
+    // lag/lead window must never come back, and on an organic corpus
+    // (guards off) the served plan carries no window at all
+    assert(!p.contains("windowspecdefinition"),
+      "landmark build regressed to the windowed peak form (or the " +
+        "vote-budget guard fired at an oracle gate SF)")
   }
 
   test("q236 vocab coverage: final plan reuses the spectrum exchange, one corpus pass") {
