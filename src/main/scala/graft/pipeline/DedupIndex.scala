@@ -97,7 +97,7 @@ object DedupIndex {
     (p.getFileSystem(conf), p)
   }
 
-  private def storeProps(path: String, name: String,
+  private[pipeline] def storeProps(path: String, name: String,
       kv: Map[String, String], comment: String): Unit = {
     val (fs, p) = sidecar(path, name)
     val props = new java.util.Properties()
@@ -106,7 +106,7 @@ object DedupIndex {
     try props.store(out, comment) finally out.close()
   }
 
-  private def loadProps(path: String, name: String)
+  private[pipeline] def loadProps(path: String, name: String)
       : Option[java.util.Properties] = {
     val (fs, p) = sidecar(path, name)
     if (!fs.exists(p)) None

@@ -102,7 +102,7 @@ object Similarity extends QueryModule {
     * assign-only pass over pre-fitted centroids. */
   /** The embeddings table with its vectors cast to double arrays —
     * the input shape both assignment paths consume. */
-  private def edOf(e: DataFrame): DataFrame =
+  private[pipeline] def edOf(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
 
@@ -687,7 +687,7 @@ object Similarity extends QueryModule {
   /** The PQ model pieces shared by q186 (ADC over the whole corpus)
     * and q190 (IVF-PQ): subvector table, trained codebooks, and the
     * corpus code table. */
-  private def pqModel(ed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[pipeline] def pqModel(ed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // (vec_id, j, sv): the m subvectors — a pure map, no shuffle
     val svs = ed.select(col("vec_id"), explode(array(
         (0 until pqM).map(j => struct(lit(j).as("j"),
@@ -1448,8 +1448,96 @@ object Similarity extends QueryModule {
         .withColumn("u", conv(substring(md5(concat(lit("cb:"),
           col("vec_id").cast("string"))), 1, 13), 16, 10).cast("long"))
         .orderBy(col("cluster"), col("rn"))
-    }
+    },
+
+    // ----- q238: STREAMING ANN INDEX INGEST (r15 verdict item 2 —
+    // the similarity family's q185 analog, closing its "batch-fit,
+    // batch-probed only" gap): freeze a fitted IVF-PQ index on the
+    // standing corpus (vec_id % 10 <> 9 — q190's coarse router +
+    // codebooks, persisted via AnnIndex.save), then assign each
+    // ARRIVING vector (the % 10 = 9 slice as a stream) to its coarse
+    // cell and PQ codes AT INGEST: a pure per-row projection against
+    // broadcast-class model literals — no aggregation, no state,
+    // streaming-safe under any micro-batch schedule, so the oracle
+    // holds under any trigger (the q229 DHashSig argument applied to
+    // vectors). Ingested postings append into the index's cluster
+    // partitions at day close (the crash-safe 2PC variant is
+    // AnnIndex.ingestEos + commitAdmitted, Derby-proven in
+    // AnnIngestSpec; here the plain parquet append runs under
+    // processAllAvailable for the oracle). The DuckDB oracle replays
+    // the ENTIRE lifecycle: corpus-only Lloyd's fit, corpus-only PQ
+    // codebook fit, then the delta's nearest-centroid and
+    // nearest-codeword assignments. -----
+    q("q238_stream_ann_ingest",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |${duckPqCtes(duckPqRawSrc)},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |dsub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM dflat),
+        |dc AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM dsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |dcode AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+        |         FROM dc) WHERE rk = 1)
+        |SELECT da.vec_id, CAST(da.cluster AS INTEGER) AS cluster,
+        |  CAST(max(CASE WHEN dcode.j = 0 THEN dcode.code END) AS INTEGER) AS c0,
+        |  CAST(max(CASE WHEN dcode.j = 1 THEN dcode.code END) AS INTEGER) AS c1,
+        |  CAST(max(CASE WHEN dcode.j = 2 THEN dcode.code END) AS INTEGER) AS c2,
+        |  CAST(max(CASE WHEN dcode.j = 3 THEN dcode.code END) AS INTEGER) AS c3
+        |FROM da JOIN dcode USING (vec_id)
+        |GROUP BY da.vec_id, da.cluster
+        |ORDER BY da.vec_id""") { (s, dir) => streamAnnIngest(s, dir) }
   )
+
+  /** q238's engine: save the frozen index from the corpus slice,
+    * stream the delta slice through the persisted model's per-row
+    * assigner, append postings at day close, return the ingested
+    * assignments. */
+  private[pipeline] def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-ann-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    val fn = AnnIndex.assigner(s, idxPath)
+    val raw = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream =
+      (if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/embeddings.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+        .filter(col("vec_id") % 10 === 9)
+        .select(col("vec_id"), col("embedding"))
+    val outPath = Dedup.scratchDir("graft-ann-out")
+    // schema seed (the q185 device): an empty delta slice must leave
+    // outPath readable
+    fn(corpus.limit(0)).write.mode("overwrite").parquet(outPath)
+    val q = stream.writeStream
+      .option("checkpointLocation", Dedup.scratchDir("graft-ann-ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assigned = fn(batch).localCheckpoint()
+        assigned.write.mode("append").parquet(outPath)
+        AnnIndex.append(assigned, idxPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outPath)
+      .select(col("vec_id"), col("cluster"), col("c0"), col("c1"),
+        col("c2"), col("c3"))
+      .orderBy(col("vec_id"))
+  }
 
   /** The H·D rotation of q200 as a MAP over (vec_id, ev):
     * w_j[i] = s_i · (−1)^popcount(i∧j), scaled 1/√64 — an exact

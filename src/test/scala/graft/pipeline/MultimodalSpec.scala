@@ -239,6 +239,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q224 dup-heavy route pairs distinct signatures only, equals exact-over-representatives") {
+    // replicate the organic corpus 3x with IDENTICAL payloads (ids
+    // shifted) — signature dup ratio 3 fires the route
+    val base = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+    val out = new java.io.ByteArrayOutputStream()
+    val routed = Console.withOut(new java.io.PrintStream(out)) {
+      Multimodal.phashNearDup(docs).collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.toString.contains("[phash-route]"),
+      "signature dup ratio 3 must trigger the distinct-signature route")
+    // truth: the exact pair list over each signature class's min-id
+    // representative — replicas carry ids >= 10000, so reps live in
+    // the base corpus and the routed output must equal the exact run
+    // restricted to those representatives
+    val repIds = Multimodal.phash(base)
+      .groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val truth = Multimodal
+      .phashNearDup(base.join(repIds, "doc_id"), routeDupRatio = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(truth.nonEmpty, "no representative pairs — spec lost its teeth")
+    assert(routed == truth,
+      s"route diverged: missing=${truth -- routed}, extra=${routed -- truth}")
+  }
+
   // ---- q235 scale guards (r16 — the r15 verdict's one `weak`) -------
 
   /** Loud/quiet alternating 64-byte frames: every loud frame is an
