@@ -150,7 +150,13 @@ object Bench {
     // sizing, embedding-space drift monitoring
     "q235_media_align",
     "q236_vocab_coverage",
-    "q237_embed_drift_psi")
+    "q237_embed_drift_psi",
+    // r16 additions: streaming ANN index ingest, cross-modal pair QA,
+    // contamination attribution, epoch-aware dedup-at-selection
+    "q238_stream_ann_ingest",
+    "q239_crossmodal_pairs",
+    "q240_contamination_attribution",
+    "q241_epoch_dedup_select")
 
   /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
     * the number of OTHER live JVMs on the box, sampled from /proc.

@@ -276,6 +276,72 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // ----- q241: EPOCH-AWARE dedup-at-selection (r15 verdict item 6
+    // — the mixes pillar's missing composition): a multi-epoch
+    // training run must not re-select content it already trained on
+    // under a different doc_id. The keep-list (q138's quality gate)
+    // intersects the standing dedup clusters (q133's LSH-pair
+    // connected components), and each cluster's ONE selected member
+    // is its EARLIEST-EPOCH representative (epoch = doc_id % 3 here —
+    // in production the crawl/ingest day; ties to the lowest id):
+    // a near-dup family first seen in epoch 0 is suppressed in every
+    // later epoch, which plain min-doc_id keep-lists (q133/q138) get
+    // wrong whenever ids and arrival order disagree. Unclustered
+    // survivors (no near-dup anywhere) select trivially. Scale: the
+    // cluster machinery is exactly q133's (banded LSH, Pregel CC —
+    // never all-pairs); the epoch choice adds ONE window over
+    // cluster-partitioned rows (cluster sizes = duplicate-family
+    // sizes, bounded). -----
+    q("q241_epoch_dedup_select",
+      duckPairsCtes(recursive = true,
+        leadingCtes =
+          s"""base AS (SELECT doc_id, text FROM documents
+             |  WHERE ${TextAnalysis.duckQuality} >= 0.5),
+             |""".stripMargin,
+        source = "base") +
+        """,
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+          |          UNION SELECT doc_b, doc_a FROM good),
+          |walk(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION SELECT a, a FROM edges
+          |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          |cluster AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |            FROM walk GROUP BY a),
+          |al AS (SELECT b.doc_id,
+          |         coalesce(c.cluster_id, b.doc_id) AS cluster_id,
+          |         b.doc_id % 3 AS epoch
+          |       FROM base b LEFT JOIN cluster c ON c.doc_id = b.doc_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          |        ORDER BY epoch, doc_id) AS rk FROM al)
+          |SELECT doc_id, cluster_id, CAST(epoch AS INTEGER) AS epoch,
+          |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS selected
+          |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.t(s, dir, "documents")
+        .filter(TextAnalysis.quality(col("text")) >= 0.5)
+        .select(col("doc_id"), col("text"))
+      val pairs = lshVerifiedPairs(base).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val clusters = graft.graph.Graph.fromEdges(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents()
+      val al = base
+        .join(clusters.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          pmod(col("doc_id"), lit(3)).as("epoch"))
+      val first = min(struct(col("epoch"), col("doc_id")))
+        .over(Window.partitionBy(col("cluster_id")))
+      al.withColumn("f", first)
+        .select(col("doc_id"), col("cluster_id"),
+          col("epoch").cast("int").as("epoch"),
+          (col("f") === struct(col("epoch"), col("doc_id")))
+            .cast("int").as("selected"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----- STREAMING ingest dedup: documents arrive as a stream (one
     // per second of event time, doc_id order) and each is flagged
     // against everything that arrived BEFORE it — the pipeline shape

@@ -725,6 +725,53 @@ object TextAnalysis extends QueryModule {
         .orderBy(id)
     },
 
+    // ----- q240: contamination ATTRIBUTION report (r15 verdict item
+    // 6 — q155 emits per-doc verdicts; the report a curation team
+    // actually files says WHICH benchmark each hit leaks from): the
+    // eval set carries its suite provenance (benchmark = 'bench' ||
+    // (doc_id div 97) % 4 here — in production the eval-suite name
+    // column), the eval gram table keeps one row per (benchmark,
+    // gram), and every contaminated training doc reports one row PER
+    // BENCHMARK it shares grams with. Same scale shape as q155: the
+    // eval table is broadcast (suites are tiny by definition), the
+    // corpus is scanned once per frame and never shuffled, and the
+    // per-(doc, benchmark) hit count combines map-side. A gram shared
+    // by two suites attributes to BOTH — attribution is about which
+    // eval sets are compromised, not about double-counting grams. -----
+    q("q240_contamination_attribution",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
+         |ev AS (SELECT DISTINCT 'bench' || ((doc_id // 97) % 4) AS benchmark,
+         |         unnest(grams) AS g
+         |       FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+         |       FROM g WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, ev.benchmark,
+         |  CAST(tr.n_grams AS INTEGER) AS n_grams,
+         |  count(*) AS n_shared,
+         |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY tr.doc_id, ev.benchmark, tr.n_grams
+         |ORDER BY doc_id, benchmark""") { (s, dir) =>
+      val grams = gramRows(s, dir)
+      val ev = grams.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("bench"),
+          expr("(doc_id div 97) % 4").cast("string")).as("benchmark"),
+          col("g"))
+        .distinct()
+      val tr = grams.filter(col("doc_id") % 97 =!= 0)
+      val ng = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+      tr.join(broadcast(ev), "g")
+        .groupBy(col("doc_id"), col("benchmark"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(ng, "doc_id")
+        .select(col("doc_id"), col("benchmark"),
+          col("ng").cast("int").as("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("ng"), 6)
+            .as("contamination"))
+        .orderBy(col("doc_id"), col("benchmark"))
+    },
+
     // ----- benchmark decontamination: flag training docs sharing any
     // word n-gram with a held-out eval set (doc_id % 97 = 0 here; in
     // production the eval suites). The eval-set n-gram table is tiny

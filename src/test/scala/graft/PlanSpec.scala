@@ -633,6 +633,36 @@ class PlanSpec extends SparkSpec {
         "vote-budget guard fired at an oracle gate SF)")
   }
 
+  test("q239 cross-modal pairs: both candidate joins bucketed, never all-pairs") {
+    val p = plan("q239_crossmodal_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "a candidate generator regressed to a non-equi join")
+    assert(p.contains("dhash_sig"),
+      "media signatures must be the fused MediaSig expression")
+    assert(p.contains("bkt"), "media candidate join lost its bucket key")
+    assert(p.contains("bval"), "text candidate join lost its band key")
+    assert(!p.contains("sequence(1, length"),
+      "per-byte explode returned to the media signature stage")
+  }
+
+  test("q240 contamination attribution: eval table broadcasts, corpus never shuffles for the hit join") {
+    val p = plan("q240_contamination_attribution")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (benchmark, gram) eval table must broadcast")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "attribution join regressed to a non-equi join")
+  }
+
+  test("q241 epoch-aware selection: equi joins only, one cluster-partitioned window") {
+    val p = plan("q241_epoch_dedup_select")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "candidate generation regressed to a non-equi join")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(specs > 0 &&
+      "windowspecdefinition\\(cluster_id".r.findAllIn(p).size == specs,
+      "the only window is the cluster-partitioned representative pick")
+  }
+
   test("q236 vocab coverage: final plan reuses the spectrum exchange, one corpus pass") {
     // the totals and cum branches are plan-identical up to the
     // spectrum exchange (the q203 mechanism); the partition-less

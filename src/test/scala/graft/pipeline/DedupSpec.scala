@@ -93,4 +93,36 @@ class DedupSpec extends SparkSpec {
       signTables = 4, signBits = 2).as[(Long, Long)].collect().toSet
     assert(bySign == Set((2L, 1L)))
   }
+
+  test("q241 selects the EARLIEST-EPOCH cluster member, not the min id") {
+    // one near-dup family: ids 5 (epoch 5 % 3 = 2) and 7 (epoch 1).
+    // A min-id keep-list (q133/q138 semantics) keeps 5; the
+    // epoch-aware selection must keep 7 — content first seen in
+    // epoch 1 is suppressed in epoch 2, whatever the ids say.
+    // Stopword-heavy text passes the q138 quality gate; the two
+    // variants share most shingles (jacc >= 0.1).
+    import spark.implicits._
+    val a = "the cat sat on the mat and the dog sat on the mat too"
+    val b = "the cat sat on the mat and the dog sat on the mat again"
+    val lone = "the bird flew over the hill and the fox ran to the den"
+    val rows = graft.Registry.all.find(_.name == "q241_epoch_dedup_select").get
+      .fn(spark, writeDocs(Seq((5L, a), (7L, b), (9L, lone))))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(rows.keySet == Set(5L, 7L, 9L))
+    assert(rows(5L)._1 == rows(7L)._1, "near-dup pair must share a cluster")
+    assert(rows(7L) == (rows(7L)._1, 1, 1), "epoch-1 member must be selected")
+    assert(rows(5L)._3 == 0, "the later-epoch (lower-id) member must NOT be selected")
+    assert(rows(9L) == (9L, 0, 1), "unclustered survivor selects trivially")
+  }
+
+  /** Write a documents.parquet a QueryDef fn can consume as an sf dir. */
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q241").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(dir + "/documents.parquet")
+    dir
+  }
 }
