@@ -156,7 +156,8 @@ object Bench {
     "q238_stream_ann_ingest",
     "q239_crossmodal_pairs",
     "q240_contamination_attribution",
-    "q241_epoch_dedup_select")
+    "q241_epoch_dedup_select",
+    "q242_ann_index_topk")
 
   /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
     * the number of OTHER live JVMs on the box, sampled from /proc.

@@ -1498,8 +1498,108 @@ object Similarity extends QueryModule {
         |  CAST(max(CASE WHEN dcode.j = 3 THEN dcode.code END) AS INTEGER) AS c3
         |FROM da JOIN dcode USING (vec_id)
         |GROUP BY da.vec_id, da.cluster
-        |ORDER BY da.vec_id""") { (s, dir) => streamAnnIngest(s, dir) }
+        |ORDER BY da.vec_id""") { (s, dir) => streamAnnIngest(s, dir) },
+
+    // ----- q242: top-k retrieval AGAINST THE PERSISTED INDEX — the
+    // read side that completes the standing-index lifecycle (save →
+    // ingest → probe; dedup's q176/q185 story on vectors): queries
+    // never see raw corpus vectors, only the postings table the index
+    // stores at rest, and the scan is PARTITION-PRUNED to the
+    // queries' own clusters (the postings partition on the coarse
+    // cell; the 9 query clusters collect driver-side — broadcast-
+    // class — into a static IN filter, so a 1000-cell 100 TB index
+    // reads ≤ 9 partitions; PlanSpec pins PartitionFilters on the
+    // executed scan). Candidates include TODAY'S INGESTED vectors:
+    // the delta slice is assigned and appended through q238's per-row
+    // path before probing, and the oracle replays corpus fit + corpus
+    // codes + delta assignment + the cluster-gated ADC sum end to
+    // end. Scoring is q186's ADC: per-query 16-entry lookup tables
+    // broadcast; a candidate costs 4 integer-keyed adds. -----
+    q("q242_ann_index_topk",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |${duckPqCtes(duckPqRawSrc)},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |dsub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM dflat),
+        |dc AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM dsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |dcode AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+        |         FROM dc) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |allcodes AS (SELECT vec_id, j, code FROM pcodes
+        |             UNION ALL SELECT vec_id, j, code FROM dcode),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         $duckAdcSum AS adist
+        |       FROM allcodes t
+        |       JOIN plt l ON l.j = t.j AND l.code = t.code
+        |       JOIN allc ct ON ct.vec_id = t.vec_id
+        |       JOIN a3 cq ON cq.vec_id = l.query_id
+        |         AND cq.cluster = ct.cluster
+        |       WHERE t.vec_id <> l.query_id
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => annIndexTopK(s, dir) }
   )
+
+  /** q242's engine: build + ingest the persisted index, then probe it
+    * reading ONLY the queries' cluster partitions. */
+  private[pipeline] def annIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-annq-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    val fn = AnnIndex.assigner(s, idxPath)
+    // today's arrivals join the standing index before the probe
+    // (q238's per-row path; batch-vs-stream is a non-difference for a
+    // stateless per-row map, which AnnIngestSpec pins)
+    AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val qCl = fn(queries)
+      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))
+    val cb = s.read.parquet(s"$idxPath/model/codebooks")
+      .select(col("j").cast("int").as("j"), col("code").cast("int").as("code"),
+        col("cv"))
+    val lut = edOf(queries)
+      .select(col("vec_id").as("query_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  j -> struct(j AS j, slice(ev, j * 16 + 1, 16) AS sv))"""
+          .stripMargin)).as("p"))
+      .select(col("query_id"), col("p.j").as("j"), col("p.sv").as("sv"))
+      .join(broadcast(cb), "j")
+      .select(col("query_id"), col("j"), col("code"),
+        round(VecMath.vec_sq_dist(col("sv"), col("cv")), 6).as("d"))
+      .join(broadcast(qCl), "query_id")
+    // the queries' clusters, collected driver-side (broadcast-class:
+    // one int per query) into a STATIC partition filter — the
+    // postings scan must read only those directories
+    val clusters = qCl.select(col("q_cluster")).distinct()
+      .collect().map(_.getInt(0))
+    val postings = s.read.parquet(s"$idxPath/postings")
+      .filter(col("cluster").isin(clusters.map(c => c: Any): _*))
+    val codes = postings.select(col("vec_id"), col("cluster"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("j", "code")))
+    adcTop3(codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("cluster") === col("q_cluster")
+        && col("vec_id") =!= col("query_id")))
+  }
 
   /** q238's engine: save the frozen index from the corpus slice,
     * stream the delta slice through the persisted model's per-row

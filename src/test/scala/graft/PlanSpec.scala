@@ -663,6 +663,18 @@ class PlanSpec extends SparkSpec {
       "the only window is the cluster-partitioned representative pick")
   }
 
+  test("q242 index probe: postings scan partition-prunes to the query clusters") {
+    val p = plan("q242_ann_index_topk")
+    // the standing index partitions on cluster; the 9 query clusters
+    // collect into a static IN filter, so the scan must carry
+    // PartitionFilters on cluster — at a 1000-cell 100 TB index this
+    // is the difference between reading <= 9 directories and the lot
+    assert("PartitionFilters: \\[cluster".r.findAllIn(p).nonEmpty,
+      "postings scan lost its cluster partition filter")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "ADC scoring regressed to a non-equi join")
+  }
+
   test("q236 vocab coverage: final plan reuses the spectrum exchange, one corpus pass") {
     // the totals and cum branches are plan-identical up to the
     // spectrum exchange (the q203 mechanism); the partition-less
