@@ -157,7 +157,9 @@ object Bench {
     "q239_crossmodal_pairs",
     "q240_contamination_attribution",
     "q241_epoch_dedup_select",
-    "q242_ann_index_topk")
+    "q242_ann_index_topk",
+    "q243_stream_contam_attribution",
+    "q244_ann_index_health")
 
   /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
     * the number of OTHER live JVMs on the box, sampled from /proc.

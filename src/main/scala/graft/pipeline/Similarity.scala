@@ -1555,8 +1555,66 @@ object Similarity extends QueryModule {
         |             ORDER BY adist, vec_id) AS rn FROM sc)
         |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
-        |ORDER BY query_id, rn""") { (s, dir) => annIndexTopK(s, dir) }
+        |ORDER BY query_id, rn""") { (s, dir) => annIndexTopK(s, dir) },
+
+    // ----- q244: standing-index HEALTH report — the observability
+    // pass an index-ops pipeline runs at every day close: per-cell
+    // posting counts (corpus + today's ingested delta), each cell's
+    // integer-permille share, and a HOT flag (count > 2× the mean
+    // cell size — all-integer cross-multiplied). Cell imbalance is
+    // what drives the refit cadence: ingest drift concentrates new
+    // vectors in a few cells, their probe cost grows linearly with
+    // cell width (q242 reads whole cells), and a hot flag is the
+    // refit/split trigger. One groupBy over the postings table (the
+    // scan reads ONLY the partition column — a metadata-cheap
+    // column), plus a broadcast of the k-row totals. -----
+    q("q244_ann_index_health",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |h AS (SELECT cluster, count(*) AS n_vecs FROM allc
+        |      GROUP BY cluster),
+        |t AS (SELECT sum(n_vecs) AS tot, count(*) AS k FROM h)
+        |SELECT CAST(h.cluster AS INTEGER) AS cluster,
+        |  CAST(h.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(1000 * h.n_vecs // t.tot AS BIGINT) AS permille,
+        |  CAST(h.n_vecs * t.k > 2 * t.tot AS INTEGER) AS hot
+        |FROM h, t ORDER BY cluster""") { (s, dir) =>
+      annIndexHealth(s, dir)
+    }
   )
+
+  /** q244's engine: the full save→ingest lifecycle, then one
+    * histogram over the postings table's PARTITION column. */
+  private[pipeline] def annIndexHealth(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-annh-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    AnnIndex.append(
+      AnnIndex.assigner(s, idxPath)(e.filter(col("vec_id") % 10 === 9)),
+      idxPath)
+    val h = s.read.parquet(s"$idxPath/postings")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    h.crossJoin(broadcast(
+        h.agg(sum(col("n_vecs")).as("tot"), count(lit(1)).as("k"))))
+      .select(col("cluster").cast("int").as("cluster"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        expr("1000 * n_vecs div tot").cast("long").as("permille"),
+        (col("n_vecs") * col("k") > col("tot") * 2).cast("int").as("hot"))
+      .orderBy(col("cluster"))
+  }
 
   /** q242's engine: build + ingest the persisted index, then probe it
     * reading ONLY the queries' cluster partitions. */

@@ -261,6 +261,73 @@ object TextAnalysis extends QueryModule {
     (out, stateRows)
   }
 
+  /** q243's engine: q240's attribution on q158's sealed-window
+    * streaming machinery. Differences from [[decontamStream]]: the
+    * eval table carries benchmark provenance (so one gram can
+    * attribute to several suites — the join multiplies accordingly),
+    * the per-doc gram count rides each exploded row (size of the gram
+    * array BEFORE the explode — the multi-benchmark join makes
+    * count(*) per doc wrong for n_grams), and the hit join is INNER:
+    * clean docs never enter state. The sentinel only needs to reach
+    * the watermark NODE (directly above the union) — the watermark
+    * advances on observed event times, so dropping the sentinel's
+    * grams at the join afterwards is safe where a pushed-down FILTER
+    * below the watermark node would not be (the q158 lesson). */
+  private[pipeline] def streamContamAttribution(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = Tables.t(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    require(maxId < SentinelId,
+      s"watermark sentinel $SentinelId no longer exceeds max doc_id $maxId")
+    val evB = docs
+      .filter(col("doc_id") % 97 === 0)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(concat(lit("bench"),
+        expr("(doc_id div 97) % 4").cast("string")).as("benchmark"),
+        explode(expr(sparkGrams3)).as("g"))
+      .distinct()
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    sentinel.addData((SentinelId, "zsentinela zsentinelb zsentinelc"))
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val hits = stream
+      .unionByName(sentinel.toDF().toDF("doc_id", "text"))
+      .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
+      .withWatermark("ts", "0 seconds")
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("gr", expr(sparkGrams3))
+      .select(col("doc_id"), col("ts"), size(col("gr")).as("ng"),
+        explode(col("gr")).as("g"))
+      .join(broadcast(evB), "g")
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"),
+        col("benchmark"))
+      .agg(max(col("ng")).as("ng"), count(lit(1)).as("n_shared"))
+      .drop("window")
+    val qname = "graft_stream_contam_attr"
+    s.catalog.dropTempView(qname)
+    val query = hits.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    s.table(qname)
+      .select(col("doc_id"), col("benchmark"),
+        col("ng").cast("int").as("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("ng"), 6)
+          .as("contamination"))
+      .orderBy(col("doc_id"), col("benchmark"))
+  }
+
   /** q193's engine (r12 rework): streaming trending terms with the
     * SEALED-WINDOW shape a 100 TB stream needs, replacing the r11
     * complete-mode form the verdict flagged (memory sink holding
@@ -770,6 +837,37 @@ object TextAnalysis extends QueryModule {
           round(col("n_shared").cast("double") / col("ng"), 6)
             .as("contamination"))
         .orderBy(col("doc_id"), col("benchmark"))
+    },
+
+    // ----- q243: contamination attribution AT INGEST — q240's
+    // streaming twin, on q158's machinery: arriving docs explode to
+    // n-grams carrying their own per-doc gram count, INNER-join the
+    // broadcast (benchmark, gram) eval table (an unmatched doc never
+    // enters state — the gate most arrivals pass through for free),
+    // and per-(1s-window, doc, benchmark) counts finalize in an
+    // append-mode event-time aggregation that seals and EVICTS as the
+    // watermark passes — bounded state on an unbounded ingest stream.
+    // The sentinel survives to the watermark node (its grams then
+    // drop at the join, AFTER its timestamp was observed — the
+    // watermark advances on observed event times, not on rows
+    // reaching the sink). Identical result to batch q240, so it
+    // shares the oracle. -----
+    q("q243_stream_contam_attribution",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckGrams3 AS grams FROM w WHERE len(w) >= 3),
+         |ev AS (SELECT DISTINCT 'bench' || ((doc_id // 97) % 4) AS benchmark,
+         |         unnest(grams) AS g
+         |       FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+         |       FROM g WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, ev.benchmark,
+         |  CAST(tr.n_grams AS INTEGER) AS n_grams,
+         |  count(*) AS n_shared,
+         |  round(count(*)::DOUBLE / tr.n_grams, 6) AS contamination
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY tr.doc_id, ev.benchmark, tr.n_grams
+         |ORDER BY doc_id, benchmark""") { (s, dir) =>
+      streamContamAttribution(s, dir)
     },
 
     // ----- benchmark decontamination: flag training docs sharing any

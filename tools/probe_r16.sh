@@ -55,6 +55,10 @@ step q235_x100       target/sf1x100_doc "$SNAP_V3" $R graft.Bench q235_media_ali
 # --- q224: old-code same-data x100 row (snapshot v1 = pre-route code)
 step q224_x100_oldcode target/sf1x100_doc /root/repo/target/probe_r16/classes_v1 $R graft.Bench q224_phash_near_dup
 
+# --- q242 index probe: scaled embeddings tiers
+step q242_z100    target/zipf_z100   "$SNAP_V3" $R graft.Bench q242_ann_index_topk
+step q242_x100emb target/sf1x100_emb "$SNAP_V3" $R graft.Bench q242_ann_index_topk
+
 # --- x1000 tails for the cheap linear ops
 step q239_x1000 target/sf1x1000_doc "$SNAP_V3" $R graft.Bench q239_crossmodal_pairs
 step q241_x1000 target/sf1x1000_doc "$SNAP_V3" $R graft.Bench q241_epoch_dedup_select
