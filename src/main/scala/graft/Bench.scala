@@ -159,7 +159,9 @@ object Bench {
     "q241_epoch_dedup_select",
     "q242_ann_index_topk",
     "q243_stream_contam_attribution",
-    "q244_ann_index_health")
+    "q244_ann_index_health",
+    "q245_crossmodal_dedup_clusters",
+    "q246_stream_cell_drift")
 
   /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
     * the number of OTHER live JVMs on the box, sampled from /proc.

@@ -835,6 +835,73 @@ object Multimodal extends QueryModule {
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       crossModalPairs(Tables.t(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- q245: cross-modal DEDUP KEEP-LIST — q239's verdicts acted
+    // on, the way q133 acts on q52's pairs: only the CONSISTENT pairs
+    // (near-dup in BOTH modalities — the high-precision duplicate
+    // signal; text_only/media_only are QA flags, not dedup evidence)
+    // become edges of the duplicate graph, connected components name
+    // each cluster by its smallest doc_id, and `keep` marks the
+    // canonical representative per cluster. This is the keep-list a
+    // PAIRED-corpus (caption+image) curation pipeline ships: dedup
+    // evidence must agree across modalities before a document is
+    // dropped, which is exactly how production multimodal dedup
+    // avoids collapsing same-caption-different-image families. Same
+    // scale shape as q133 (bounded candidate joins + Pregel CC —
+    // never all-pairs, supersteps bounded by cluster diameter). -----
+    q("q245_crossmodal_dedup_clusters",
+      Dedup.duckPairsCtes(recursive = true) +
+        """,
+          |mbytes AS (
+          |  SELECT doc_id, length(text) AS L, i.i AS i,
+          |    ascii(substr(text, i.i, 1)) AS b
+          |  FROM documents, unnest(range(1, length(text)+1)) AS i(i)),
+          |mpx0 AS (SELECT doc_id, ((i-1)*32) // L AS cell,
+          |           sum(b) // count(*) AS px
+          |         FROM mbytes GROUP BY doc_id, ((i-1)*32) // L),
+          |mgrid AS (SELECT d.doc_id, g.cell, coalesce(mpx0.px, 0) AS px
+          |          FROM (SELECT doc_id FROM documents) d
+          |          CROSS JOIN (SELECT unnest(range(32)) AS cell) g
+          |          LEFT JOIN mpx0 ON mpx0.doc_id = d.doc_id
+          |                        AND mpx0.cell = g.cell),
+          |mb0 AS (SELECT doc_id, cell, px,
+          |          lead(px) OVER (PARTITION BY doc_id ORDER BY cell) AS pxr
+          |        FROM mgrid),
+          |mbits AS (SELECT doc_id, (cell // 8) * 7 + (cell % 8) AS j,
+          |            CASE WHEN px < pxr THEN 1 ELSE 0 END AS bit
+          |          FROM mb0 WHERE cell % 8 < 7),
+          |mph AS (SELECT doc_id,
+          |          CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS phash
+          |        FROM mbits GROUP BY doc_id),
+          |mbl AS (SELECT doc_id, phash, j, (phash >> (7*j)) & 127 AS bkt
+          |        FROM mph CROSS JOIN (SELECT unnest(range(4)) AS j)),
+          |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |            a.phash AS ha, b.phash AS hb
+          |          FROM mbl a JOIN mbl b ON a.j = b.j AND a.bkt = b.bkt
+          |            AND a.doc_id < b.doc_id),
+          |mp AS (SELECT doc_a, doc_b FROM mcand
+          |       WHERE bit_count(xor(ha, hb)) <= 3),
+          |cons AS (SELECT g.doc_a, g.doc_b FROM good g
+          |         JOIN mp m ON g.doc_a = m.doc_a AND g.doc_b = m.doc_b),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM cons
+          |          UNION SELECT doc_b, doc_a FROM cons),
+          |walk(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION SELECT a, a FROM edges
+          |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
+          |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS keep
+          |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = crossModalPairs(Tables.t(s, dir, "documents"))
+        .filter(col("verdict") === "consistent")
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      graft.graph.Graph.fromEdges(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents()
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          (col("id") === col("comp")).as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 

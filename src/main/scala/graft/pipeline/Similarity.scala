@@ -1592,8 +1592,89 @@ object Similarity extends QueryModule {
         |  CAST(h.n_vecs * t.k > 2 * t.tot AS INTEGER) AS hot
         |FROM h, t ORDER BY cluster""") { (s, dir) =>
       annIndexHealth(s, dir)
+    },
+
+    // ----- q246: STREAMING cell-arrival drift — the live twin of
+    // q244's day-close health report (and the index-side sibling of
+    // q237's batch PSI): per 100 s event-time window, how many
+    // arriving vectors route to each coarse cell of the FROZEN index.
+    // Ingest drift shows up here first — a cell whose arrival share
+    // climbs window over window is tomorrow's hot cell — hours before
+    // the day-close histogram moves. Per-row broadcast-literal
+    // assignment (q238's streaming-safe device), then ONE append-mode
+    // windowed count: groups seal and EVICT as the watermark passes
+    // (bounded state: windows × k cells), deterministic under any
+    // micro-batch schedule, so the batch oracle (delta assignment +
+    // epoch bucketing) replays it exactly. Arrival clock ts =
+    // vec_id + 1 s (the q136 convention); the far-future sentinel
+    // carries vec_id ≡ 9 (mod 10) so the pushed-down delta filter
+    // cannot drop it below the watermark node (the q158 lesson). -----
+    q("q246_stream_cell_drift",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1)
+        |SELECT epoch_ms(((da.vec_id + 1) // 100) * 100000) AS w_start,
+        |  CAST(da.cluster AS INTEGER) AS cluster,
+        |  count(*) AS n_arrivals
+        |FROM da GROUP BY 1, 2
+        |ORDER BY w_start, cluster""") { (s, dir) =>
+      streamCellDrift(s, dir)
     }
   )
+
+  /** q246's engine: frozen-index per-row assignment inside a
+    * watermark-sealed windowed count. */
+  private[pipeline] def streamCellDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-anndrift-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    val fn = AnnIndex.assigner(s, idxPath)
+    // ≡ 9 (mod 10): the sentinel must PASS the delta filter (Catalyst
+    // pushes it through the union below the watermark node)
+    val sentinelSec = 4102444809L
+    val maxId = e.agg(max(col("vec_id").cast("long"))).head.getLong(0)
+    require(maxId + 1 < sentinelSec,
+      s"vec_id $maxId reaches the watermark sentinel epoch $sentinelSec")
+    val raw = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    sentinel.addData((sentinelSec, Array.fill(64)(0f)))
+    val stream =
+      (if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/embeddings.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .unionByName(sentinel.toDF().toDF("vec_id", "embedding"))
+        .filter(col("vec_id") % 10 === 9)
+    val agg = fn(stream)
+      .withColumn("ts", expr("timestamp_seconds(vec_id + 1)"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "100 seconds"), col("cluster"))
+      .agg(count(lit(1)).as("n_arrivals"))
+    val qname = "graft_stream_cell_drift"
+    s.catalog.dropTempView(qname)
+    val query = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    s.table(qname)
+      .select(col("window.start").as("w_start"), col("cluster"),
+        col("n_arrivals"))
+      .orderBy(col("w_start"), col("cluster"))
+  }
 
   /** q244's engine: the full save→ingest lifecycle, then one
     * histogram over the postings table's PARTITION column. */

@@ -268,6 +268,44 @@ class MultimodalSpec extends SparkSpec {
       s"route diverged: missing=${truth -- routed}, extra=${routed -- truth}")
   }
 
+  test("q245 clusters only cross-modally CONSISTENT pairs; single-modality evidence never merges") {
+    // family {1,2,3}: identical payloads — near-dup in BOTH
+    // modalities (consistent) -> one cluster, keeper 1. Docs 10/11:
+    // same words REORDERED such that shingles still overlap (text
+    // near-dup) but the byte layout shifts the dHash past hamming 3
+    // (text_only) -> they must NOT merge. Doc 20: unrelated.
+    import spark.implicits._
+    val fam = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat runs across the wide field toward the old barn"
+    val t10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    // rotate words: shares most 3-shingles' words -> verify below
+    val t11 = "omega alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val docs = Seq((1L, fam), (2L, fam), (3L, fam), (10L, t10),
+      (11L, t11), (20L, "completely different content entirely here now"))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.crossModalPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4))).toMap
+    assert(pairs((1L, 2L)) == "consistent" && pairs((1L, 3L)) == "consistent"
+      && pairs((2L, 3L)) == "consistent")
+    val rows = graft.Registry.all
+      .find(_.name == "q245_crossmodal_dedup_clusters").get
+      .fn(spark, {
+        val dir = java.nio.file.Files.createTempDirectory("graft_q245").toString
+        docs.coalesce(1).write.parquet(dir + "/documents.parquet"); dir
+      })
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L),
+      s"only the consistent family clusters, got ${rows.keySet}")
+    assert(rows(1L) == (1L, true) && rows(2L) == (1L, false)
+      && rows(3L) == (1L, false))
+    // the 10/11 pair must carry evidence in at most one modality
+    pairs.get((10L, 11L)).foreach(v => assert(v != "consistent",
+      "reordered-words pair must not be cross-modally consistent"))
+  }
+
   // ---- q235 scale guards (r16 — the r15 verdict's one `weak`) -------
 
   /** Loud/quiet alternating 64-byte frames: every loud frame is an
