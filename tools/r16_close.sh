@@ -8,7 +8,7 @@
 # registry change; resume-aware via step markers.
 cd /root/repo
 mkdir -p target/probe_r16
-L=target/probe_r16/close.log
+L=target/probe_r16/close2.log
 touch "$L"
 step() {
   local label="$1"; shift
@@ -38,10 +38,10 @@ step loc bash -c '
        \( -name "*.java" -o -name "*.scala" \) -path "*/src/main/*" \
        2>/dev/null | sort | tr "\n" "\0" | xargs -0 cat | wc -l'
 
-step sf001_dump $R graft.Verify /root/testdata/sf0.01 target/verify_r16_final
-step sf001_check bash -c "python3 tools/check.py /root/testdata/sf0.01 target/verify_r16_final 2>/dev/null | tail -3"
+step sf001_dump $R graft.Verify /root/testdata/sf0.01 target/verify_r16_final2
+step sf001_check bash -c "python3 tools/check.py /root/testdata/sf0.01 target/verify_r16_final2 2>/dev/null | tail -3"
 step sf01_dump $R graft.Verify /root/testdata/sf0.1 target/verify_sf01_r16
-NOTE="Second-scale-factor oracle sweep for round 16: full graft.Verify dump at sf0.1 (key-count guard green) hash-compared against DuckDB per tools/check.py, q61_graph_cc via the certificate checker (tools/cc_cert.py). Registry grew to 246 this round (q238 streaming ANN index ingest, q239 cross-modal pair consistency, q240 contamination attribution, q241 epoch-aware dedup-at-selection, q242 partition-pruned ANN index probe, q243 streaming contamination attribution, q244 ANN index health report); rows carry the driver's rows_match/schema_match/hash_match booleans; assembly self-enforcing against the live registry size."
+NOTE="Second-scale-factor oracle sweep for round 16: full graft.Verify dump at sf0.1 (key-count guard green) hash-compared against DuckDB per tools/check.py, q61_graph_cc via the certificate checker (tools/cc_cert.py). Registry grew to 248 this round (q238 streaming ANN index ingest, q239 cross-modal pair consistency, q240 contamination attribution, q241 epoch-aware dedup-at-selection, q242 partition-pruned ANN index probe, q243 streaming contamination attribution, q244 ANN index health report, q245 cross-modal dedup keep-list, q246 streaming cell-arrival drift); rows carry the driver's rows_match/schema_match/hash_match booleans; assembly self-enforcing against the live registry size."
 step sf01_artifact python3 tools/sf01_artifact.py /root/testdata/sf0.1 target/verify_sf01_r16 16 "$NOTE"
 step bench bash -c "SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $R graft.Bench | grep '\"metric\"' > BENCH_r16_local.json; cat BENCH_r16_local.json"
 step bench_recheck env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python3 tools/bench_recheck.py BENCH_r16_local.json BENCH_r15_local.json --driver BENCH_r15.json
