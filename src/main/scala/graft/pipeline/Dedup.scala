@@ -644,17 +644,60 @@ object Dedup extends QueryModule {
   private[pipeline] def lshVerifiedPairs(docs: DataFrame): DataFrame =
     lshVerifiedPairs(docs, maxBucketWidth = Int.MaxValue)
 
+  private[pipeline] def lshVerifiedPairs(docs: DataFrame,
+      maxBucketWidth: Int): DataFrame =
+    lshVerifiedPairs(docs, maxBucketWidth, forceStringVerify = false)
+
   /** @param maxBucketWidth drop band buckets wider than this BEFORE
     *   the pair join — the 100 TB safety valve against degenerate
     *   buckets (replicated or boilerplate-heavy corpora make bucket
     *   sizes, and so candidate pairs, grow quadratically; a bucket
     *   that wide is boilerplate by definition). An explicit recall
-    *   trade-off: the default keeps exact semantics. */
-  private[pipeline] def lshVerifiedPairs(docs: DataFrame, maxBucketWidth: Int): DataFrame = {
-    val shl = docs
+    *   trade-off: the default keeps exact semantics.
+    * @param forceStringVerify test dial: skip the hashed-shingle
+    *   verify and ship the string arrays (the pre-r17 plan), so
+    *   DedupSpec can pin hashed ≡ string. */
+  private[pipeline] def lshVerifiedPairs(docs: DataFrame, maxBucketWidth: Int,
+      forceStringVerify: Boolean): DataFrame = {
+    val shlStr = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+    // r17 (r16 verdict item 4): the Jaccard-verify join ships every
+    // candidate doc's shingle SET through the shuffle twice; at 5M
+    // docs the STRING arrays (~3-word shingles) exhausted one host's
+    // shuffle disk (the q241 x1000 honest negative). Verify on 64-bit
+    // HASHED shingles instead — 8 bytes per element — after
+    // CERTIFYING injectivity on this corpus: count(distinct shingle)
+    // == count(distinct xxhash64(shingle)) means the hash is a
+    // bijection between the two universes, so |A∩B| and |A∪B| — and
+    // therefore the Jaccard and the ≥ 0.1 fence — are IDENTICAL on
+    // hashed sets. One map-side-combinable aggregate buys a provably
+    // exact (per run, no probabilistic argument) 3-5× shuffle-volume
+    // cut; a failed certificate (≈ n²/2⁶⁴ odds) falls back to the
+    // string plan with a WARN.
+    val useHashed = !forceStringVerify && {
+      // CASE-guarded shingle source: a bare explode over the filtered
+      // projection trips InferFiltersFromGenerate, which re-evaluates
+      // the transform in a filter pushed BELOW the ≥3-words fence and
+      // faults on 2-word docs (the kmeansCentroids r8 lesson)
+      val c = docs
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(explode(expr("CASE WHEN size(w) >= 3 THEN " +
+          sparkShingles + " ELSE array() END")).as("s"))
+        .agg(count_distinct(col("s")).as("ns"),
+          count_distinct(xxhash64(col("s"))).as("nh")).head
+      val ok = c.getLong(0) == c.getLong(1)
+      if (!ok) println("[lsh-verify] WARN 64-bit shingle hashing is " +
+        "NOT injective on this corpus (distinct shingles " +
+        s"${c.getLong(0)} vs distinct hashes ${c.getLong(1)}) — " +
+        "verifying on string shingles")
+      ok
+    }
+    val shl = if (useHashed)
+      shlStr.select(col("doc_id"),
+        expr("transform(shingles, x -> xxhash64(x))").as("shingles"))
+    else shlStr
     // The scalable LSH shape: explode signatures into (band, value)
     // bucket rows and equi-join on the bucket key — a hash-partition
     // join linear in bucket sizes. An OR-of-bands join condition

@@ -786,9 +786,13 @@ object Multimodal extends QueryModule {
     // bytes stand in for the media); in production the two sides are
     // separate columns and the plan shape — two signature families,
     // two bucketed candidate joins, one pair-keyed outer join — is
-    // unchanged. Both sides run their exact semantics (the media
-    // route is forced off); dup-heavy corpora dedup first (q50/q133,
-    // the family-standard order), which bounds both pair lists. -----
+    // unchanged. Both sides run their exact semantics at any
+    // duplicate density: dup-heavy corpora collapse exact clone
+    // groups per modality IN ENGINE and expand the pair list back
+    // (r17 — phashNearDup's signature expansion, textPairsClone's
+    // payload expansion; both exactly output-preserving, both
+    // spec-pinned route ≡ unrouted), so the oracle contract holds
+    // unconditionally on data shape. -----
     q("q239_crossmodal_pairs",
       Dedup.duckPairsCtes(recursive = false) +
         """,
@@ -892,9 +896,11 @@ object Multimodal extends QueryModule {
           |  UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
           |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS keep
           |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = crossModalPairs(Tables.t(s, dir, "documents"))
-        .filter(col("verdict") === "consistent")
-        .select(col("doc_a"), col("doc_b"))
+      // crossModalCcEdges: the consistent-pair graph's components from
+      // O(docs + rep-pairs) edges — on clone-free gate corpora it IS
+      // the consistent pair list; on dup-heavy corpora stars replace
+      // within-group complete graphs, components unchanged (spec-pinned)
+      val pairs = crossModalCcEdges(Tables.t(s, dir, "documents"))
         .localCheckpoint()
       graft.graph.Graph.fromEdges(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -910,11 +916,19 @@ object Multimodal extends QueryModule {
     * the family's proven bounded shapes (LSH band buckets / dHash
     * block pigeonhole); the only new operation is a pair-keyed full
     * outer join — pair-list-sized, never corpus-sized. Unordered —
-    * the query sorts. */
+    * the query sorts.
+    *
+    * DUP-HEAVY posture IN ENGINE (r16 verdict item 1 — the "dedup
+    * first" scaladoc note, now code): each side carries its own
+    * exactly-output-preserving clone-collapse route — the media side
+    * pairs distinct signatures and expands ([[phashNearDup]]), the
+    * text side collapses exact payload clones and expands
+    * ([[textPairsClone]]). Neither fires on organic gate/decade
+    * corpora; both are pinned route ≡ unrouted in MultimodalSpec. */
   private[pipeline] def crossModalPairs(docs: DataFrame): DataFrame = {
-    val text = Dedup.lshVerifiedPairs(docs)
+    val text = textPairsClone(docs)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
-    val media = phashNearDup(docs, routeDupRatio = Long.MaxValue)
+    val media = phashNearDup(docs)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     text.join(media, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
@@ -924,6 +938,106 @@ object Multimodal extends QueryModule {
           "consistent")
           .when(col("jacc").isNotNull, "text_only")
           .otherwise("media_only").as("verdict"))
+  }
+
+  /** The text-side pair list with the EXACT payload-clone collapse
+    * route (q239/q245's dedup-first posture in engine, r16 verdict
+    * item 1): one aggregate probes payload dup density; past
+    * `routeDupRatio` the corpus collapses to one representative per
+    * DISTINCT payload (min doc_id), the q52 LSH machinery runs on
+    * representatives only, and the pair list expands back —
+    * cross-group pairs inherit the representative pair's Jaccard
+    * (identical payloads ⇒ identical shingle sets ⇒ identical
+    * Jaccard and identical band buckets), within-group pairs are
+    * exactly jacc 1.0 whenever the payload carries shingles at all
+    * (the ≥ 3-words fence [[Dedup.lshVerifiedPairs]] applies;
+    * shingle-less payloads never pair). Output EXACTLY the unrouted
+    * list at any duplicate density — the pure-function-of-payload
+    * argument mediaAlign's clone route makes. */
+  private[pipeline] def textPairsClone(docs: DataFrame,
+      routeDupRatio: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = docs.agg(count(lit(1)).as("n"),
+      count_distinct(xxhash64(col("text"))).as("d")).head
+    val (nDocs, nTexts) = (st.getLong(0), st.getLong(1))
+    if (nTexts == 0 || nDocs / nTexts < routeDupRatio)
+      Dedup.lshVerifiedPairs(docs)
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+    else {
+      println(s"[textpairs-route] corpus is duplicate-heavy in payload " +
+        s"space ($nDocs docs, $nTexts distinct payloads) — collapsing " +
+        "exact clone groups before LSH pairing and expanding back; " +
+        "output is EXACTLY the all-docs pair list")
+      val g = docs.select(col("doc_id"), col("text"))
+        .withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        .localCheckpoint()
+      val repPairs = Dedup.lshVerifiedPairs(
+          g.filter(col("doc_id") === col("rep"))
+            .select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+      val mem = g.select(col("rep"), col("doc_id"))
+      val cross = repPairs
+        .join(mem.select(col("rep").as("doc_a"), col("doc_id").as("da")),
+          "doc_a")
+        .join(mem.select(col("rep").as("doc_b"), col("doc_id").as("db")),
+          "doc_b")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jacc"))
+      val withShingles = g
+        .filter(size(split(lower(col("text")), " ")) >= 3)
+        .select(col("rep"), col("doc_id"))
+      val within = withShingles.as("x")
+        .join(withShingles.as("y"), col("x.rep") === col("y.rep")
+          && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(1.0).as("jacc"))
+      cross.unionByName(within)
+    }
+  }
+
+  /** q245's edge generator: the consistent pairs SUFFICIENT for
+    * connected components. On payload-dup-heavy corpora the
+    * within-clone-group complete graphs collapse to STAR edges
+    * (representative — member) and cross-group pair families to their
+    * single representative edge, which preserves the component
+    * structure EXACTLY: consistency is a pure function of the two
+    * payloads, so (a ∈ A, b ∈ B) is consistent iff (rep_A, rep_B) is,
+    * and a multi-member group's members are within-consistent iff the
+    * payload carries shingles (text jacc 1.0 + media hamming 0) —
+    * exactly the groups whose stars are emitted. Members of
+    * shingle-less groups are isolated in the true graph (no text
+    * evidence anywhere) and get no star. Edge volume O(docs +
+    * rep-pairs) instead of Θ(dups²). */
+  private[pipeline] def crossModalCcEdges(docs: DataFrame,
+      routeDupRatio: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = docs.agg(count(lit(1)).as("n"),
+      count_distinct(xxhash64(col("text"))).as("d")).head
+    val (nDocs, nTexts) = (st.getLong(0), st.getLong(1))
+    if (nTexts == 0 || nDocs / nTexts < routeDupRatio)
+      crossModalPairs(docs).filter(col("verdict") === "consistent")
+        .select(col("doc_a"), col("doc_b"))
+    else {
+      println(s"[ccedges-route] corpus is duplicate-heavy in payload " +
+        s"space ($nDocs docs, $nTexts distinct payloads) — emitting " +
+        "representative edges + clone-group stars; connected " +
+        "components are EXACTLY the all-pairs graph's")
+      val g = docs.select(col("doc_id"), col("text"))
+        .withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        .localCheckpoint()
+      val repEdges = crossModalPairs(
+          g.filter(col("doc_id") === col("rep"))
+            .select(col("doc_id"), col("text")))
+        .filter(col("verdict") === "consistent")
+        .select(col("doc_a"), col("doc_b"))
+      val stars = g
+        .filter(col("doc_id") =!= col("rep")
+          && size(split(lower(col("text")), " ")) >= 3)
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      repEdges.unionByName(stars)
+    }
   }
 
   /** q226's engine, factored so MultimodalSpec can drive synthetic
@@ -1172,10 +1286,57 @@ object Multimodal extends QueryModule {
           // saturated ones: shared by so many clips that their votes
           // carry no alignment signal anyway (the BM25 maxDfFrac
           // argument at the landmark level).
-          val w = Window.orderBy(col("v"), col("key"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val keep = keyDf.withColumn("cum", sum(col("v")).over(w))
-            .filter(col("cum") <= voteBudget).select(col("key"))
+          //
+          // TWO-PASS BUCKETED cumulative sum (r16 verdict item 5 —
+          // the r15 form's global unpartitioned Window pulled the
+          // whole key table into ONE partition): bucket keys by the
+          // bit-length of v (monotone in v, all-integer), cumulate
+          // the ≤64 bucket totals DRIVER-side, then sort only the
+          // single boundary bucket. Identical keep set to a global
+          // (v, key) running sum: buckets are disjoint v-ranges, so
+          // bucket order ∘ within-bucket (v, key) order IS the
+          // global order.
+          val bucketed = keyDf.withColumn("b", length(bin(col("v"))))
+          val bSums = bucketed.groupBy(col("b"))
+            .agg(sum(col("v")).as("bv")).collect()
+            .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          var rem = voteBudget
+          var boundary = -1
+          val fullBuckets = scala.collection.mutable.ArrayBuffer[Int]()
+          var i = 0
+          while (i < bSums.length && boundary < 0) {
+            val (b, bv) = bSums(i)
+            if (bv <= rem) { rem -= bv; fullBuckets += b }
+            else boundary = b
+            i += 1
+          }
+          val keptFull =
+            if (fullBuckets.isEmpty) keyDf.filter(lit(false))
+            else bucketed.filter(col("b") <= lit(fullBuckets.max))
+          val keptBoundary = if (boundary < 0) keyDf.filter(lit(false))
+          else {
+            // one bucket's keys only — the sort is bounded by keys of
+            // similar vote volume, never the whole key table
+            val w = Window.orderBy(col("v"), col("key"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            bucketed.filter(col("b") === lit(boundary))
+              .withColumn("cum", sum(col("v")).over(w))
+              .filter(col("cum") <= lit(rem))
+          }
+          val keep0 = keptFull.select(col("key"))
+            .unionByName(keptBoundary.select(col("key")))
+          // FLOOR (r16 ADVICE): a budget below even the coolest key's
+          // volume must not silently return an empty alignment table —
+          // keep exactly the coolest (v, key) and say so
+          val keep =
+            if (keep0.isEmpty) {
+              println(s"[align-budget] WARN budget $voteBudget is below " +
+                "the coolest landmark key's own vote volume — flooring " +
+                "to that single key so the alignment table stays " +
+                "non-degenerate; raise GRAFT_ALIGN_VOTE_BUDGET")
+              keyDf.agg(min(struct(col("v"), col("key"))).as("m"))
+                .select(col("m.key").as("key"))
+            } else keep0
           println(s"[align-budget] WARN predicted vote rows $pred > " +
             s"budget $voteBudget — dropping the hottest landmark keys " +
             "from BOTH join sides (rare-landmark voting); raise " +
@@ -1324,54 +1485,80 @@ object Multimodal extends QueryModule {
     * decade probes can hash alone. All-integer: binning, pooling and
     * the bit pack are div/shift/compare on exact longs, zero float
     * surface (the q223 discipline applied to the multimodal family). */
-  /** q224's engine with the IN-ENGINE dup-heavy route (r15 verdict
-    * item 3 — the "production posture" doc note, now code): one cheap
-    * aggregate probes the corpus's signature dup ratio; past
+  /** q224's engine with the EXACTLY-OUTPUT-PRESERVING dup-heavy route
+    * (r16 verdict item 1 applied to the media side — supersedes the
+    * r16 representative-only route, whose output held only
+    * conditionally on data shape, the r16 ADVICE q224 item): one
+    * cheap aggregate probes the corpus's signature dup ratio; past
     * `routeDupRatio` (default 2 — at least half the docs are
     * signature-clones of another) the blocked pair join runs over
-    * DISTINCT signatures only, with doc ids the q225 cluster
-    * representatives (min doc_id per signature). That output is
-    * EXACTLY the unrouted pair list restricted to representatives
-    * (same signatures ⇒ same blocks ⇒ same candidate pairs;
-    * MultimodalSpec pins it) — the within-signature hamming-0 pairs
-    * are q225's cluster rows, Θ(dups²) by definition, and exactly
-    * what a dup-heavy corpus must not materialize (measured: the x100
-    * replica tier saturates the 28-bit grid at ratio 13.7 — 36k
-    * distinct signatures over 500k docs). Organic corpora (gate SFs
-    * ratio ≈ 1.0, z100 ratio 1.04) keep the exact all-docs pair
-    * semantics and the r15 plan shape. */
+    * DISTINCT signatures (bounded candidate space) and the resulting
+    * signature pairs — INCLUDING each multi-member signature's
+    * hamming-0 self-pair — expand back through the (doc_id, phash)
+    * membership table. Hamming is a pure function of the two
+    * signatures, so the expansion reproduces the all-docs pair list
+    * EXACTLY at any duplicate density (MultimodalSpec pins routed ≡
+    * forced-exact on a cloned corpus); the expansion join is
+    * output-sized — the true pair list on a dup-heavy corpus is
+    * Θ(dups²) by definition, but no candidate volume beyond it is
+    * ever materialized (the r16 form's 4-block × full-corpus join at
+    * saturated-bucket density is what exhausted the x1000 probe's
+    * disk). Organic corpora (gate SFs ratio ≈ 1.0, z100 ratio 1.04)
+    * keep the exact all-docs plan shape unchanged. */
   private[pipeline] def phashNearDup(docs: DataFrame,
       routeDupRatio: Long = 2L): DataFrame = {
     val ph0 = phash(docs)
     val st = ph0.agg(count(lit(1)).as("n"),
       count_distinct(col("phash")).as("d")).head
     val (nDocs, nSigs) = (st.getLong(0), st.getLong(1))
-    val ph =
-      // division form: overflow-safe for any routeDupRatio (callers
-      // pass Long.MaxValue to force the exact all-docs semantics)
-      if (nSigs == 0 || nDocs / nSigs < routeDupRatio) ph0
-      else {
-        println(s"[phash-route] corpus is duplicate-heavy in signature " +
-          s"space ($nDocs docs, $nSigs distinct signatures) — pairing " +
-          "DISTINCT signatures only; doc ids are the q225 cluster " +
-          "representatives, within-signature pairs are q225's rows")
-        ph0.groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"), col("phash"))
-      }
-    val bl = ph.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("j"))
-      .withColumn("bkt", expr("shiftright(phash, 7*j) & 127"))
-    val a = bl.select(col("doc_id").as("doc_a"), col("j"), col("bkt"),
-      col("phash").as("ha"))
-    val b = bl.select(col("doc_id").as("doc_b"), col("j"), col("bkt"),
-      col("phash").as("hb"))
-    a.join(b, Seq("j", "bkt"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // division form: overflow-safe for any routeDupRatio (callers
+    // pass Long.MaxValue to force the all-docs join shape)
+    if (nSigs == 0 || nDocs / nSigs < routeDupRatio) {
+      val bl = ph0.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bkt", expr("shiftright(phash, 7*j) & 127"))
+      val a = bl.select(col("doc_id").as("doc_a"), col("j"), col("bkt"),
+        col("phash").as("ha"))
+      val b = bl.select(col("doc_id").as("doc_b"), col("j"), col("bkt"),
+        col("phash").as("hb"))
+      a.join(b, Seq("j", "bkt"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    } else {
+      println(s"[phash-route] corpus is duplicate-heavy in signature " +
+        s"space ($nDocs docs, $nSigs distinct signatures) — pairing " +
+        "DISTINCT signatures and expanding back through the membership " +
+        "table; output is EXACTLY the all-docs pair list")
+      val members = ph0.localCheckpoint()
+      val sigs = members.select(col("phash")).distinct()
+      val bl = sigs.select(col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bkt", expr("shiftright(phash, 7*j) & 127"))
+      val a = bl.select(col("phash").as("ha"), col("j"), col("bkt"))
+      val b = bl.select(col("phash").as("hb"), col("j"), col("bkt"))
+      // ha <= hb keeps each unordered signature pair once and admits
+      // the self-pair (ha = hb, hamming 0) exactly when the signature
+      // has >= 2 members — the within-signature doc pairs the r16
+      // representative route dropped
+      val sigPairs = a.join(b, Seq("j", "bkt"))
+        .filter(col("ha") <= col("hb"))
+        .select(col("ha"), col("hb")).distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+      sigPairs
+        .join(members.select(col("phash").as("ha"),
+          col("doc_id").as("da")), "ha")
+        .join(members.select(col("phash").as("hb"),
+          col("doc_id").as("db")), "hb")
+        .filter(col("ha") =!= col("hb") || col("da") < col("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    }
   }
 
   private[pipeline] def phash(docs: DataFrame): DataFrame =

@@ -27,6 +27,20 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("hashed-shingle verify (r17) is certificate-exact vs the string plan on the real corpus") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = norm(Dedup.lshVerifiedPairs(docs))
+    val strings = norm(Dedup.lshVerifiedPairs(docs,
+      maxBucketWidth = Int.MaxValue, forceStringVerify = true))
+    assert(hashed.nonEmpty, "no pairs at this sf — spec lost its teeth")
+    assert(hashed == strings,
+      s"hashed verify diverged: missing=${(strings -- hashed).take(5)}, " +
+        s"extra=${(hashed -- strings).take(5)}")
+  }
+
   test("streaming dedup horizon forgets duplicates older than the window") {
     // docs 1 and 200 are near-identical but 199 synthetic seconds
     // apart; docs 210/211 are adjacent near-dups

@@ -239,7 +239,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("q224 dup-heavy route pairs distinct signatures only, equals exact-over-representatives") {
+  test("q224 dup-heavy route expands distinct-signature pairs back to EXACTLY the all-docs list") {
     // replicate the organic corpus 3x with IDENTICAL payloads (ids
     // shifted) — signature dup ratio 3 fires the route
     val base = graft.Tables.t(spark, sf, "documents")
@@ -253,19 +253,85 @@ class MultimodalSpec extends SparkSpec {
     }.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out.toString.contains("[phash-route]"),
       "signature dup ratio 3 must trigger the distinct-signature route")
-    // truth: the exact pair list over each signature class's min-id
-    // representative — replicas carry ids >= 10000, so reps live in
-    // the base corpus and the routed output must equal the exact run
-    // restricted to those representatives
-    val repIds = Multimodal.phash(base)
-      .groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val truth = Multimodal
-      .phashNearDup(base.join(repIds, "doc_id"), routeDupRatio = 1000000L)
+    // truth: the FULL all-docs pair list (forced exact) — the r17
+    // expansion route must reproduce it bit for bit, including the
+    // within-signature hamming-0 pairs the r16 representative route
+    // dropped (the r16 ADVICE q224 item)
+    val truth = Multimodal.phashNearDup(docs, routeDupRatio = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(truth.nonEmpty, "no representative pairs — spec lost its teeth")
+    assert(truth.nonEmpty, "no pairs — spec lost its teeth")
+    assert(truth.exists(_._3 == 0),
+      "cloned corpus must contain within-signature hamming-0 pairs")
     assert(routed == truth,
       s"route diverged: missing=${truth -- routed}, extra=${routed -- truth}")
+  }
+
+  test("q239/q245 clone routes: pair list and components EXACTLY the unrouted results") {
+    import spark.implicits._
+    // 4 clone families × 12 copies + 2 singletons. Families f0/f1
+    // share most words (near-dup texts), f2 is distinct prose, f3 has
+    // only 2 words (shingle-less: its members must NOT merge). Ids
+    // interleave so representatives aren't block-aligned.
+    val f0 = "the quick brown fox jumps over the lazy dog near the barn " +
+      "while rain falls softly on the quiet field all day long"
+    val f1 = "the quick brown fox jumps over the lazy dog near the barn " +
+      "while snow falls softly on the quiet field all day long"
+    val f2 = "entirely different prose about compilers lexers parsers " +
+      "registers allocators and the festering art of code generation"
+    val f3 = "tiny payload"
+    val fams = Seq(f0, f1, f2, f3)
+    val docs = (0 until 48).map(i => (i.toLong, fams(i % 4)))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((100L, "singleton one has its own words here okay"),
+        (101L, "another loner with completely private vocabulary indeed"))
+        .toDF("doc_id", "text"))
+    val out = new java.io.ByteArrayOutputStream()
+    val routed = Console.withOut(new java.io.PrintStream(out)) {
+      Multimodal.crossModalPairs(docs).collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+      r.getString(4))).toSet
+    assert(out.toString.contains("[textpairs-route]"),
+      "payload dup ratio 8 must trigger the text clone route")
+    // truth: both routes forced off
+    val truth = {
+      val text = graft.pipeline.Dedup.lshVerifiedPairs(docs)
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+      val media = Multimodal.phashNearDup(docs, routeDupRatio = Long.MaxValue)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      text.join(media, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("jacc"), lit(-1.0)).as("jacc"),
+          coalesce(col("hamming"), lit(-1)).cast("int").as("hamming"),
+          when(col("jacc").isNotNull && col("hamming").isNotNull,
+            "consistent").when(col("jacc").isNotNull, "text_only")
+            .otherwise("media_only").as("verdict"))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3), r.getString(4))).toSet
+    assert(truth.exists(_._5 == "consistent") && truth.size > 100,
+      "constructed corpus must have a rich pair list — spec lost its teeth")
+    assert(routed == truth,
+      s"clone route diverged: missing=${(truth -- routed).take(5)}, " +
+        s"extra=${(routed -- truth).take(5)}")
+    // q245's star-edge route: components must equal the full graph's
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.graph.Graph.fromEdges(
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .connectedComponents().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val routedC = Console.withOut(new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream())) {
+      comps(Multimodal.crossModalCcEdges(docs))
+    }
+    val truthC = comps(spark.createDataFrame(
+      spark.sparkContext.parallelize(truth.filter(_._5 == "consistent")
+        .map(t => org.apache.spark.sql.Row(t._1, t._2)).toSeq),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_a", "long").add("doc_b", "long")))
+    assert(routedC == truthC,
+      "star-edge components diverged from the all-pairs graph's")
+    // shingle-less family f3 must never merge: its members are
+    // media-only pairs, absent from the consistent graph entirely
+    assert(!truthC.keySet.exists(id => id % 4 == 3 && id < 48))
   }
 
   test("q245 clusters only cross-modally CONSISTENT pairs; single-modality evidence never merges") {
@@ -369,9 +435,22 @@ class MultimodalSpec extends SparkSpec {
         s"expected (match 0, offset 0), got $r")
     }
     val fullVotes = full.map(r => r.getLong(3)).max
-    // budget 0: every key refused -> no votes, no alignments
-    assert(Multimodal.mediaAlign(docs, voteBudget = 0L).collect().isEmpty,
-      "voteBudget=0 must refuse every vote")
+    // budget 0 FLOORS to the coolest key (r16 ADVICE: a budget below
+    // even the coolest key must not silently return an empty table):
+    // the coolest key is dt=14, which alone aligns every query
+    val out0 = new java.io.ByteArrayOutputStream()
+    val floored = Console.withOut(new java.io.PrintStream(out0)) {
+      Multimodal.mediaAlign(docs, voteBudget = 0L).collect()
+    }
+    assert(out0.toString.contains("flooring"),
+      "budget below the coolest key must WARN about the floor")
+    assert(floored.length == 4,
+      "floored run must still align every query on the coolest key")
+    floored.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+      assert(r.getLong(3) < fullVotes,
+        "floored votes must be strictly below the exact run's")
+    }
     // middle budget: keys are the peak-pair gaps dt = 2,4,...,14; the
     // key dt carries (18-dt)/2 anchors per doc, so its predicted vote
     // rows are v = (4·a)·(36·a). The coolest key (dt=14, a=2) has

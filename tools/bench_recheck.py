@@ -56,6 +56,14 @@ adjudicate WITHOUT a fresh-JVM re-run when the driver's context shows
 strictly more concurrent JVMs than the local run's — the contention
 explanation the r14/r15 closes spent 679 s of isolation re-proving.
 
+v4.3 (r17, closes the r16 ADVICE medium): the context fast path now
+requires strictly-more other JVMs AND a loadavg at least 2.0 higher
+on the driver run, and even then isolates ONE sampled flagged row
+(largest absolute gap) — if that fresh-JVM run reproduces the
+driver-high number, the fast path is rejected and every flagged row
+isolates as before. A shared driver box can no longer disable the
+anomalous-local check with incidental co-tenancy alone.
+
 Usage: bench_recheck.py <new_local_bench.json> <prev_bench.json>
                         [--baseline-sha <sha>] [--driver <BENCH_rN.json>]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -297,32 +305,70 @@ def main(argv):
         print(f"[recheck] driver artifact {driver_path}: "
               f"{len(set(dq) & set(nq))} common rows; "
               f">={DRIVER_FENCE}x-over-local flagged {d_flagged}")
-        # ---- run-context fast path (v4.2): if BOTH artifacts carry
-        # the graft.Bench context stamp and the driver's run saw
-        # strictly more concurrent JVMs than the local one, the gap
-        # already has its explanation — record contention_by_context
-        # and skip the fresh-JVM isolation those rows used to cost.
+        # ---- run-context fast path (v4.3): the v4.2 form adjudicated
+        # EVERY flagged row as contention whenever the driver saw more
+        # live JVMs than the local run — but a shared driver box
+        # almost always does, so that one coarse scalar could mask a
+        # real regression forever (r16 ADVICE, medium). v4.3 requires
+        # BOTH context signals (strictly more other JVMs AND a 1-min
+        # loadavg at least CTX_LOAD_DELTA higher), and even then
+        # ISOLATES ONE SAMPLED flagged row — the one with the largest
+        # absolute gap, where contention inflation should be most
+        # reproducible — to confirm the explanation generalizes. If
+        # the sampled fresh-JVM run reproduces the driver-high number
+        # instead, the fast path is rejected and every row isolates.
+        CTX_LOAD_DELTA = 2.0
         def other_jvms(doc):
             c = doc.get("run_context") or {}
             vals = [c.get("n_other_java_start"), c.get("n_other_java_end")]
             vals = [v for v in vals if isinstance(v, (int, float)) and v >= 0]
             return max(vals) if vals else None
+        def loadavg(doc):
+            c = doc.get("run_context") or {}
+            vals = [c.get("loadavg_start"), c.get("loadavg_end")]
+            vals = [v for v in vals if isinstance(v, (int, float)) and v >= 0]
+            return max(vals) if vals else None
         d_ctx, l_ctx = other_jvms(d_doc), other_jvms(new)
+        d_load, l_load = loadavg(d_doc), loadavg(new)
         ctx_explains = (d_ctx is not None and l_ctx is not None
-                        and d_ctx > l_ctx)
+                        and d_ctx > l_ctx
+                        and d_load is not None and l_load is not None
+                        and d_load - l_load >= CTX_LOAD_DELTA)
+        sampled_q, sampled_iso = None, None
+        if d_flagged and ctx_explains:
+            # confirm on the widest-gap row before trusting the context
+            sampled_q = max(d_flagged, key=lambda q: dq[q] - nq[q])
+            sampled_iso = isolated_run(sampled_q, sfdir)
+            sampled_reproduced = (sampled_iso is not None
+                                  and sampled_iso > dq[sampled_q] / DRIVER_FENCE)
+            if sampled_reproduced:
+                print(f"[recheck] run_context claimed contention but the "
+                      f"sampled isolation ({sampled_q}: iso={sampled_iso} "
+                      f"vs driver={dq[sampled_q]}) REPRODUCES the driver "
+                      f"number — rejecting the fast path, isolating all")
+                ctx_explains = False
         if d_flagged:
             print(f"[recheck] run_context: driver other-JVMs={d_ctx} "
-                  f"local other-JVMs={l_ctx} -> "
-                  f"{'contention self-identified, skipping isolation' if ctx_explains else 'no context explanation, isolating'}")
+                  f"loadavg={d_load} | local other-JVMs={l_ctx} "
+                  f"loadavg={l_load} -> "
+                  f"{'contention self-identified (JVMs+loadavg) and sampled isolation confirms' if ctx_explains else 'no sufficient context explanation, isolating'}")
         d_rechecks = {}
         for q in d_flagged:
             if ctx_explains:
-                d_rechecks[q] = {"driver": dq[q], "local": nq[q],
-                                 "driver_other_jvms": d_ctx,
-                                 "local_other_jvms": l_ctx,
-                                 "verdict": "contention_by_context"}
+                rec = {"driver": dq[q], "local": nq[q],
+                       "driver_other_jvms": d_ctx,
+                       "local_other_jvms": l_ctx,
+                       "driver_loadavg": d_load,
+                       "local_loadavg": l_load,
+                       "verdict": "contention_by_context"}
+                if q == sampled_q:
+                    rec["isolated"] = sampled_iso
+                    rec["sampled_confirmation"] = True
+                d_rechecks[q] = rec
                 print(f"  [recheck] driver-row {q}: driver={dq[q]} "
-                      f"local={nq[q]} -> contention_by_context")
+                      f"local={nq[q]} -> contention_by_context"
+                      + (f" (sampled isolation {sampled_iso})"
+                         if q == sampled_q else ""))
                 continue
             iso = isolated_run(q, sfdir)
             # anomalous-local ONLY when the fresh idle JVM actually
