@@ -687,13 +687,23 @@ object Similarity extends QueryModule {
   /** The PQ model pieces shared by q186 (ADC over the whole corpus)
     * and q190 (IVF-PQ): subvector table, trained codebooks, and the
     * corpus code table. */
-  private[pipeline] def pqModel(ed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[pipeline] def pqModel(ed: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    pqModelP(ed, pqM, pqKs, pqSubDim)
+
+  /** [[pqModel]] with the geometry as ARGUMENTS (r16 verdict item on
+    * AnnIndex's fixture-scale constants): `m` subspaces of `subDim`
+    * dims, `ks` codewords per subspace. Same deterministic recipe at
+    * any size — first-`ks`-vectors init, one Lloyd update, 6-dp
+    * rounding, ties to the lowest code. The q186/q190 defaults are
+    * pqM/pqKs/pqSubDim, so every oracle-gated query is untouched. */
+  private[pipeline] def pqModelP(ed: DataFrame, m: Int, ks: Int,
+      subDim: Int): (DataFrame, DataFrame, DataFrame) = {
     // (vec_id, j, sv): the m subvectors — a pure map, no shuffle
     val svs = ed.select(col("vec_id"), explode(array(
-        (0 until pqM).map(j => struct(lit(j).as("j"),
-          slice(col("ev"), j * pqSubDim + 1, pqSubDim).as("sv"))): _*)).as("p"))
+        (0 until m).map(j => struct(lit(j).as("j"),
+          slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
-    val cb0 = svs.filter(col("vec_id") < pqKs)
+    val cb0 = svs.filter(col("vec_id") < ks)
       .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
     def assign(cb: DataFrame): DataFrame =
       svs.join(broadcast(cb), "j")
@@ -1685,7 +1695,7 @@ object Similarity extends QueryModule {
     AnnIndex.save(s, corpus, idxPath)
     AnnIndex.append(
       AnnIndex.assigner(s, idxPath)(e.filter(col("vec_id") % 10 === 9)),
-      idxPath)
+      idxPath, epoch = 0L)
     val h = s.read.parquet(s"$idxPath/postings")
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
     h.crossJoin(broadcast(
@@ -1708,7 +1718,8 @@ object Similarity extends QueryModule {
     // today's arrivals join the standing index before the probe
     // (q238's per-row path; batch-vs-stream is a non-difference for a
     // stateless per-row map, which AnnIngestSpec pins)
-    AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath)
+    AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath,
+      epoch = 0L)
     val queries = corpus.filter(col("vec_id") < 10)
     val qCl = fn(queries)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))
@@ -1767,7 +1778,7 @@ object Similarity extends QueryModule {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val assigned = fn(batch).localCheckpoint()
         assigned.write.mode("append").parquet(outPath)
-        AnnIndex.append(assigned, idxPath)
+        AnnIndex.append(assigned, idxPath, epoch = 0L)
       }
       .start()
     q.processAllAvailable()

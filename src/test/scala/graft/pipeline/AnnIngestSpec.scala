@@ -107,5 +107,75 @@ class AnnIngestSpec extends SparkSpec {
     AnnIndex.commitAdmitted(spark, idx, url, table, props)
     assert(spark.read.parquet(s"$idx/postings").count() == after,
       "repeated day-close re-appended already-committed postings")
+
+    // CRASH WINDOW (r17, the r16 ADVICE item): simulate a close that
+    // died between the postings append and the hwm sidecar write — an
+    // epoch directory above the committed hwm with a bogus partial
+    // row. The retry must SWEEP it and land the window exactly once.
+    val hwm = DedupIndex.loadProps(idx, "commit_watermark.properties")
+      .get.getProperty("hwm").toLong
+    val staleDir = new java.io.File(
+      s"$idx/postings/cluster=0/epoch=${hwm + 7}")
+    Seq((424242L, 0, 0, 0, 0))
+      .toDF("vec_id", "c0", "c1", "c2", "c3")
+      .coalesce(1).write.parquet(staleDir.toString)
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("vec_id") === 424242L).count() == 1)
+    AnnIndex.commitAdmitted(spark, idx, url, table, props)
+    val postSweep = spark.read.parquet(s"$idx/postings")
+    assert(postSweep.filter(col("vec_id") === 424242L).count() == 0,
+      "retry must sweep the crashed close's partial epoch directory")
+    assert(postSweep.count() == after,
+      "sweep must leave exactly the committed postings")
+  }
+
+  test("parameterized geometry: assigner derives k/m/subDim from the persisted model") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val delta = e.filter(col("vec_id") % 10 === 9)
+    val idx = tmp("graft-annp-idx")
+    // a DIFFERENT geometry than q190's: 4 cells, 1 Lloyd update,
+    // m=2 subspaces of 32 dims, 4 codewords
+    AnnIndex.save(spark, corpus, idx, k = 4, updates = 1, m = 2,
+      ks = 4, subDim = 32)
+    val out = AnnIndex.assigner(spark, idx)(delta).collect()
+    assert(out.nonEmpty)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("vec_id", "cluster", "c0", "c1"),
+      "m=2 model must yield exactly 2 code columns")
+    val streamed = out.map(r => r.getLong(0) ->
+      (r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong)).toMap
+    // batch truth at the same geometry
+    val cent = Similarity.kmeansCentroids(corpus, 4, 1)
+    val clusters = Similarity.assignWith(delta, cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (_, cb1, _) = Similarity.pqModelP(Similarity.edOf(corpus), 2, 4, 32)
+    val codes = Similarity.edOf(delta)
+      .select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 1),
+          |  j -> struct(j AS j, slice(ev, j * 32 + 1, 32) AS sv))"""
+          .stripMargin)).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
+      .join(broadcast(cb1), "j")
+      .withColumn("dist", round(
+        graft.functions.VecMath.vec_sq_dist(col("sv"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("j") === 0, col("m.code"))).as("c0"),
+        max(when(col("j") === 1, col("m.code"))).as("c1"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamed.foreach { case (id, (cl, c0, c1)) =>
+      assert(cl == clusters(id), s"cluster diverged for vec $id")
+      assert((c0, c1) == codes(id), s"PQ codes diverged for vec $id")
+    }
+    // fitLimit: a prefix-sample fit builds a coherent model whose
+    // assigner still covers every vector (sample fit, full assign)
+    val idx2 = tmp("graft-annfit-idx")
+    AnnIndex.save(spark, corpus, idx2, fitLimit = Some(200L))
+    val cents = spark.read.parquet(s"$idx2/model/centroids").count()
+    assert(cents == 8L, "prefix-sample fit must still produce k centroids")
+    assert(AnnIndex.assigner(spark, idx2)(delta).count() == delta.count())
   }
 }
