@@ -161,7 +161,11 @@ object Bench {
     "q243_stream_contam_attribution",
     "q244_ann_index_health",
     "q245_crossmodal_dedup_clusters",
-    "q246_stream_cell_drift")
+    "q246_stream_cell_drift",
+    // r17 additions: index cell-split maintenance, cross-modal
+    // retrieval against the standing index
+    "q247_ann_index_split",
+    "q248_crossmodal_retrieval")
 
   /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
     * the number of OTHER live JVMs on the box, sampled from /proc.

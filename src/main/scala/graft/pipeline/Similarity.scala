@@ -735,15 +735,15 @@ object Similarity extends QueryModule {
     * The j-pivoted fixed-order sum keeps the 4-term fp fold
     * order-deterministic on both engines (the BM25 sorted-fold
     * argument, cheaper here). */
-  private def adcTop3(pairs: DataFrame): DataFrame = {
+  private def adcTop3(pairs: DataFrame, m: Int = pqM): DataFrame = {
     import graft.functions.TopK
     pairs
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(when(col("j") === 0, col("d")).otherwise(0.0)).as("d0"),
-        (1 until pqM).map(j =>
+        (1 until m).map(j =>
           sum(when(col("j") === j, col("d")).otherwise(0.0)).as(s"d$j")): _*)
       .select(col("query_id"), col("vec_id"),
-        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adist"))
+        round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 6).as("adist"))
       .groupBy(col("query_id"))
       .agg(TopK.topK(3)(-col("adist"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -1638,8 +1638,232 @@ object Similarity extends QueryModule {
         |FROM da GROUP BY 1, 2
         |ORDER BY w_start, cluster""") { (s, dir) =>
       streamCellDrift(s, dir)
+    },
+
+    // ----- q247: INDEX MAINTENANCE — act on the health report's
+    // imbalance signal (r16 verdict item 3): split the index's
+    // LARGEST cell in place (q244's hot flag is the production
+    // trigger; the registered query targets the deterministic
+    // largest-ties-lowest cell so the pass always exercises). The
+    // cell's member vectors re-fit a within-cell 2-means (q135
+    // conventions, init = the two smallest member ids), child 0
+    // keeps the parent id, child 1 becomes cell k; ONLY the parent's
+    // postings partition rewrites, the family sidecar records the
+    // lineage, the model epoch bumps — no full-index rebuild, and
+    // probes stay family-expanded so retrieval results are
+    // bit-identical across the split (AnnMaintSpec pins it; that is
+    // what makes split a pure LAYOUT/ingest-routing operation).
+    // Output: the post-split per-cell report with lineage. The
+    // DuckDB oracle replays the ENTIRE pass — corpus fit, delta
+    // assignment, largest-cell choice, within-cell 2-means,
+    // reassignment, histogram. -----
+    q("q247_ann_index_split",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |hh AS (SELECT cluster, count(*) AS n FROM allc GROUP BY cluster),
+        |tgt AS (SELECT cluster FROM hh ORDER BY n DESC, cluster LIMIT 1),
+        |mem AS (SELECT a.vec_id FROM allc a
+        |        JOIN tgt t ON a.cluster = t.cluster),
+        |allflat AS (SELECT vec_id, i, x FROM flat
+        |            UNION ALL SELECT vec_id, i, x FROM dflat),
+        |mflat AS (SELECT f.vec_id, f.i, f.x FROM allflat f
+        |          JOIN mem USING (vec_id)),
+        |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+        |           AS child
+        |         FROM mem ORDER BY vec_id LIMIT 2),
+        |sc0 AS (SELECT init.child, f.i, f.x AS c FROM init
+        |        JOIN mflat f USING (vec_id)),
+        |sd1 AS (SELECT f.vec_id, c.child,
+        |          round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |        FROM mflat f JOIN sc0 c ON c.i = f.i GROUP BY 1, 2),
+        |sa1 AS (SELECT vec_id, child FROM (
+        |          SELECT vec_id, child, row_number() OVER (
+        |            PARTITION BY vec_id ORDER BY dist, child) AS rk
+        |          FROM sd1) WHERE rk = 1),
+        |sc1 AS (SELECT a.child, f.i, round(avg(f.x), 6) AS c
+        |        FROM sa1 a JOIN mflat f ON f.vec_id = a.vec_id
+        |        GROUP BY 1, 2),
+        |sd2 AS (SELECT f.vec_id, c.child,
+        |          round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |        FROM mflat f JOIN sc1 c ON c.i = f.i GROUP BY 1, 2),
+        |sa2 AS (SELECT vec_id, child FROM (
+        |          SELECT vec_id, child, row_number() OVER (
+        |            PARTITION BY vec_id ORDER BY dist, child) AS rk
+        |          FROM sd2) WHERE rk = 1),
+        |sc2 AS (SELECT a.child, f.i, round(avg(f.x), 6) AS c
+        |        FROM sa2 a JOIN mflat f ON f.vec_id = a.vec_id
+        |        GROUP BY 1, 2),
+        |sd3 AS (SELECT f.vec_id, c.child,
+        |          round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |        FROM mflat f JOIN sc2 c ON c.i = f.i GROUP BY 1, 2),
+        |sa3 AS (SELECT vec_id, child FROM (
+        |          SELECT vec_id, child, row_number() OVER (
+        |            PARTITION BY vec_id ORDER BY dist, child) AS rk
+        |          FROM sd3) WHERE rk = 1),
+        |fin AS (
+        |  SELECT a.vec_id, a.cluster FROM allc a
+        |  LEFT JOIN mem m ON a.vec_id = m.vec_id WHERE m.vec_id IS NULL
+        |  UNION ALL
+        |  SELECT s.vec_id, CASE WHEN s.child = 0
+        |    THEN (SELECT cluster FROM tgt) ELSE 8 END AS cluster
+        |  FROM sa3 s),
+        |h AS (SELECT cluster, count(*) AS n_vecs FROM fin
+        |      GROUP BY cluster),
+        |t AS (SELECT sum(n_vecs) AS tot FROM h)
+        |SELECT CAST(h.cluster AS INTEGER) AS cluster,
+        |  CAST(CASE WHEN h.cluster IN ((SELECT cluster FROM tgt), 8)
+        |    THEN (SELECT cluster FROM tgt) ELSE h.cluster END
+        |    AS INTEGER) AS family,
+        |  CAST(h.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(1000 * h.n_vecs // t.tot AS BIGINT) AS permille
+        |FROM h, t ORDER BY cluster""") { (s, dir) =>
+      annIndexSplitHealth(s, dir)
+    },
+
+    // ----- q248: CROSS-MODAL retrieval against the standing index
+    // (r16 verdict item 6 — the retrieval analog of q245's pairing):
+    // CAPTION-side queries probe the MEDIA-side persisted index. The
+    // caption featurizer is the deterministic decode stub (the q59
+    // stance): a 64-bucket byte histogram per caption, all-integer
+    // counts — in production this is the caption-tower embedding of
+    // a two-tower model, and everything downstream (per-row
+    // assignment against the frozen router, family-expanded
+    // partition-pruned probe, broadcast ADC LUTs) is IDENTICAL to
+    // q242's vector path: one annProbe, two modalities. No
+    // self-exclusion — query ids live in the caption id space, so a
+    // numeric collision with vec_ids must NOT drop candidates. The
+    // oracle replays featurizer, corpus fit, caption assignment,
+    // caption LUTs, and the cluster-gated ADC top-3 end to end. -----
+    q("q248_crossmodal_retrieval",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |${duckPqCtes(duckPqRawSrc)},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |dsub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM dflat),
+        |dc AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM dsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |dcode AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+        |         FROM dc) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |allcodes AS (SELECT vec_id, j, code FROM pcodes
+        |             UNION ALL SELECT vec_id, j, code FROM dcode),
+        |cbytes AS (SELECT doc_id, ascii(substr(text, i.i, 1)) % 64 AS b
+        |           FROM documents, unnest(range(1, length(text)+1)) AS i(i)
+        |           WHERE doc_id < 10),
+        |qflat AS (SELECT d.doc_id, r.d AS i,
+        |            CAST(coalesce(count(cbytes.b), 0) AS DOUBLE) AS x
+        |          FROM (SELECT DISTINCT doc_id FROM documents
+        |                WHERE doc_id < 10) d
+        |          CROSS JOIN (SELECT unnest(range(64)) AS d) r
+        |          LEFT JOIN cbytes ON cbytes.doc_id = d.doc_id
+        |                          AND cbytes.b = r.d
+        |          GROUP BY d.doc_id, r.d),
+        |qd AS (SELECT f.doc_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM qflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |qa AS (SELECT doc_id, cluster FROM (
+        |         SELECT doc_id, cluster, row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY dist, cluster) AS rk
+        |         FROM qd) WHERE rk = 1),
+        |qsub AS (SELECT doc_id, i // 16 AS j, i % 16 AS si, x FROM qflat),
+        |qlt AS (SELECT s.doc_id AS query_id, s.j, c.code,
+        |          round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
+        |        FROM qsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         $duckAdcSum AS adist
+        |       FROM allcodes t
+        |       JOIN qlt l ON l.j = t.j AND l.code = t.code
+        |       JOIN allc ct ON ct.vec_id = t.vec_id
+        |       JOIN qa cq ON cq.doc_id = l.query_id
+        |         AND cq.cluster = ct.cluster
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) =>
+      crossModalRetrieval(s, dir)
     }
   )
+
+  /** q247's engine: the full save → ingest → split lifecycle, then
+    * the post-split per-cell report with family lineage. */
+  private[pipeline] def annIndexSplitHealth(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-annsplit-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    AnnIndex.append(
+      AnnIndex.assigner(s, idxPath)(e.filter(col("vec_id") % 10 === 9)),
+      idxPath, epoch = 0L)
+    // the maintenance target: the LARGEST cell, ties to the lowest id
+    // (q244's hot flag is the production trigger; largest always
+    // exists, so the registered pass always exercises the machinery)
+    val target = s.read.parquet(s"$idxPath/postings")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cluster")).head.getInt(0)
+    AnnIndex.splitCell(s, e, idxPath, target)
+    val h = s.read.parquet(s"$idxPath/postings")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    h.join(broadcast(AnnIndex.families(s, idxPath)), "cluster")
+      .crossJoin(broadcast(h.agg(sum(col("n_vecs")).as("tot"))))
+      .select(col("cluster").cast("int").as("cluster"),
+        col("family").cast("int").as("family"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        expr("1000 * n_vecs div tot").cast("long").as("permille"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q248's engine: caption queries (deterministic 64-bucket byte
+    * histogram — the decode stub; a production pipeline plugs its
+    * caption-tower embedding here) through the SAME family-expanded
+    * partition-pruned probe q242's vector queries use. */
+  private[pipeline] def crossModalRetrieval(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-xmodal-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    val fn = AnnIndex.assigner(s, idxPath)
+    AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath,
+      epoch = 0L)
+    val captions = Tables.t(s, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("vec_id"), expr(
+        """transform(sequence(0, 63), d ->
+          |  CAST(size(filter(sequence(1, length(text)),
+          |    i -> ascii(substr(text, i, 1)) % 64 = d)) AS DOUBLE))"""
+          .stripMargin).as("embedding"))
+    annProbe(s, idxPath, captions, excludeSelf = false)
+  }
 
   /** q246's engine: frozen-index per-row assignment inside a
     * watermark-sealed windowed count. */
@@ -1720,35 +1944,67 @@ object Similarity extends QueryModule {
     // stateless per-row map, which AnnIngestSpec pins)
     AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath,
       epoch = 0L)
-    val queries = corpus.filter(col("vec_id") < 10)
+    annProbe(s, idxPath,
+      corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")),
+      excludeSelf = true)
+  }
+
+  /** FAMILY-EXPANDED, partition-pruned probe of a persisted
+    * [[AnnIndex]] — the read side shared by q242 (vector queries) and
+    * q248 (caption-featurized cross-modal queries). Queries
+    * (vec_id, embedding — any numeric array matching the index dim)
+    * assign against the frozen model, expand their cluster to its
+    * SPLIT FAMILY (identity on an unsplit index), and ADC-score only
+    * that family's postings partitions: the probe's candidate set is
+    * the family union, so [[AnnIndex.splitCell]] — which merely
+    * repartitions one family's vectors among its leaves — can never
+    * change probe results (AnnMaintSpec pins bit-equality across a
+    * split). The geometry (m, subspace widths) reads from the
+    * persisted codebooks; the leaf list collects driver-side
+    * (model-sized) into a STATIC IN filter, so a 1000-cell 100 TB
+    * index reads ≤ |query families' leaves| directories. */
+  private[pipeline] def annProbe(s: SparkSession, idxPath: String,
+      queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val fn = AnnIndex.assigner(s, idxPath)
     val qCl = fn(queries)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))
+    val famMap = AnnIndex.families(s, idxPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
     val cb = s.read.parquet(s"$idxPath/model/codebooks")
       .select(col("j").cast("int").as("j"), col("code").cast("int").as("code"),
         col("cv"))
+    val widths = cb.select(col("j"), size(col("cv")).as("w")).distinct()
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val m = widths.keys.max + 1
+    val offs = (0 until m).scanLeft(0)((a, j) => a + widths(j))
+    val famLit = typedLit(famMap)
     val lut = edOf(queries)
-      .select(col("vec_id").as("query_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  j -> struct(j AS j, slice(ev, j * 16 + 1, 16) AS sv))"""
-          .stripMargin)).as("p"))
+      .select(col("vec_id").as("query_id"), explode(array((0 until m).map(
+        j => struct(lit(j).as("j"),
+          slice(col("ev"), offs(j) + 1, widths(j)).as("sv"))): _*)).as("p"))
       .select(col("query_id"), col("p.j").as("j"), col("p.sv").as("sv"))
       .join(broadcast(cb), "j")
       .select(col("query_id"), col("j"), col("code"),
         round(VecMath.vec_sq_dist(col("sv"), col("cv")), 6).as("d"))
-      .join(broadcast(qCl), "query_id")
-    // the queries' clusters, collected driver-side (broadcast-class:
-    // one int per query) into a STATIC partition filter — the
-    // postings scan must read only those directories
-    val clusters = qCl.select(col("q_cluster")).distinct()
-      .collect().map(_.getInt(0))
+      .join(broadcast(qCl
+        .withColumn("q_family", element_at(famLit, col("q_cluster")))),
+        "query_id")
+    // the query families' LEAVES, collected driver-side into the
+    // static partition filter the postings scan must prune to
+    val qFams = qCl.select(col("q_cluster")).distinct()
+      .collect().map(r => famMap(r.getInt(0))).toSet
+    val leaves = famMap.collect { case (c, f) if qFams(f) => c }.toSeq
     val postings = s.read.parquet(s"$idxPath/postings")
-      .filter(col("cluster").isin(clusters.map(c => c: Any): _*))
-    val codes = postings.select(col("vec_id"), col("cluster"),
-      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+      .filter(col("cluster").isin(leaves.map(c => c: Any): _*))
+    val codes = postings.select(col("vec_id"),
+      element_at(famLit, col("cluster").cast("int")).as("family"),
+      posexplode(array((0 until m).map(j => col(s"c$j")): _*))
         .as(Seq("j", "code")))
-    adcTop3(codes.join(broadcast(lut), Seq("j", "code"))
-      .filter(col("cluster") === col("q_cluster")
-        && col("vec_id") =!= col("query_id")))
+    val pairs = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("family") === col("q_family"))
+    adcTop3(if (excludeSelf)
+      pairs.filter(col("vec_id") =!= col("query_id")) else pairs, m)
   }
 
   /** q238's engine: save the frozen index from the corpus slice,
