@@ -925,12 +925,14 @@ object Multimodal extends QueryModule {
     * text side collapses exact payload clones and expands
     * ([[textPairsClone]]). Neither fires on organic gate/decade
     * corpora; both are pinned route ≡ unrouted in MultimodalSpec. */
-  private[pipeline] def crossModalPairs(docs: DataFrame): DataFrame = {
+  private[pipeline] def crossModalPairs(docs: DataFrame,
+      asymMediaPairs: Long = xmodalAsymMediaPairs,
+      asymTextRows: Long = xmodalAsymTextRows): DataFrame = {
     val text = textPairsClone(docs)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
     val media = phashNearDup(docs)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    text.join(media, Seq("doc_a", "doc_b"), "full_outer")
+    def fullOuter = text.join(media, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("jacc"), lit(-1.0)).as("jacc"),
         coalesce(col("hamming"), lit(-1)).cast("int").as("hamming"),
@@ -938,7 +940,99 @@ object Multimodal extends QueryModule {
           "consistent")
           .when(col("jacc").isNotNull, "text_only")
           .otherwise("media_only").as("verdict"))
+    // OUTPUT-ASYMMETRY route (r17 — the q239 x1000 wall after the
+    // clone routes landed): a signature-saturated corpus's media pair
+    // list is output-sized-huge (measured 4.8e9 rows at 5M suffixed
+    // docs) while its text list stays linear; the pair-keyed
+    // full-outer then shuffles the entire media list — the last
+    // corpus-scale shuffle in this operator. When the sig-level
+    // ANALYTIC prediction (within + cross pair counts, aggregates
+    // only) exceeds `asymMediaPairs` AND the text list fits a
+    // broadcast, the SAME output assembles shuffle-free:
+    //   * text rows annotate with hamming(sig_a, sig_b) via two
+    //     broadcast joins against the phash table — a pair is
+    //     'consistent' iff that hamming ≤ 3, which is EXACTLY
+    //     membership in the media list (the q224 pigeonhole argument:
+    //     hamming ≤ 3 guarantees a shared block, so the blocked list
+    //     contains precisely these pairs);
+    //   * media rows not in text emit 'media_only' through a
+    //     broadcast LEFT ANTI — the media expansion STREAMS, never
+    //     shuffles, never materializes.
+    // The union is row-for-row the full-outer's output.
+    val groups = phash(docs).groupBy(col("phash"))
+      .agg(count(lit(1)).as("g")).localCheckpoint()
+    val st = groups
+      .agg(sum(col("g")).as("n"), count(lit(1)).as("d"),
+        sum(expr("g * (g - 1) div 2")).as("within")).head
+    val (nDocs, nSigs) = (st.getLong(0), st.getLong(1))
+    if (nSigs == 0 || nDocs / nSigs < 2) fullOuter
+    else {
+      val bl = groups.select(col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bkt", expr("shiftright(phash, 7*j) & 127"))
+      val cross = bl.select(col("phash").as("ha"), col("j"), col("bkt"))
+        .join(bl.select(col("phash").as("hb"), col("j"), col("bkt")),
+          Seq("j", "bkt"))
+        .filter(col("ha") < col("hb"))
+        .select(col("ha"), col("hb")).distinct()
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+        .join(groups.select(col("phash").as("ha"), col("g").as("ga")), "ha")
+        .join(groups.select(col("phash").as("hb"), col("g").as("gb")), "hb")
+        .agg(coalesce(sum(col("ga") * col("gb")), lit(0L))).head.getLong(0)
+      val predicted = st.getLong(2) + cross
+      if (predicted < asymMediaPairs) fullOuter
+      else {
+        val t = text.localCheckpoint()
+        val nText = t.count()
+        if (nText > asymTextRows) {
+          println(s"[xmodal-asym] predicted media pairs $predicted AND " +
+            s"text pairs $nText both exceed their rails — keeping the " +
+            "pair-keyed full outer (output is quadratic in duplicates " +
+            "on BOTH sides; dedup-first applies)")
+          fullOuter
+        } else {
+          println(s"[xmodal-asym] predicted media pairs $predicted >= " +
+            s"$asymMediaPairs with a broadcastable text list ($nText " +
+            "rows) — assembling the verdict table shuffle-free " +
+            "(broadcast text annotation + broadcast anti media_only); " +
+            "output is EXACTLY the full-outer's")
+          val ph = phash(docs)
+          // both annotation joins BROADCAST the (text-list-sized)
+          // small side and stream the corpus phash table — the
+          // corpus never shuffles
+          val ta = ph.select(col("doc_id").as("doc_a"),
+              col("phash").as("__ha"))
+            .join(broadcast(t), "doc_a")
+          val withHam = ph.select(col("doc_id").as("doc_b"),
+              col("phash").as("__hb"))
+            .join(broadcast(ta), "doc_b")
+          val mh = bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int")
+          val textRows = withHam
+            .select(col("doc_a"), col("doc_b"), col("jacc"),
+              when(mh <= 3, mh).otherwise(lit(-1)).as("hamming"),
+              when(mh <= 3, "consistent").otherwise("text_only")
+                .as("verdict"))
+          val mediaOnly = media
+            .join(broadcast(t.select(col("doc_a"), col("doc_b"))),
+              Seq("doc_a", "doc_b"), "left_anti")
+            .select(col("doc_a"), col("doc_b"), lit(-1.0).as("jacc"),
+              col("hamming"), lit("media_only").as("verdict"))
+          textRows.unionByName(mediaOnly)
+        }
+      }
+    }
   }
+
+  /** q239's output-asymmetry rails (see [[crossModalPairs]]): the
+    * predicted media pair count past which the pair-keyed full outer
+    * must not shuffle the media list, and the text-list row cap for
+    * the broadcast assembly. */
+  private val xmodalAsymMediaPairs: Long =
+    sys.env.get("GRAFT_XMODAL_ASYM_MEDIA").map(_.toLong)
+      .getOrElse(100000000L)
+  private val xmodalAsymTextRows: Long =
+    sys.env.get("GRAFT_XMODAL_ASYM_TEXT").map(_.toLong)
+      .getOrElse(5000000L)
 
   /** The text-side pair list with the EXACT payload-clone collapse
     * route (q239/q245's dedup-first posture in engine, r16 verdict

@@ -334,6 +334,37 @@ class MultimodalSpec extends SparkSpec {
     assert(!truthC.keySet.exists(id => id % 4 == 3 && id < 48))
   }
 
+  test("q239 output-asymmetry route assembles EXACTLY the full-outer verdict table") {
+    // the q224 construct: the organic corpus replicated 3x with
+    // identical payloads — signature dup ratio 3, so the asym probe
+    // runs; rails forced (media >= 1, text cap high) to fire the
+    // shuffle-free assembly
+    val base = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+    def run(asymMedia: Long) = {
+      val out = new java.io.ByteArrayOutputStream()
+      val r = Console.withOut(new java.io.PrintStream(out)) {
+        Multimodal.crossModalPairs(docs, asymMediaPairs = asymMedia,
+          asymTextRows = Long.MaxValue).collect()
+      }.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getString(4))).toSet
+      (r, out.toString)
+    }
+    val (routed, log) = run(1L)
+    assert(log.contains("[xmodal-asym]") && log.contains("shuffle-free"),
+      "forced rails must fire the asymmetric assembly")
+    val (truth, _) = run(Long.MaxValue)
+    assert(truth.count(_._5 == "media_only") > 0
+      && truth.count(_._5 == "consistent") > 0,
+      "construct must exercise both branches — spec lost its teeth")
+    assert(routed == truth,
+      s"asym route diverged: missing=${(truth -- routed).take(5)}, " +
+        s"extra=${(routed -- truth).take(5)}")
+  }
+
   test("q245 clusters only cross-modally CONSISTENT pairs; single-modality evidence never merges") {
     // family {1,2,3}: identical payloads — near-dup in BOTH
     // modalities (consistent) -> one cluster, keeper 1. Docs 10/11:
