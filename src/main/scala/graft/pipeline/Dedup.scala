@@ -32,7 +32,7 @@ object Dedup extends QueryModule {
       scratchDirs.forEach(del(_))
     }))
   }
-  private[pipeline] def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(d.toFile)
     d.toString

@@ -1964,7 +1964,7 @@ object Similarity extends QueryModule {
     * persisted codebooks; the leaf list collects driver-side
     * (model-sized) into a STATIC IN filter, so a 1000-cell 100 TB
     * index reads ≤ |query families' leaves| directories. */
-  private[pipeline] def annProbe(s: SparkSession, idxPath: String,
+  private[graft] def annProbe(s: SparkSession, idxPath: String,
       queries: DataFrame, excludeSelf: Boolean): DataFrame = {
     val fn = AnnIndex.assigner(s, idxPath)
     val qCl = fn(queries)

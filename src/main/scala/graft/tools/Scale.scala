@@ -30,6 +30,12 @@ object Scale {
       if (args.length > 3) args(3).split(",").toSet else Set.empty
     val jitter: Double =
       sys.env.get("GRAFT_SCALE_JITTER").map(_.toDouble).getOrElse(0.0)
+    // GRAFT_SCALE_CLONE=1 (r17): keep replica TEXTS bit-identical to
+    // the source — the dup-heavy regime the clone-collapse routes
+    // (q239/q245/q224) exist for, where every doc has mult-1 exact
+    // duplicates and true pair lists are Θ(dups²) by definition
+    val clone: Boolean =
+      sys.env.get("GRAFT_SCALE_CLONE").contains("1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,7 +59,7 @@ object Scale {
             // measure a quadratic pair blowup that is a property of
             // the replication, not of a real mult-times-larger corpus
             // (true dup pairs then scale linearly: one copy per replica)
-            case None if c == "text" =>
+            case None if c == "text" && !clone =>
               when(col("__rep") === 0, col(c)).otherwise(
                 array_join(
                   transform(split(col(c), " "),
