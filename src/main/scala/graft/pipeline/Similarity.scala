@@ -1855,6 +1855,10 @@ object Similarity extends QueryModule {
     val fn = AnnIndex.assigner(s, idxPath)
     AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath,
       epoch = 0L)
+    // materialized BEFORE the probe: CollapseProject would otherwise
+    // inline this (interpreted, O(len²·64)) featurizer into every one
+    // of the assigner's + LUT's ~24 distance expressions — measured
+    // 560 s of single-task CPU on 10 captions at z100 (r17 probe log)
     val captions = Tables.t(s, dir, "documents")
       .filter(col("doc_id") < 10)
       .select(col("doc_id").as("vec_id"), expr(
@@ -1862,6 +1866,7 @@ object Similarity extends QueryModule {
           |  CAST(size(filter(sequence(1, length(text)),
           |    i -> ascii(substr(text, i, 1)) % 64 = d)) AS DOUBLE))"""
           .stripMargin).as("embedding"))
+      .localCheckpoint()
     annProbe(s, idxPath, captions, excludeSelf = false)
   }
 

@@ -675,6 +675,26 @@ class PlanSpec extends SparkSpec {
       "ADC scoring regressed to a non-equi join")
   }
 
+  test("q248 cross-modal probe: postings scan partition-prunes to the caption queries' clusters") {
+    val p = plan("q248_crossmodal_retrieval")
+    // caption queries assign against the frozen router and their
+    // family leaves collect into the same static IN filter q242 pins
+    assert("PartitionFilters: \\[cluster".r.findAllIn(p).nonEmpty,
+      "cross-modal postings scan lost its cluster partition filter")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "cross-modal ADC scoring regressed to a non-equi join")
+  }
+
+  test("q247 split maintenance: the post-split report reads partition metadata, no corpus-wide window") {
+    val p = plan("q247_ann_index_split")
+    assert(!p.contains("CartesianProduct"),
+      "a corpus-side cartesian appeared in the split pass")
+    // the report aggregates the postings partition column and joins
+    // the (model-sized) family table broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      "family lineage must broadcast into the report")
+  }
+
   test("q236 vocab coverage: final plan reuses the spectrum exchange, one corpus pass") {
     // the totals and cum branches are plan-identical up to the
     // spectrum exchange (the q203 mechanism); the partition-less
