@@ -163,9 +163,14 @@ object Bench {
     "q245_crossmodal_dedup_clusters",
     "q246_stream_cell_drift",
     // r17 additions: index cell-split maintenance, cross-modal
-    // retrieval against the standing index
+    // retrieval against the standing index, epoch time-travel probe,
+    // signature-duplicate index GC, at-ingest cross-modal retrieval
     "q247_ann_index_split",
-    "q248_crossmodal_retrieval")
+    "q248_crossmodal_retrieval",
+    "q249_ann_index_asof",
+    "q250_ann_index_compact",
+    "q251_stream_xmodal_retrieval",
+    "q252_ann_index_merge")
 
   /** Run-context snapshot (r15 verdict item 5): 1-minute loadavg plus
     * the number of OTHER live JVMs on the box, sampled from /proc.

@@ -366,6 +366,141 @@ object AnnIndex {
     (cell, child1, epoch)
   }
 
+  /** MAINTENANCE: compact the standing index by collapsing EXACT
+    * PQ-signature duplicates at rest — the index-side GC a dedup
+    * pipeline runs after its keep-list lands (q250; the q133/q167
+    * collapse applied to the index instead of the corpus). Two rows
+    * with the same (cluster, c0..c_{m-1}) are indistinguishable to
+    * every ADC probe (identical codes ⇒ identical approximate
+    * distance to any query), so keeping one — the SMALLEST vec_id,
+    * the repo's canonical-representative convention — removes pure
+    * redundancy from every future probe's candidate set. Scale shape:
+    * the signature histogram is a map-side-combinable groupBy whose
+    * key space is bounded by k·ksᵐ (a few hundred thousand rows on a
+    * 1000-cell index — broadcast-class, NEVER corpus-sized), the
+    * keeper join broadcasts that table, and ONLY clusters that
+    * actually contain duplicates rewrite (partition-local; untouched
+    * cells stay byte-stable — AnnMaintSpec pins it). Keeper rows
+    * retain their own commit epoch, so [[annProbe]]-style as-of reads
+    * stay meaningful after a compaction. Returns the per-cell report
+    * (cluster, n_before, n_after, n_dropped); bumps the model epoch
+    * the way [[splitCell]] does. */
+  def compact(s: SparkSession, path: String): DataFrame = {
+    val p0 = s.read.parquet(s"$path/postings")
+    val codeCols = p0.columns.filter(_.matches("c\\d+"))
+      .sortBy(_.drop(1).toInt)
+    val sig = codeCols.map(col)
+    val keep = p0.groupBy((col("cluster") +: sig): _*)
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val pre = keep.groupBy(col("cluster"))
+      .agg(sum(col("n_rows")).as("n_before"),
+        count(lit(1)).as("n_after"))
+      .localCheckpoint()
+    val hot = pre.filter(col("n_before") > col("n_after"))
+      .select(col("cluster").cast("int")).collect().map(_.getInt(0))
+    if (hot.nonEmpty) {
+      val kept = p0
+        .filter(col("cluster").isin(hot.map(c => c: Any): _*))
+        .join(broadcast(keep
+            .select((col("cluster") +: sig :+ col("keep_id")): _*)),
+          "cluster" +: codeCols.toSeq)
+        .filter(col("vec_id") === col("keep_id"))
+        .drop("keep_id")
+        .localCheckpoint()
+      hot.foreach(c =>
+        deleteRec(new java.io.File(s"$path/postings/cluster=$c")))
+      kept.repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "epoch")
+        .parquet(s"$path/postings")
+    }
+    val epoch = DedupIndex.loadProps(path, "model_epoch.properties")
+      .map(_.getProperty("epoch").toLong).getOrElse(0L) + 1
+    DedupIndex.storeProps(path, "model_epoch.properties",
+      Map("epoch" -> epoch.toString),
+      "graft AnnIndex model epoch (bumped per maintenance pass)")
+    println(s"[ann-compact] ${hot.length} cell(s) rewritten " +
+      s"(signature-duplicate collapse); model epoch $epoch")
+    pre.select(col("cluster").cast("int").as("cluster"),
+        col("n_before").cast("long").as("n_before"),
+        col("n_after").cast("long").as("n_after"),
+        (col("n_before") - col("n_after")).cast("long").as("n_dropped"))
+      .orderBy(col("cluster"))
+  }
+
+  /** MAINTENANCE: merge two SAME-FAMILY cells — the inverse of
+    * [[splitCell]] and the cold-cell action q244's histogram calls
+    * for (a cell whose arrival share collapses after a drift reversal
+    * wastes a router slot and a directory; q252). The lower id
+    * absorbs: the higher cell's postings move under the survivor's
+    * partition (each row KEEPS its commit epoch — as-of reads stay
+    * meaningful), the survivor's centroid becomes the member-count-
+    * weighted mean of the two (6-dp rounded, the house convention) so
+    * future arrivals route to the merged region, the absorbed id
+    * leaves the centroid and family tables, and the model epoch
+    * bumps. Same-family is REQUIRED: within a family the probe's
+    * candidate set is the family union, so moving postings between
+    * the family's leaves cannot change any probe result (the same
+    * argument that makes split a layout op; AnnMaintSpec pins
+    * split→merge probe invariance and that merge(split(x)) restores
+    * x's postings exactly). Touches exactly two partitions: the
+    * absorbed directory is deleted, the survivor's gains the moved
+    * rows as new files (its existing files are never rewritten). */
+  def mergeCells(s: SparkSession, path: String, a: Int, b: Int): Long = {
+    require(a != b, s"cannot merge cell $a with itself")
+    val (lo, hi) = (math.min(a, b), math.max(a, b))
+    val fams = families(s, path).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    require(fams(lo) == fams(hi),
+      s"cells $lo (family ${fams(lo)}) and $hi (family ${fams(hi)}) " +
+        "are not in the same family — merging across families would " +
+        "change probe candidate sets")
+    val p = s.read.parquet(s"$path/postings")
+    val counts = p.filter(col("cluster").isin(lo, hi))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (nLo, nHi) = (counts.getOrElse(lo, 0L), counts.getOrElse(hi, 0L))
+    // stage the absorbed cell's rows (epoch preserved) BEFORE deleting
+    val moved = p.filter(col("cluster") === hi)
+      .withColumn("cluster", lit(lo))
+      .localCheckpoint()
+    // survivor centroid: count-weighted mean of the two cells' means —
+    // the merged region's center for future routing (6-dp rounded)
+    val cent = s.read.parquet(s"$path/model/centroids")
+      .select(col("cluster").cast("long").as("cluster"), col("cv"))
+      .localCheckpoint()
+    val cvLo = cent.filter(col("cluster") === lo).head.getSeq[Double](1)
+    val cvHi = cent.filter(col("cluster") === hi).head.getSeq[Double](1)
+    val merged: Seq[Double] =
+      if (nLo + nHi == 0L) cvLo
+      else cvLo.zip(cvHi).map { case (x, y) =>
+        BigDecimal((x * nLo + y * nHi) / (nLo + nHi))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    // model swap first (the splitCell ordering argument), then layout
+    cent.filter(col("cluster") =!= lo && col("cluster") =!= hi)
+      .unionByName(cent.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(lo.toLong, merged)),
+        cent.schema))
+      .write.mode("overwrite").parquet(s"$path/model/centroids")
+    val famDf = families(s, path)
+    famDf.filter(col("cluster") =!= hi)
+      .write.mode("overwrite").parquet(s"$path/model/families_new")
+    swapDir(s"$path/model/families_new", s"$path/model/families")
+    deleteRec(new java.io.File(s"$path/postings/cluster=$hi"))
+    moved.repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster", "epoch")
+      .parquet(s"$path/postings")
+    val epoch = DedupIndex.loadProps(path, "model_epoch.properties")
+      .map(_.getProperty("epoch").toLong).getOrElse(0L) + 1
+    DedupIndex.storeProps(path, "model_epoch.properties",
+      Map("epoch" -> epoch.toString),
+      "graft AnnIndex model epoch (bumped per maintenance pass)")
+    println(s"[ann-merge] cell $hi absorbed into $lo " +
+      s"($nHi rows moved); model epoch $epoch")
+    epoch
+  }
+
   private def swapDir(from: String, to: String): Unit = {
     val toF = new java.io.File(to)
     if (toF.exists()) deleteRec(toF)

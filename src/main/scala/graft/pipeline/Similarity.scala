@@ -1810,6 +1810,252 @@ object Similarity extends QueryModule {
         |FROM ranked WHERE rn <= 3
         |ORDER BY query_id, rn""") { (s, dir) =>
       crossModalRetrieval(s, dir)
+    },
+
+    // ----- q249: AS-OF (time-travel) probe of the standing index —
+    // retrieval pinned to a COMMIT EPOCH. The postings partition on
+    // (cluster, epoch), so `epoch <= E` rides the SAME
+    // PartitionFilters node the cluster IN rides (PlanSpec pins the
+    // two-dimensional prune on the executed scan): yesterday's
+    // candidate set re-derives BIT-EXACTLY without ever snapshotting
+    // the index — the reproducibility contract a training-data
+    // pipeline needs ("which neighbors did the selection run see on
+    // day E?"; q241's epoch-aware selection is the dedup-side twin).
+    // The lifecycle commits TWO ingest windows — the delta's
+    // even-decade ids as epoch 0, the odd-decade rest as epoch 1 —
+    // then probes as-of epoch 0: the oracle replays fit + ONLY the
+    // first window's assignment, so any epoch-1 vector leaking into
+    // the candidates fails the hash. At 100 TB the filter is pure
+    // directory pruning — no data read from epochs above E, no
+    // tombstones, no copy-on-write. -----
+    q("q249_ann_index_asof",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |${duckPqCtes(duckPqRawSrc)},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9 AND (vec_id // 10) % 2 = 0),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |dsub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM dflat),
+        |dc AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM dsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |dcode AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+        |         FROM dc) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |allcodes AS (SELECT vec_id, j, code FROM pcodes
+        |             UNION ALL SELECT vec_id, j, code FROM dcode),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         $duckAdcSum AS adist
+        |       FROM allcodes t
+        |       JOIN plt l ON l.j = t.j AND l.code = t.code
+        |       JOIN allc ct ON ct.vec_id = t.vec_id
+        |       JOIN a3 cq ON cq.vec_id = l.query_id
+        |         AND cq.cluster = ct.cluster
+        |       WHERE t.vec_id <> l.query_id
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) => annIndexAsOf(s, dir) },
+
+    // ----- q250: INDEX COMPACTION — GC the standing index at rest by
+    // collapsing EXACT PQ-signature duplicates (the q133/q167 collapse
+    // applied to the index instead of the corpus; the maintenance
+    // sibling of q247's split). Two postings rows with the same
+    // (cluster, c0..c3) are INDISTINGUISHABLE to every ADC probe —
+    // identical codes give identical approximate distance to any query
+    // — so keeping one (the smallest vec_id, the house representative
+    // convention) removes pure redundancy from every future probe's
+    // candidate set; on a near-dup-heavy vector corpus this is the
+    // difference between a probe scanning a cell of clones and a cell
+    // of distinct signatures. Scale shape: the signature histogram is
+    // a map-side-combinable groupBy whose key space is bounded by
+    // k·ksᵐ (broadcast-class on ANY corpus — never corpus-sized), the
+    // keeper join broadcasts it, and ONLY cells that actually contain
+    // duplicates rewrite their partitions (untouched cells stay
+    // byte-stable; AnnMaintSpec pins it). Output: the per-cell GC
+    // report. The oracle replays fit, corpus+delta codes, and the
+    // per-cell distinct-signature census end to end. -----
+    q("q250_ann_index_compact",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |${duckPqCtes(duckPqRawSrc)},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |dsub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM dflat),
+        |dc AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM dsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |dcode AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+        |         FROM dc) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |allcodes AS (SELECT vec_id, j, code FROM pcodes
+        |             UNION ALL SELECT vec_id, j, code FROM dcode),
+        |sigs AS (SELECT a.vec_id, a.cluster,
+        |           max(CASE WHEN c.j = 0 THEN c.code END) AS c0,
+        |           max(CASE WHEN c.j = 1 THEN c.code END) AS c1,
+        |           max(CASE WHEN c.j = 2 THEN c.code END) AS c2,
+        |           max(CASE WHEN c.j = 3 THEN c.code END) AS c3
+        |         FROM allc a JOIN allcodes c ON c.vec_id = a.vec_id
+        |         GROUP BY 1, 2),
+        |g AS (SELECT cluster, c0, c1, c2, c3, count(*) AS n
+        |      FROM sigs GROUP BY 1, 2, 3, 4, 5)
+        |SELECT CAST(cluster AS INTEGER) AS cluster,
+        |  CAST(sum(n) AS BIGINT) AS n_before,
+        |  CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dropped
+        |FROM g GROUP BY 1
+        |ORDER BY cluster""") { (s, dir) => annIndexCompact(s, dir) },
+
+    // ----- q251: STREAMING cross-modal retrieval — q248's probe run
+    // AT INGEST (the live twin, completing the pattern every standing-
+    // index family here follows: q176→q185, q242→q238, q248→q251).
+    // Captions ARRIVE as a stream; each micro-batch featurizes
+    // per-row (the deterministic decode stub — a production pipeline
+    // plugs its caption-tower embedding here), then probes the FROZEN
+    // media-side index through the SAME family-expanded partition-
+    // pruned batch path inside foreachBatch (the q238 device: the
+    // micro-batch is a batch frame, so the driver-side cluster
+    // collect + static IN partition filter — illegal in a streaming
+    // plan — are fully available per batch). Each query is ONE row,
+    // so its top-k completes within its own micro-batch and the
+    // result is deterministic under ANY micro-batch schedule — which
+    // is what lets q248's batch oracle replay the stream end to end.
+    // At 100 TB the arriving captions are the small side (a day's
+    // captions vs the standing corpus); per-batch probes read only
+    // the query cells' partitions. -----
+    q("q251_stream_xmodal_retrieval",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |${duckPqCtes(duckPqRawSrc)},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |dsub AS (SELECT vec_id, i // 16 AS j, i % 16 AS si, x FROM dflat),
+        |dc AS (SELECT s.vec_id, s.j, c.code,
+        |         round(sum((s.x - c.c) * (s.x - c.c)), 6) AS dist
+        |       FROM dsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |       GROUP BY 1, 2, 3),
+        |dcode AS (SELECT vec_id, j, code FROM (
+        |         SELECT vec_id, j, code, row_number() OVER (
+        |           PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+        |         FROM dc) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |allcodes AS (SELECT vec_id, j, code FROM pcodes
+        |             UNION ALL SELECT vec_id, j, code FROM dcode),
+        |cbytes AS (SELECT doc_id, ascii(substr(text, i.i, 1)) % 64 AS b
+        |           FROM documents, unnest(range(1, length(text)+1)) AS i(i)
+        |           WHERE doc_id < 10),
+        |qflat AS (SELECT d.doc_id, r.d AS i,
+        |            CAST(coalesce(count(cbytes.b), 0) AS DOUBLE) AS x
+        |          FROM (SELECT DISTINCT doc_id FROM documents
+        |                WHERE doc_id < 10) d
+        |          CROSS JOIN (SELECT unnest(range(64)) AS d) r
+        |          LEFT JOIN cbytes ON cbytes.doc_id = d.doc_id
+        |                          AND cbytes.b = r.d
+        |          GROUP BY d.doc_id, r.d),
+        |qd AS (SELECT f.doc_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM qflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |qa AS (SELECT doc_id, cluster FROM (
+        |         SELECT doc_id, cluster, row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY dist, cluster) AS rk
+        |         FROM qd) WHERE rk = 1),
+        |qsub AS (SELECT doc_id, i // 16 AS j, i % 16 AS si, x FROM qflat),
+        |qlt AS (SELECT s.doc_id AS query_id, s.j, c.code,
+        |          round(sum((s.x - c.c) * (s.x - c.c)), 6) AS d
+        |        FROM qsub s JOIN pcb1 c ON c.j = s.j AND c.si = s.si
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.query_id, t.vec_id,
+        |         $duckAdcSum AS adist
+        |       FROM allcodes t
+        |       JOIN qlt l ON l.j = t.j AND l.code = t.code
+        |       JOIN allc ct ON ct.vec_id = t.vec_id
+        |       JOIN qa cq ON cq.doc_id = l.query_id
+        |         AND cq.cluster = ct.cluster
+        |       GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adist, vec_id) AS rn FROM sc)
+        |SELECT query_id, vec_id, adist, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""") { (s, dir) =>
+      streamXModalRetrieval(s, dir)
+    },
+
+    // ----- q252: CELL MERGE — the inverse of q247's split and the
+    // COLD-cell maintenance action (q244's histogram flags both
+    // tails: a hot cell splits, a cell whose share collapses after a
+    // drift reversal wastes a router slot and a directory — it merges
+    // back into its family). Same-family only: within a family the
+    // probe candidate set is the family union, so moving postings
+    // between its leaves can never change a probe result (the split
+    // argument run backwards; AnnMaintSpec pins split→merge probe
+    // invariance and postings restoration). The lower id absorbs, the
+    // survivor centroid becomes the count-weighted mean for future
+    // routing, rows keep their commit epochs (as-of reads stay
+    // meaningful), and exactly two partitions change — the absorbed
+    // directory is deleted, the survivor's gains files, everything
+    // else is byte-stable. The registered pass round-trips the
+    // lifecycle (split the largest cell, merge it back), so the
+    // oracle is the pure fit+assignment histogram with identity
+    // lineage — any row the maintenance pair leaks or duplicates
+    // fails the hash. -----
+    q("q252_ann_index_merge",
+      s"""WITH ${duckLloydCtes(8, 2, "WHERE vec_id % 10 <> 9")},
+        |de AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 9),
+        |dflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                 unnest(range(len(embedding))) AS i FROM de),
+        |dd AS (SELECT f.vec_id, c.cluster,
+        |         round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        |       FROM dflat f JOIN c2 c ON c.i = f.i GROUP BY 1, 2),
+        |da AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |         FROM dd) WHERE rk = 1),
+        |allc AS (SELECT vec_id, cluster FROM a3
+        |         UNION ALL SELECT vec_id, cluster FROM da),
+        |h AS (SELECT cluster, count(*) AS n_vecs FROM allc
+        |      GROUP BY cluster),
+        |t AS (SELECT sum(n_vecs) AS tot FROM h)
+        |SELECT CAST(h.cluster AS INTEGER) AS cluster,
+        |  CAST(h.cluster AS INTEGER) AS family,
+        |  CAST(h.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(1000 * h.n_vecs // t.tot AS BIGINT) AS permille
+        |FROM h, t ORDER BY cluster""") { (s, dir) =>
+      annIndexMerge(s, dir)
     }
   )
 
@@ -1859,15 +2105,130 @@ object Similarity extends QueryModule {
     // inline this (interpreted, O(len²·64)) featurizer into every one
     // of the assigner's + LUT's ~24 distance expressions — measured
     // 560 s of single-task CPU on 10 captions at z100 (r17 probe log)
-    val captions = Tables.t(s, dir, "documents")
-      .filter(col("doc_id") < 10)
-      .select(col("doc_id").as("vec_id"), expr(
-        """transform(sequence(0, 63), d ->
-          |  CAST(size(filter(sequence(1, length(text)),
-          |    i -> ascii(substr(text, i, 1)) % 64 = d)) AS DOUBLE))"""
-          .stripMargin).as("embedding"))
+    val captions = captionFeatures(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 10))
       .localCheckpoint()
     annProbe(s, idxPath, captions, excludeSelf = false)
+  }
+
+  /** The caption-tower featurizer STUB shared by q248 (batch) and
+    * q251 (at-ingest): a 64-bucket byte histogram per caption —
+    * deterministic, per-row, aggregation-free (streaming-legal). A
+    * production pipeline swaps in its caption-tower embedding here;
+    * everything downstream is modality-blind. Callers MUST
+    * materialize (localCheckpoint) before probing — see the
+    * CollapseProject note at the q248 call site. */
+  private def captionFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d ->
+        |  CAST(size(filter(sequence(1, length(text)),
+        |    i -> ascii(substr(text, i, 1)) % 64 = d)) AS DOUBLE))"""
+        .stripMargin).as("embedding"))
+
+  /** q249's engine: build the index, commit TWO ingest windows (the
+    * delta's even-decade ids as epoch 0, the rest as epoch 1), then
+    * probe AS-OF epoch 0 — the epoch-1 window must be invisible to
+    * the candidates (the oracle replays only window 0). */
+  private[pipeline] def annIndexAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-annasof-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    val fn = AnnIndex.assigner(s, idxPath)
+    val delta = e.filter(col("vec_id") % 10 === 9)
+    AnnIndex.append(fn(delta.filter(expr("(vec_id div 10) % 2 = 0"))),
+      idxPath, epoch = 0L)
+    AnnIndex.append(fn(delta.filter(expr("(vec_id div 10) % 2 = 1"))),
+      idxPath, epoch = 1L)
+    annProbe(s, idxPath,
+      corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")),
+      excludeSelf = true, asOfEpoch = Some(0L))
+  }
+
+  /** q252's engine: split the largest cell, merge it straight back
+    * (the maintenance round-trip), then the health+lineage report —
+    * which must equal the pure fit+assignment histogram. */
+  private[pipeline] def annIndexMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-annmg-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    AnnIndex.append(
+      AnnIndex.assigner(s, idxPath)(e.filter(col("vec_id") % 10 === 9)),
+      idxPath, epoch = 0L)
+    val target = s.read.parquet(s"$idxPath/postings")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cluster")).head.getInt(0)
+    val (parent, child1, _) = AnnIndex.splitCell(s, e, idxPath, target)
+    AnnIndex.mergeCells(s, idxPath, parent, child1)
+    val h = s.read.parquet(s"$idxPath/postings")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    h.join(broadcast(AnnIndex.families(s, idxPath)), "cluster")
+      .crossJoin(broadcast(h.agg(sum(col("n_vecs")).as("tot"))))
+      .select(col("cluster").cast("int").as("cluster"),
+        col("family").cast("int").as("family"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        expr("1000 * n_vecs div tot").cast("long").as("permille"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q250's engine: the save → ingest → compact lifecycle; returns
+    * [[AnnIndex.compact]]'s per-cell GC report. */
+  private[pipeline] def annIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-anngc-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    AnnIndex.append(
+      AnnIndex.assigner(s, idxPath)(e.filter(col("vec_id") % 10 === 9)),
+      idxPath, epoch = 0L)
+    AnnIndex.compact(s, idxPath)
+  }
+
+  /** q251's engine: captions STREAM in; each micro-batch featurizes
+    * per-row and probes the frozen media index through the batch
+    * path inside foreachBatch (the q238 device — a micro-batch is a
+    * batch frame, so annProbe's driver-side cluster collect and
+    * static partition IN filter apply per batch). Every query is one
+    * row, so its top-k completes within its own micro-batch:
+    * deterministic under any schedule, replayed by q248's oracle. */
+  private[pipeline] def streamXModalRetrieval(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 10 =!= 9)
+    val idxPath = Dedup.scratchDir("graft-xmstream-idx")
+    AnnIndex.save(s, corpus, idxPath)
+    val fn = AnnIndex.assigner(s, idxPath)
+    AnnIndex.append(fn(e.filter(col("vec_id") % 10 === 9)), idxPath,
+      epoch = 0L)
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream =
+      (if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .filter(col("doc_id") < 10)
+    val outPath = Dedup.scratchDir("graft-xmstream-out")
+    // schema seed (the q185 device): an empty caption stream must
+    // leave outPath readable with the probe's output schema
+    annProbe(s, idxPath,
+      captionFeatures(Tables.t(s, dir, "documents")).limit(0)
+        .localCheckpoint(),
+      excludeSelf = false)
+      .write.mode("overwrite").parquet(outPath)
+    val q = stream.writeStream
+      .option("checkpointLocation", Dedup.scratchDir("graft-xmstream-ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val caps = captionFeatures(batch).localCheckpoint()
+        if (!caps.isEmpty)
+          annProbe(s, idxPath, caps, excludeSelf = false)
+            .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outPath).orderBy(col("query_id"), col("rn"))
   }
 
   /** q246's engine: frozen-index per-row assignment inside a
@@ -1970,7 +2331,8 @@ object Similarity extends QueryModule {
     * (model-sized) into a STATIC IN filter, so a 1000-cell 100 TB
     * index reads ≤ |query families' leaves| directories. */
   private[graft] def annProbe(s: SparkSession, idxPath: String,
-      queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+      queries: DataFrame, excludeSelf: Boolean,
+      asOfEpoch: Option[Long] = None): DataFrame = {
     val fn = AnnIndex.assigner(s, idxPath)
     val qCl = fn(queries)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))
@@ -2000,8 +2362,16 @@ object Similarity extends QueryModule {
     val qFams = qCl.select(col("q_cluster")).distinct()
       .collect().map(r => famMap(r.getInt(0))).toSet
     val leaves = famMap.collect { case (c, f) if qFams(f) => c }.toSeq
-    val postings = s.read.parquet(s"$idxPath/postings")
+    // asOfEpoch is TIME TRAVEL over the commit history: postings
+    // partition on (cluster, epoch), so `epoch <= E` prunes every
+    // later commit's directories in the SAME PartitionFilters node
+    // the cluster IN prunes cells — yesterday's retrieval re-runs
+    // bit-exactly without snapshotting the index (q249; PlanSpec pins
+    // the two-dimensional prune on the executed scan)
+    val postings0 = s.read.parquet(s"$idxPath/postings")
       .filter(col("cluster").isin(leaves.map(c => c: Any): _*))
+    val postings = asOfEpoch.fold(postings0)(e =>
+      postings0.filter(col("epoch") <= lit(e)))
     val codes = postings.select(col("vec_id"),
       element_at(famLit, col("cluster").cast("int")).as("family"),
       posexplode(array((0 until m).map(j => col(s"c$j")): _*))

@@ -679,10 +679,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("q248_crossmodal_retrieval")
     // caption queries assign against the frozen router and their
     // family leaves collect into the same static IN filter q242 pins
-    assert("PartitionFilters: \\[cluster".r.findAllIn(p).nonEmpty,
-      "cross-modal postings scan lost its cluster partition filter")
+    val scans = p.split("\n").filter(_.contains("FileScan")).mkString("\n")
+    // a single-cluster query set folds the IN to an equality — both
+    // are the static partition prune
+    assert("PartitionFilters: \\[[^\n]*cluster#\\d+ (IN \\(|= )".r
+      .findAllIn(p).nonEmpty,
+      s"cross-modal postings scan lost its cluster partition filter; scans:\n$scans")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "cross-modal ADC scoring regressed to a non-equi join")
+  }
+
+  test("q249 as-of probe: the postings scan prunes on cluster AND epoch in one PartitionFilters node") {
+    val p = plan("q249_ann_index_asof")
+    // time travel is pure DIRECTORY pruning: the commit-epoch pin
+    // rides the same PartitionFilters node as the cluster IN — a
+    // 100 TB index reads no data from epochs above E (no snapshot,
+    // no tombstones, no copy-on-write)
+    val pf = p.split("\n").filter(_.contains("PartitionFilters: ["))
+      .mkString("\n")
+    // the epoch bound prepends isnotnull(epoch) to the filter list, so
+    // the pins are order-insensitive within the node
+    assert("PartitionFilters: \\[[^\n]*cluster#\\d+ (IN \\(|= )".r
+      .findAllIn(p).nonEmpty,
+      s"as-of probe lost its cluster partition filter; scans:\n$pf")
+    assert("PartitionFilters: \\[[^\n]*epoch[^\n]*<= 0".r
+      .findAllIn(p).nonEmpty,
+      s"as-of probe's epoch pin is not a partition filter; scans:\n$pf")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "ADC scoring regressed to a non-equi join")
   }
 
   test("q247 split maintenance: the post-split report reads partition metadata, no corpus-wide window") {
