@@ -292,27 +292,45 @@ object AnnIndex {
       .limit(2).collect().map(_.getLong(0))
     require(initIds.length == 2,
       s"cell $cell has ${initIds.length} member(s) — nothing to split")
-    def assign(c: DataFrame): DataFrame =
-      members.crossJoin(broadcast(c))
-        .withColumn("dist",
-          round(VecMath.vec_sq_dist(col("ev"), col("ccv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("child"))).as("m"))
-        .select(col("vec_id"), col("m.child").as("child"))
-    def centify(assigned: DataFrame): DataFrame =
-      assigned.join(members, "vec_id")
+    // r17 OPT (guide §2.4, the Similarity.argminLit device): the
+    // within-cell 2-means assigns per row against the two collected
+    // child centroids — a projection — instead of the former
+    // crossJoin + groupBy(vec_id) exchange per iteration plus the
+    // assignment-back-to-members join inside centify. Same
+    // round(vec_sq_dist, 6) + lexicographic (dist, child) min, so the
+    // assignment (and every downstream row) is output-identical.
+    def argmin2(cc: Array[(Int, Seq[Double])]): Column =
+      array_min(array(cc.map { case (child, ccv) =>
+        struct(round(VecMath.vec_sq_dist(col("ev"), typedLit(ccv)), 6)
+          .as("dist"), lit(child).as("id"))
+      }.toIndexedSeq: _*)).getField("id")
+    def centify(assigned: DataFrame): Array[(Int, Seq[Double])] =
+      assigned
         .select(col("child"), posexplode(col("ev")))
         .groupBy(col("child"), col("pos"))
         .agg(round(avg(col("col")), 6).as("c"))
         .groupBy(col("child"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
           "s -> s.c)").as("ccv"))
-    var cc = members.filter(col("vec_id") <= initIds(1))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    var cc = members.filter(col("vec_id").isin(initIds(0), initIds(1)))
       .select(when(col("vec_id") === initIds(0), lit(0))
         .otherwise(lit(1)).as("child"), col("ev").as("ccv"))
-    for (_ <- 1 to updates) cc = centify(assign(cc))
-    val ccFinal = cc.localCheckpoint()
-    val reassigned = assign(ccFinal)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    for (_ <- 1 to updates)
+      cc = centify(members.select(argmin2(cc).as("child"), col("ev")))
+    val ccFinal = cent.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cc.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("child",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("ccv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = true))))
+    val reassigned = members
+      .select(col("vec_id"), argmin2(cc).as("child"))
       .select(col("vec_id"),
         when(col("child") === 0, lit(cell)).otherwise(lit(child1))
           .cast("int").as("cluster"))

@@ -200,7 +200,15 @@ object DedupIndex {
     // (tasks × buckets small files — at a raised fan-out that is a
     // file-count explosion); with it each bucket's rows land in one
     // task, so the index is ~one file per bucket.
-    val bands = bandRows(corpus)
+    //
+    // r17 OPT (guide §1.2/§2.4 — don't compute things twice): the band
+    // table feeds THREE consumers below (bands write, bucket_stats,
+    // and the pb shingle layout); each previously replayed the full
+    // shingle + md5 + min-signature pass over the corpus. One
+    // localCheckpoint materializes it once — the checkpointed table is
+    // 4 small rows per doc, orders of magnitude lighter than the
+    // corpus scan it replaces.
+    val bands = bandRows(corpus).localCheckpoint()
     bands
       .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
       .repartition(col("pb"))
@@ -219,7 +227,9 @@ object DedupIndex {
     * stats, whose per-append partial counts are additive. */
   def update(delta: DataFrame, path: String): Unit = {
     val m = meta(path)
-    val bands = bandRows(delta)
+    // r17 OPT: same one-materialization argument as [[save]] (two to
+    // three consumers of the delta's band table)
+    val bands = bandRows(delta).localCheckpoint()
     bands
       .withColumn("pb", pmod(col("bval"), lit(m.bandBuckets)))
       .repartition(col("pb"))

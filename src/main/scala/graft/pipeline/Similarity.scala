@@ -106,9 +106,47 @@ object Similarity extends QueryModule {
     e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
 
-  /** The flat nearest-centroid pass: corpus × broadcast(centroids),
-    * map-side-combinable argmin — exact, Θ(N·k) FLOPs. */
-  private def assignFlat(ed: DataFrame, cent: DataFrame): DataFrame =
+  /** Collected (cluster id, centroid) rows — the broadcast-class model
+    * table a literal per-row argmin compiles against (r17 OPT). */
+  private type CentArr = Array[(Long, Seq[Double])]
+
+  private def collectCent(cent: DataFrame): CentArr =
+    cent.select(col("cluster").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+
+  /** r17 OPT (guide §2.4, remove shuffles outright): compile collected
+    * centroids into a PER-ROW literal argmin — the AnnIndex.assigner
+    * device, which AnnIngestSpec pins bit-identical to the aggregate
+    * argmin (same round(vec_sq_dist, 6), same lexicographic (dist, id)
+    * min, ties to the lowest id). A nearest-centroid pass becomes a
+    * projection: no crossJoin row explosion, no N-row groupBy(vec_id)
+    * exchange. */
+  private def argminLit(cents: CentArr, v: Column): Column =
+    array_min(array(cents.map { case (id, cv) =>
+      struct(round(VecMath.vec_sq_dist(v, typedLit(cv)), 6).as("dist"),
+        lit(id).as("id"))
+    }.toIndexedSeq: _*)).getField("id")
+
+  /** Ceiling on the centroid count compiled into one literal-argmin
+    * projection; larger models (the k ∝ N regime) keep the aggregate
+    * form — they route through [[assignTwoLevel]] anyway. */
+  private val maxLitCentroids = 256
+
+  /** The flat nearest-centroid pass — exact, Θ(N·k) FLOPs. r17 OPT:
+    * the centroid table (broadcast-class by construction) collects
+    * driver-side and the argmin runs as a per-row projection
+    * ([[argminLit]]); the pre-r17 corpus × broadcast(centroids)
+    * crossJoin + groupBy(vec_id) form — one full-corpus exchange per
+    * call — remains as the large-k/empty fallback and is
+    * output-identical by the AnnIngestSpec argument. */
+  private def assignFlat(ed: DataFrame, cent: DataFrame): DataFrame = {
+    val arr = collectCent(cent)
+    if (arr.nonEmpty && arr.length <= maxLitCentroids)
+      ed.select(col("vec_id"), argminLit(arr, col("ev")).as("cluster"))
+    else assignFlatAgg(ed, cent)
+  }
+
+  private def assignFlatAgg(ed: DataFrame, cent: DataFrame): DataFrame =
     ed.crossJoin(broadcast(cent))
       .withColumn("dist", round(VecMath.vec_sq_dist(col("ev"), col("cv")), 6))
       .groupBy(col("vec_id"))
@@ -118,12 +156,65 @@ object Similarity extends QueryModule {
   /** The Lloyd's FIT alone: (cluster, cv) after `updates` iterations.
     * Exposed separately (r10) so callers can pair the fit with either
     * assignment pass — [[assignFlat]] (exact, the oracle pin) or
-    * [[assignTwoLevel]] (Θ(N·2√k), the large-k scale path). */
+    * [[assignTwoLevel]] (Θ(N·2√k), the large-k scale path).
+    *
+    * r17 OPT (guide §2.4): each iteration collects the current
+    * centroids (k rows — broadcast-class) and assigns per-row via
+    * [[argminLit]], feeding the posexplode directly, so one iteration
+    * is ONE bounded-key (cluster × dim, map-side-combined) aggregation
+    * pass over the corpus — the former crossJoin explosion, the N-row
+    * groupBy(vec_id) exchange AND the assignment-back-to-embeddings
+    * join (a second N-row exchange) are gone. The returned frame is a
+    * LITERAL local table (k rows), so downstream consumers (writes,
+    * broadcast joins, [[assignFlat]]'s collect) replay no fit lineage.
+    * Values are identical to the pre-r17 aggregate form: same
+    * per-member multiset into the same round(avg, 6) per (cluster,
+    * dim), same argmin contract (the AnnIngestSpec pin). */
   private[pipeline] def kmeansCentroids(e: DataFrame, k: Int, updates: Int): DataFrame = {
     val ed = edOf(e)
+    if (k > maxLitCentroids) return kmeansCentroidsAgg(e, k, updates)
     // posexplode the cast INLINE: a pre-projected `ev` here trips
     // InferFiltersFromGenerate, which re-evaluates the transform in
-    // an interpreted filter pushed below the join (PLANS.md r8)
+    // an interpreted filter pushed below (PLANS.md r8)
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("c"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cv"))
+    var arr = collectCent(ed.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("ev").as("cv")))
+    for (_ <- 1 to updates if arr.nonEmpty)
+      arr = collectCent(update(e.select(
+        argminLit(arr, expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as("cluster"),
+        col("embedding"))))
+    litCentroids(e.sparkSession, arr)
+  }
+
+  /** The collected centroid rows as a literal local DataFrame
+    * (cluster BIGINT, cv ARRAY<DOUBLE>) — the schema the aggregate
+    * form produced; doubles survive the driver round-trip bit-exactly. */
+  private def litCentroids(s: SparkSession, arr: CentArr): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = true)))
+    s.createDataFrame(
+      java.util.Arrays.asList(arr.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
+  }
+
+  /** Pre-r17 lazy aggregate fit — kept verbatim for k beyond the
+    * literal-projection ceiling. */
+  private def kmeansCentroidsAgg(e: DataFrame, k: Int, updates: Int): DataFrame = {
+    val ed = edOf(e)
     def update(assigned: DataFrame): DataFrame =
       assigned.join(e.select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("cluster"),
@@ -135,7 +226,7 @@ object Similarity extends QueryModule {
           .as("cv"))
     var cent = ed.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("ev").as("cv"))
-    for (_ <- 1 to updates) cent = update(assignFlat(ed, cent))
+    for (_ <- 1 to updates) cent = update(assignFlatAgg(ed, cent))
     cent
   }
 
@@ -148,6 +239,21 @@ object Similarity extends QueryModule {
     * sample" posture the kmeansCentroids scaladoc describes). */
   private[pipeline] def assignWith(e: DataFrame, cent: DataFrame): DataFrame =
     assignFlat(edOf(e), cent)
+
+  /** `e` (vec_id, embedding, …) with its nearest-centroid `cluster`
+    * attached AS A PROJECTION (r17 OPT, guide §2.4): callers that
+    * need the assignment next to the payload previously joined the
+    * (vec_id, cluster) frame back on vec_id — an N-row exchange the
+    * literal argmin makes unnecessary. Output-identical to
+    * assignFlat + join (the AnnIngestSpec argument); the aggregate
+    * form + join remains as the over-ceiling fallback. */
+  private def withClusterLit(e: DataFrame, cent: DataFrame): DataFrame = {
+    val arr = collectCent(cent)
+    if (arr.nonEmpty && arr.length <= maxLitCentroids)
+      e.withColumn("cluster",
+        argminLit(arr, expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+    else e.join(assignFlatAgg(edOf(e), cent), "vec_id")
+  }
 
   /** Two-level nearest-centroid assignment — the escape hatch for the
     * flat pass's Θ(N·k) FLOP cost when k itself scales with the
@@ -235,8 +341,10 @@ object Similarity extends QueryModule {
   private def clusterProbeTopK(s: SparkSession, dir: String,
       sameCluster: Boolean, k: Int, updates: Int): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val clustered = kmeansClusters(e, k, updates)
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    // r17 OPT: cluster attaches as a projection — the former
+    // assignment-frame join back on vec_id (an N-row exchange) is gone
+    val clustered = withClusterLit(e.select(col("vec_id"), col("embedding")),
+      kmeansCentroids(e, k, updates))
     val probes = clustered.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"),
         col("embedding").as("qv"), normExpr("embedding").as("q_nrm"))
@@ -316,8 +424,16 @@ object Similarity extends QueryModule {
     val e = Tables.t(s, dir, "embeddings")
     val ed = edOf(e)
     val cent = kmeansCentroids(e, 8, 2)
-    val assigned = assignFlat(ed, cent)
-    val res = ed.join(assigned, "vec_id").join(broadcast(cent), "cluster")
+    // r17 OPT: cluster attaches to ed as a projection; the residual
+    // subtraction then needs only the broadcast centroid join — the
+    // former assignment join back on vec_id (N-row exchange) is gone
+    val arr = collectCent(cent)
+    val edc =
+      if (arr.nonEmpty && arr.length <= maxLitCentroids)
+        ed.withColumn("cluster", argminLit(arr, col("ev")))
+      else ed.join(assignFlatAgg(ed, cent), "vec_id")
+    val assigned = edc.select(col("vec_id"), col("cluster"))
+    val res = edc.join(broadcast(cent), "cluster")
       .select(col("vec_id"), expr("zip_with(ev, cv, (x, c) -> x - c)").as("ev"))
     val (svs, cb1, codes) = pqModel(res)
     val lt = pqLookup(svs, cb1)
@@ -437,12 +553,15 @@ object Similarity extends QueryModule {
           "the exact flat pass")
       r
     }
-    val assigned =
-      if (sk <= 1) kmeansClusters(e, k, updates)
+    // r17 OPT: the exact flat route attaches the cluster as a
+    // projection (no assignment join back on vec_id); the two-level
+    // route keeps the join — its assignment is not a projection
+    val clustered = (if (sk <= 1)
+        withClusterLit(e.select(col("vec_id"), col("embedding")),
+          kmeansCentroids(e, k, updates))
       else assignTwoLevel(s, edOf(e), kmeansCentroids(e, k, updates),
-        sk, nProbe = nProbe)
-    val clustered = assigned
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          sk, nProbe = nProbe)
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id"))
       .select(col("vec_id"), col("cluster"), col("embedding"),
         normExpr("embedding").as("nrm"))
       .localCheckpoint()
@@ -479,8 +598,9 @@ object Similarity extends QueryModule {
   def semDedupKeepAtypical(s: SparkSession, dir: String, k: Int = 8,
       updates: Int = 2, tau: Double = 0.25): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val clustered = kmeansClusters(e, k, updates)
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    // r17 OPT: projection-attached cluster (see semDedup)
+    val clustered = withClusterLit(e.select(col("vec_id"), col("embedding")),
+        kmeansCentroids(e, k, updates))
       .select(col("vec_id"), col("cluster"), col("embedding"),
         normExpr("embedding").as("nrm"))
       .localCheckpoint()
@@ -703,6 +823,70 @@ object Similarity extends QueryModule {
         (0 until m).map(j => struct(lit(j).as("j"),
           slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
+    // r17 OPT (guide §2.4, the [[argminLit]] device): both codeword
+    // assignment passes compile the (m·ks)-row codebook into per-row
+    // literal argmins. The pre-r17 form paid, per pass, an
+    // svs × broadcast(cb) explosion plus an (N·m)-row
+    // groupBy(vec_id, j) exchange, and the codebook update joined the
+    // codes BACK to svs on (vec_id, j) — a further (N·m)-row exchange;
+    // all three are projections now, and the only remaining exchange
+    // of the fit is the bounded-key (j, code, si — map-side-combined)
+    // codeword-mean aggregation. Output-identical: same
+    // round(vec_sq_dist, 6) per candidate, same lexicographic
+    // (dist, code) min (the AnnIngestSpec pin), same member multiset
+    // into the same round(avg, 6).
+    def collectCb(cb: DataFrame): Map[Int, CentArr] =
+      cb.select(col("j").cast("int"), col("code").cast("long"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .groupBy(_._1)
+        .map { case (j, rows) =>
+          j -> rows.map(t => (t._2, t._3)).sortBy(_._1)
+        }
+    // per-row (vec_id, j, code, sv) against a collected codebook
+    def coded(cb: Map[Int, CentArr]): DataFrame =
+      ed.select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          argminLit(cb(j), slice(col("ev"), j * subDim + 1, subDim))
+            .as("code"),
+          slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.code").as("code"),
+          col("p.sv").as("sv"))
+    val cb0 = collectCb(svs.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("code"), col("sv").as("cv")))
+    if (cb0.size < m || ks > maxLitCentroids)
+      return pqModelAgg(ed, m, ks, subDim, svs) // degenerate/oversized
+    val cb1 = coded(cb0)
+      .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("si", "x")))
+      .groupBy(col("j"), col("code"), col("si"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("j"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(si, c))), s -> s.c)")
+        .as("cv"))
+    val cb1Arr = collectCb(cb1)
+    // cb1 as a LITERAL local table: its two consumers (pqLookup's
+    // broadcast join, AnnIndex.save's model write) replay no fit
+    // lineage; schema matches the aggregate form's (j INT, code
+    // BIGINT, cv ARRAY<DOUBLE>)
+    import org.apache.spark.sql.types._
+    val cb1Schema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = true)))
+    val cb1Lit = ed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cb1Arr.toSeq.sortBy(_._1).flatMap {
+        case (j, rows) => rows.map(r =>
+          org.apache.spark.sql.Row(j, r._1, r._2))
+      }: _*), cb1Schema)
+    (svs, cb1Lit, coded(cb1Arr).select(col("vec_id"), col("j"), col("code")))
+  }
+
+  /** Pre-r17 aggregate PQ fit — the fallback for degenerate inits
+    * (fewer than m populated subspaces) or ks beyond the literal
+    * ceiling. */
+  private def pqModelAgg(ed: DataFrame, m: Int, ks: Int, subDim: Int,
+      svs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val cb0 = svs.filter(col("vec_id") < ks)
       .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
     def assign(cb: DataFrame): DataFrame =

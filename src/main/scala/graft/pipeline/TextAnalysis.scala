@@ -632,6 +632,13 @@ object TextAnalysis extends QueryModule {
     val isQ = col("doc_id") % 97 === 0
     val corp = h.filter(!isQ).groupBy(col("doc_id"), col("hw"))
       .agg(count(lit(1)).as("tf"))
+    // r17 OPT note: deriving dl from corp (Σ tf — removes the second
+    // corpus explode) was tried and MEASURED SLOWER code-vs-code
+    // (14.5-15.1 s → 16.7-19.7 s at sf0.1): the doc-length pass
+    // partial-aggregates to doc counts map-side (shuffles doc rows,
+    // not corpus bytes) and runs as an independent stage, while the
+    // corp-derived form serializes behind corp's exchange and re-runs
+    // its post-shuffle (doc, term) aggregate. Kept as-is.
     val dl = h.filter(!isQ).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // idf per TERM and the length normalizer per DOC are computed
