@@ -122,21 +122,27 @@ private[graph] trait PregelSupport { self: Graph =>
       }.reduce(_ unionByName _).filter(col("_pregel_msg").isNotNull)
       val merged = msgs.groupBy(col("id")).agg(mergeMsg.as("_pregel_msg"))
 
-      val next = verts.join(merged, Seq("id"), "left")
-        .select(attrNames.map(col) ++
-          vprog.map { case (n, c) => c.as(n) }: _*)
-
       if (haltOnNoChange) {
-        // next is consumed twice (change count + next superstep):
-        // checkpoint so the count doesn't re-run the lineage
-        val chk = next.localCheckpoint()
-        val old = verts.select(col("id") +:
-          stateNames.map(n => col(n).as(s"_old_$n")): _*)
-        converged = chk.join(old, "id")
-          .filter(stateNames.map(n => col(n) =!= col(s"_old_$n")).reduce(_ || _))
-          .isEmpty
-        verts = chk
+        // r17 OPT (guide §2.4): the change flag rides the vprog
+        // projection itself — the old state is still in scope on the
+        // joined row, so `new =!= old` evaluates in place and the
+        // halt check is a filter + isEmpty over the checkpointed
+        // result. The pre-r17 form joined the new state back to the
+        // old vertex set on id: one extra vertex-sized exchange per
+        // superstep, now gone. Null semantics are identical (a
+        // null↔value transition filtered out by =!= on both forms).
+        val chk = verts.join(merged, Seq("id"), "left")
+          .select(attrNames.map(col) ++
+            vprog.map { case (n, c) => c.as(n) } :+
+            vprog.map { case (n, c) => c =!= col(n) }
+              .reduce(_ || _).as("_pregel_changed"): _*)
+          .localCheckpoint()
+        converged = chk.filter(col("_pregel_changed")).isEmpty
+        verts = chk.drop("_pregel_changed")
       } else {
+        val next = verts.join(merged, Seq("id"), "left")
+          .select(attrNames.map(col) ++
+            vprog.map { case (n, c) => c.as(n) }: _*)
         verts = if (step % checkpointEvery == 0) next.localCheckpoint() else next
       }
     }
