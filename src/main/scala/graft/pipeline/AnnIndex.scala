@@ -81,13 +81,49 @@ object AnnIndex {
     val (_, cb1, _) = Similarity.pqModelP(Similarity.edOf(fitOn), m, ks, subDim)
     cent.write.mode("overwrite").parquet(s"$path/model/centroids")
     cb1.write.mode("overwrite").parquet(s"$path/model/codebooks")
-    val fn = assigner(s, path)
+    // r17 OPT: the postings assigner compiles from the just-fitted
+    // model IN MEMORY instead of re-reading the two files it wrote a
+    // moment ago — legal because doubles round-trip parquet
+    // bit-exactly (the scaladoc contract AnnIngestSpec pins), so the
+    // read-back model assigns identically to the in-memory one.
+    val fn = assignerFrom(collectModel(cent, cb1))
     fn(corpus)
       .withColumn("epoch", lit(baseEpoch))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster", "epoch")
       .parquet(s"$path/postings")
   }
+
+  /** The collected (broadcast-class) model: sorted (cluster, centroid)
+    * rows plus the per-subspace (code, codeword) tables. */
+  private[pipeline] type Model =
+    (Array[(Long, Seq[Double])], Map[Int, Array[(Long, Seq[Double])]])
+
+  private def collectModel(cent: DataFrame, cb: DataFrame): Model = {
+    val centArr = cent
+      .select(col("cluster").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val cbArr = cb
+      .select(col("j").cast("int"), col("code").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1)
+      .map { case (j, rows) =>
+        j -> rows.map(t => (t._2, t._3)).sortBy(_._1)
+      }
+    (centArr, cbArr)
+  }
+
+  /** Read the persisted model back ONCE into driver arrays (two tiny
+    * parquet reads) — shared by [[assigner]] and the probe side, so a
+    * lifecycle phase never re-lists/reads the same model file twice
+    * (r17 OPT; pre-r17 the assigner and the probe's LUT/family reads
+    * each re-read centroids and codebooks). */
+  private[pipeline] def readModel(s: SparkSession, path: String): Model =
+    collectModel(
+      s.read.parquet(s"$path/model/centroids"),
+      s.read.parquet(s"$path/model/codebooks"))
 
   /** Build the PER-ROW assignment function from the PERSISTED model:
     * reads the (broadcast-class) centroid/codebook tables back and
@@ -99,22 +135,17 @@ object AnnIndex {
     * usable in a batch projection or a streaming one (doubles
     * round-trip parquet bit-exactly, so a read-back model assigns
     * identically to the in-memory fit). */
-  def assigner(s: SparkSession, path: String): DataFrame => DataFrame = {
-    val centArr = s.read.parquet(s"$path/model/centroids")
-      .select(col("cluster").cast("long"), col("cv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val cbArr = s.read.parquet(s"$path/model/codebooks")
-      .select(col("j").cast("int"), col("code").cast("long"), col("cv"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-      .groupBy(_._1)
+  def assigner(s: SparkSession, path: String): DataFrame => DataFrame =
+    assignerFrom(readModel(s, path))
+
+  private[pipeline] def assignerFrom(model: Model): DataFrame => DataFrame = {
+    val (centArr, cbArr) = model
     require(centArr.nonEmpty && cbArr.nonEmpty,
-      s"$path/model is empty — not an AnnIndex (rebuild with AnnIndex.save)")
+      "model is empty — not an AnnIndex (rebuild with AnnIndex.save)")
     val m = cbArr.keys.max + 1
     require(cbArr.keySet == (0 until m).toSet,
       s"codebook subspaces not contiguous: ${cbArr.keySet}")
-    val subDims = (0 until m).map(j => cbArr(j).head._3.length)
+    val subDims = (0 until m).map(j => cbArr(j).head._2.length)
     def argmin(cands: Seq[(Long, Seq[Double])], v: Column, out: String): Column =
       array_min(array(cands.map { case (id, cv) =>
         struct(round(VecMath.vec_sq_dist(v, typedLit(cv)), 6).as("dist"),
@@ -125,7 +156,7 @@ object AnnIndex {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       var off = 0
       val codeCols = (0 until m).map { j =>
-        val c = argmin(cbArr(j).map(t => (t._2, t._3)).toSeq,
+        val c = argmin(cbArr(j).toSeq,
           slice(col("__ev"), off + 1, subDims(j)), s"c$j")
         off += subDims(j)
         c

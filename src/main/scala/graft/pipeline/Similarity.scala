@@ -2517,16 +2517,47 @@ object Similarity extends QueryModule {
   private[graft] def annProbe(s: SparkSession, idxPath: String,
       queries: DataFrame, excludeSelf: Boolean,
       asOfEpoch: Option[Long] = None): DataFrame = {
-    val fn = AnnIndex.assigner(s, idxPath)
-    val qCl = fn(queries)
+    // r17 OPT: the model reads ONCE into driver arrays — pre-r17 the
+    // assigner, the LUT's codebook join and the family map each
+    // re-read the same two (broadcast-class) model files, and the
+    // query-cluster frame was both collected AND re-executed for the
+    // broadcast join. One readModel + one qCl collect now feed every
+    // consumer (literal frames), identical values by the parquet
+    // round-trip contract.
+    val model = AnnIndex.readModel(s, idxPath)
+    val (centArr, cbArr) = model
+    val fn = AnnIndex.assignerFrom(model)
+    val famMap: Map[Int, Int] = {
+      val idMap = centArr.map(c => c._1.toInt -> c._1.toInt).toMap
+      val f = new java.io.File(s"$idxPath/model/families")
+      if (f.isDirectory)
+        idMap ++ s.read.parquet(s"$idxPath/model/families")
+          .select(col("cluster").cast("int"), col("family").cast("int"))
+          .collect().map(r => r.getInt(0) -> r.getInt(1))
+          .filter(kv => idMap.contains(kv._1))
+      else idMap
+    }
+    // queries are probe-sized by the fixed-query contract: collect the
+    // assignment once, feed the join side as a literal frame
+    val qClArr = fn(queries)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))
-    val famMap = AnnIndex.families(s, idxPath).collect()
-      .map(r => (r.getInt(0), r.getInt(1))).toMap
-    val cb = s.read.parquet(s"$idxPath/model/codebooks")
-      .select(col("j").cast("int").as("j"), col("code").cast("int").as("code"),
-        col("cv"))
-    val widths = cb.select(col("j"), size(col("cv")).as("w")).distinct()
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    import org.apache.spark.sql.types._
+    val qCl = s.createDataFrame(
+      java.util.Arrays.asList(qClArr.map(q =>
+        org.apache.spark.sql.Row(q._1, q._2)): _*),
+      StructType(Seq(StructField("query_id", LongType, nullable = false),
+        StructField("q_cluster", IntegerType, nullable = false))))
+    val cb = s.createDataFrame(
+      java.util.Arrays.asList(cbArr.toSeq.sortBy(_._1).flatMap {
+        case (j, rows) => rows.map(r =>
+          org.apache.spark.sql.Row(j, r._1.toInt, r._2))
+      }: _*),
+      StructType(Seq(StructField("j", IntegerType, nullable = false),
+        StructField("code", IntegerType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false),
+          nullable = true))))
+    val widths = cbArr.map { case (j, rows) => j -> rows.head._2.length }
     val m = widths.keys.max + 1
     val offs = (0 until m).scanLeft(0)((a, j) => a + widths(j))
     val famLit = typedLit(famMap)
@@ -2543,8 +2574,7 @@ object Similarity extends QueryModule {
         "query_id")
     // the query families' LEAVES, collected driver-side into the
     // static partition filter the postings scan must prune to
-    val qFams = qCl.select(col("q_cluster")).distinct()
-      .collect().map(r => famMap(r.getInt(0))).toSet
+    val qFams = qClArr.map(q => famMap(q._2)).toSet
     val leaves = famMap.collect { case (c, f) if qFams(f) => c }.toSeq
     // asOfEpoch is TIME TRAVEL over the commit history: postings
     // partition on (cluster, epoch), so `epoch <= E` prunes every
