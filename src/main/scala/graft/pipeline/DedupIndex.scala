@@ -185,16 +185,40 @@ object DedupIndex {
   }
 
   /** @param shingleGroups pb-layout file-compaction dial (see
-    *   [[Meta]]); 0 = one directory per band bucket. */
+    *   [[Meta]]); 0 = one directory per band bucket.
+    * @param bandBuckets / docBuckets index fan-outs; 0 (the default)
+    *   derives them from the corpus size — r17 OPT (guide §2,
+    *   scale-adaptive partitioning): the pre-r17 fixed 256/64 was a
+    *   constant tuned for neither regime — a sandbox-scale corpus
+    *   paid 320 partition-directory writes (and each probe their
+    *   listings) for buckets holding ~17 docs, while a 100 TB corpus
+    *   would arguably want MORE than 256. Auto targets ~1000 docs per
+    *   band bucket / ~4000 per doc bucket, clamped to [8, 4096] and
+    *   [8, 1024]; the fan-out persists in the index metadata, so
+    *   probes and updates of an existing index are unaffected, and
+    *   verdicts are fan-out-independent by construction (pmod
+    *   bucketing only places rows; DedupIndexSpec pins
+    *   update ≡ rebuild and dedupDelta ≡ q166 at any fan-out). */
   def save(corpus: DataFrame, path: String,
-      bandBuckets: Int = DedupIndex.bandBuckets,
-      docBuckets: Int = DedupIndex.docBuckets,
+      bandBuckets: Int = 0,
+      docBuckets: Int = 0,
       shingleLayout: String = "pd",
       shingleGroups: Int = 0): Unit = {
-    require(bandBuckets > 0 && docBuckets > 0, "fan-outs must be positive")
-    require(shingleGroups <= bandBuckets,
+    require(bandBuckets >= 0 && docBuckets >= 0, "fan-outs must be positive")
+    val (bb, db) =
+      if (bandBuckets > 0 && docBuckets > 0) (bandBuckets, docBuckets)
+      else {
+        val n = corpus.count()
+        val abb = math.min(4096L, math.max(8L, n / 1000)).toInt
+        val adb = math.min(1024L, math.max(8L, n / 4000)).toInt
+        println(s"[dedup-index] auto fan-out: $n corpus docs -> " +
+          s"bandBuckets=$abb docBuckets=$adb")
+        (if (bandBuckets > 0) bandBuckets else abb,
+          if (docBuckets > 0) docBuckets else adb)
+      }
+    require(shingleGroups <= bb,
       "shingleGroups coarsens band buckets — more groups than buckets is a typo")
-    val m = Meta(bandBuckets, docBuckets, shingleLayout, shingleGroups)
+    val m = Meta(bb, db, shingleLayout, shingleGroups)
     // repartition ON the partition column before partitionBy: without
     // it every write task emits one file per bucket value it holds
     // (tasks × buckets small files — at a raised fan-out that is a
@@ -210,7 +234,7 @@ object DedupIndex {
     // corpus scan it replaces.
     val bands = bandRows(corpus).localCheckpoint()
     bands
-      .withColumn("pb", pmod(col("bval"), lit(bandBuckets)))
+      .withColumn("pb", pmod(col("bval"), lit(bb)))
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))

@@ -93,7 +93,9 @@ class DedupIndexSpec extends SparkSpec {
     val pd = tmp(); val pbg = tmp()
     DedupIndex.save(corpus, pd)
     DedupIndex.save(corpus, pbg, shingleLayout = "pb", shingleGroups = 8)
-    assert(DedupIndex.meta(pbg) == DedupIndex.Meta(256, 64, "pb", 8))
+    // r17: default fan-outs auto-derive from the corpus size (the
+    // spec fixture is < 8000 docs, so both clamp to the floor of 8)
+    assert(DedupIndex.meta(pbg) == DedupIndex.Meta(8, 8, "pb", 8))
     val a = verdictStrings(DedupIndex.dedupDelta(spark, delta, pd))
     val b = verdictStrings(DedupIndex.dedupDelta(spark, delta, pbg))
     assert(a.nonEmpty && a.sameElements(b),
@@ -186,5 +188,26 @@ class DedupIndexSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("dynamicpruning"),
       s"index scan carries no dynamic partition pruning filter:\n$p")
+  }
+
+  test("r17 auto fan-out: derived from corpus size, explicit override kept, " +
+      "verdict fan-out-independent") {
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val auto = tmp(); val explicit = tmp()
+    DedupIndex.save(corpus, auto)
+    val n = corpus.count()
+    val m = DedupIndex.meta(auto)
+    assert(m.bandBuckets == math.min(4096L, math.max(8L, n / 1000)).toInt &&
+      m.docBuckets == math.min(1024L, math.max(8L, n / 4000)).toInt,
+      s"auto fan-out ${m.bandBuckets}/${m.docBuckets} does not track n=$n")
+    DedupIndex.save(corpus, explicit, bandBuckets = 32, docBuckets = 16)
+    assert(DedupIndex.meta(explicit).bandBuckets == 32 &&
+      DedupIndex.meta(explicit).docBuckets == 16,
+      "explicit fan-out override not persisted")
+    val a = verdictStrings(DedupIndex.dedupDelta(spark, delta, auto))
+    val b = verdictStrings(DedupIndex.dedupDelta(spark, delta, explicit))
+    assert(a.nonEmpty && a.sameElements(b),
+      "dedup verdict depends on the index fan-out")
   }
 }
