@@ -473,7 +473,11 @@ object Dedup extends QueryModule {
       // through the candidate distinct was the first cut's cost, 19 s
       // → the signature-only form at sf0.1)
       val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // r17 OPT: the signature table feeds both self-join sides —
+      // materialize the (doc-sized, 16 B/row) frame once instead of
+      // replaying the explode + two-aggregation simhash fit per side
       val sh = simhashWithLang(s, dir).select(col("doc_id"), col("simhash"))
+        .localCheckpoint()
       val bytes = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("b", expr("shiftright(simhash, 8*j) & 255"))
@@ -514,10 +518,13 @@ object Dedup extends QueryModule {
           |WHERE greatest(cont_a, cont_b) >= 0.5
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
+      // r17 OPT: the shingle table feeds both verification sides —
+      // materialize once (doc-sized) instead of re-shingling per side
       val shl = docs
         .withColumn("w", split(lower(col("text")), " "))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+        .localCheckpoint()
       val inter = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double")
       lshCandidatePairs(docs)
         .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")),
@@ -659,10 +666,20 @@ object Dedup extends QueryModule {
     *   DedupSpec can pin hashed ≡ string. */
   private[pipeline] def lshVerifiedPairs(docs: DataFrame, maxBucketWidth: Int,
       forceStringVerify: Boolean): DataFrame = {
+    // r17 OPT (guide §1.2 — don't compute things twice): ONE shingling
+    // pass. The string shingle table checkpoints once and feeds the
+    // injectivity certificate, the minhash signatures, the hashed
+    // verify arrays and both verification join sides; pre-r17 each of
+    // those re-ran the split+shingle (and for the signatures also the
+    // md5) pass over the corpus — four full passes per call. Exploding
+    // from the materialized column is InferFiltersFromGenerate-safe
+    // (nothing to re-evaluate below a checkpoint — the r8 hazard only
+    // bites on explode over a PROJECTED transform).
     val shlStr = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(sparkShingles).as("shingles"))
+      .localCheckpoint()
     // r17 (r16 verdict item 4): the Jaccard-verify join ships every
     // candidate doc's shingle SET through the shuffle twice; at 5M
     // docs the STRING arrays (~3-word shingles) exhausted one host's
@@ -677,14 +694,11 @@ object Dedup extends QueryModule {
     // cut; a failed certificate (≈ n²/2⁶⁴ odds) falls back to the
     // string plan with a WARN.
     val useHashed = !forceStringVerify && {
-      // CASE-guarded shingle source: a bare explode over the filtered
-      // projection trips InferFiltersFromGenerate, which re-evaluates
-      // the transform in a filter pushed BELOW the ≥3-words fence and
-      // faults on 2-word docs (the kmeansCentroids r8 lesson)
-      val c = docs
-        .withColumn("w", split(lower(col("text")), " "))
-        .select(explode(expr("CASE WHEN size(w) >= 3 THEN " +
-          sparkShingles + " ELSE array() END")).as("s"))
+      // the certificate reads the checkpointed shingle table (docs
+      // with < 3 words contribute no rows there, exactly as the
+      // pre-r17 CASE-guarded raw-scan form contributed none)
+      val c = shlStr
+        .select(explode(col("shingles")).as("s"))
         .agg(count_distinct(col("s")).as("ns"),
           count_distinct(xxhash64(col("s"))).as("nh")).head
       val ok = c.getLong(0) == c.getLong(1)
@@ -702,7 +716,7 @@ object Dedup extends QueryModule {
     // bucket rows and equi-join on the bucket key — a hash-partition
     // join linear in bucket sizes. An OR-of-bands join condition
     // would compile to a nested-loop O(n²) plan instead.
-    val sig = minhashSignatures(docs)
+    val sig = minhashFromShingles(shlStr)
     val allBands = sig.select(col("doc_id"),
       posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
         .as(Seq("band", "bval")))
@@ -902,4 +916,18 @@ object Dedup extends QueryModule {
       min(digestSlice(col("d"), 2)).as("m2"),
       min(digestSlice(col("d"), 3)).as("m3"))
   }
+
+  /** [[minhashSignatures]] over an already-materialized (doc_id,
+    * shingles) frame — same rows into the same min aggregates, minus
+    * the re-shingling pass (r17 OPT; only safe on materialized
+    * inputs, where explode-over-column carries no
+    * InferFiltersFromGenerate hazard). */
+  private[pipeline] def minhashFromShingles(shl: DataFrame): DataFrame =
+    shl.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("d"))
+      .groupBy(col("doc_id")).agg(
+        min(digestSlice(col("d"), 0)).as("m0"),
+        min(digestSlice(col("d"), 1)).as("m1"),
+        min(digestSlice(col("d"), 2)).as("m2"),
+        min(digestSlice(col("d"), 3)).as("m3"))
 }
