@@ -432,7 +432,12 @@ object TextAnalysis extends QueryModule {
         hexHash(expr("element_at(w, p+1)")).as("h1"),
         hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
           expr("element_at(w, p+2)"))).as("hb"))
+    // r17 OPT: the frozen LM's two count tables both read the batch
+    // bigram frame — materialize it once ((doc, pos, h1, hb) hash
+    // rows) instead of re-running the split+explode+2×md5 corpus pass
+    // per aggregation
     val batchBi = bigrams(docs.withColumn("ts", lit(null).cast("timestamp")))
+      .localCheckpoint()
     val cb = batchBi.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
     val c1 = batchBi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -1428,7 +1433,10 @@ object TextAnalysis extends QueryModule {
          |  round(lw / n, 4) + 0 AS dsir_logw,
          |  CAST(round(lw / n, 4) >= -0.2 AS INTEGER) AS keep
          |FROM d ORDER BY doc_id""") { (s, dir) =>
-      val b = dsirBuckets(Tables.t(s, dir, "documents"))
+      // r17 OPT: the bucket frame feeds five consumers (target/raw
+      // counts, totals, the distinct bucket list, per-doc scoring) —
+      // materialize once
+      val b = dsirBuckets(Tables.t(s, dir, "documents")).localCheckpoint()
       val terms = dsirTermsRaw(b)
         .select(col("bkt"), round(col("raw"), 6).as("term"))
       b.filter(!(col("doc_id") % 97 === 0))
@@ -2011,6 +2019,9 @@ object TextAnalysis extends QueryModule {
   /** q171/q172's per-(doc, pos) frame with the PRE-ROUND bigram
     * log-ratio as `raw`; the query emits round(raw, 6). */
   private def perplexityTermsRaw(docs: DataFrame): DataFrame = {
+    // r17 OPT: the bigram hash frame feeds three consumers (both LM
+    // count tables and the scoring join) — materialize once instead
+    // of replaying the split+explode+2×md5 pass per consumer
     val b = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("w"),
@@ -2019,6 +2030,7 @@ object TextAnalysis extends QueryModule {
         hexHash(expr("element_at(w, p+1)")).as("h1"),
         hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
           expr("element_at(w, p+2)"))).as("hb"))
+      .localCheckpoint()
     val cb = b.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
     val c1 = b.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     b.join(cb, "hb").join(c1, "h1")
