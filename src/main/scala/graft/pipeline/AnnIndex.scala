@@ -269,18 +269,48 @@ object AnnIndex {
     * — candidate sets, and so probe results, are bit-identical before
     * and after (AnnMaintSpec pins it). */
   def families(s: SparkSession, path: String): DataFrame = {
-    val cent = s.read.parquet(s"$path/model/centroids")
-      .select(col("cluster").cast("int").as("cluster"))
+    val centArr = s.read.parquet(s"$path/model/centroids")
+      .select(col("cluster").cast("long")).collect().map(_.getLong(0))
+      .map(c => (c, Seq.empty[Double]))
+    famDf(s, familyMap(s, path, centArr).toSeq.sortBy(_._1))
+  }
+
+  /** The split lineage as a driver map: identity over the current
+    * centroid ids, overridden by the families sidecar where present
+    * (r17 OPT — the former DataFrame join form read the centroid file
+    * once more per call and shipped a join for a model-sized table). */
+  private def familyMap(s: SparkSession, path: String,
+      centArr: Array[(Long, Seq[Double])]): Map[Int, Int] = {
+    val idMap = centArr.map(c => c._1.toInt -> c._1.toInt).toMap
     val f = new java.io.File(s"$path/model/families")
     if (f.isDirectory)
-      cent.join(
-        s.read.parquet(s"$path/model/families")
-          .select(col("cluster").cast("int").as("cluster"),
-            col("family").cast("int").as("family")),
-        Seq("cluster"), "left")
-        .select(col("cluster"),
-          coalesce(col("family"), col("cluster")).as("family"))
-    else cent.select(col("cluster"), col("cluster").as("family"))
+      idMap ++ s.read.parquet(s"$path/model/families")
+        .select(col("cluster").cast("int"), col("family").cast("int"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1))
+        .filter(kv => idMap.contains(kv._1))
+    else idMap
+  }
+
+  private def centDf(s: SparkSession,
+      rows: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)): _*),
+      StructType(Seq(
+        StructField("cluster", LongType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false),
+          nullable = true))))
+  }
+
+  private def famDf(s: SparkSession, rows: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)): _*),
+      StructType(Seq(
+        StructField("cluster", IntegerType, nullable = false),
+        StructField("family", IntegerType, nullable = false))))
   }
 
   /** MAINTENANCE: split one cell of the standing index in place —
@@ -303,10 +333,13 @@ object AnnIndex {
     * Returns (parent, child1, modelEpoch). */
   def splitCell(s: SparkSession, vectors: DataFrame, path: String,
       cell: Int, updates: Int = 2): (Int, Int, Long) = {
-    val cent = s.read.parquet(s"$path/model/centroids")
-      .select(col("cluster").cast("long").as("cluster"), col("cv"))
-      .localCheckpoint()
-    val maxCl = cent.agg(max(col("cluster"))).head.getLong(0)
+    // r17 OPT: the model reads once into driver arrays (the readModel
+    // device) — pre-r17 this pass read centroids twice (maxCl scan +
+    // the swap union), codebooks once more inside its assigner call,
+    // and centroids a third time inside families(); every derived
+    // table below is built locally from the arrays.
+    val model @ (centArr, _) = readModel(s, path)
+    val maxCl = centArr.map(_._1).max
     val child1 = (maxCl + 1).toInt
     // the one cell's members: partition-pruned postings scan, then a
     // vec_id equi-join back to coordinates (cell-sized, never corpus)
@@ -350,16 +383,6 @@ object AnnIndex {
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     for (_ <- 1 to updates)
       cc = centify(members.select(argmin2(cc).as("child"), col("ev")))
-    val ccFinal = cent.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cc.map(c =>
-        org.apache.spark.sql.Row(c._1, c._2)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("child",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("ccv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false),
-          nullable = true))))
     val reassigned = members
       .select(col("vec_id"), argmin2(cc).as("child"))
       .select(col("vec_id"),
@@ -368,7 +391,7 @@ object AnnIndex {
     // re-derive the members' PQ codes from the persisted codebooks
     // (codes are cluster-independent; rewriting them bit-identical
     // keeps the partition swap self-contained)
-    val fn = assigner(s, path)
+    val fn = assignerFrom(model)
     val rewritten = fn(vectors.join(memberIds, "vec_id")
         .select(col("vec_id"), col("embedding")))
       .drop("cluster")
@@ -378,21 +401,16 @@ object AnnIndex {
     // swap the model row FIRST (a reader racing the swap sees the old
     // centroids with the old layout or new with new — both coherent
     // under family expansion), then rewrite the one partition
-    val newCent = cent.filter(col("cluster") =!= cell)
-      .unionByName(ccFinal.select(
-        when(col("child") === 0, lit(cell.toLong))
-          .otherwise(lit(child1.toLong)).as("cluster"),
-        col("ccv").as("cv")))
-      .localCheckpoint()
+    val newCent = centDf(s,
+      centArr.filter(_._1 != cell).toSeq ++ cc.map { case (child, ccv) =>
+        ((if (child == 0) cell.toLong else child1.toLong), ccv)
+      })
     // the parent's family root survives nested splits: the new child
     // joins the PARENT'S family, not the parent's id
-    val famPre = families(s, path).localCheckpoint()
-    val parentFam = famPre.filter(col("cluster") === cell)
-      .head.getInt(1)
+    val famPre = familyMap(s, path, centArr)
+    val parentFam = famPre(cell)
     newCent.write.mode("overwrite").parquet(s"$path/model/centroids")
-    famPre
-      .unionByName(famPre.limit(1)
-        .select(lit(child1).as("cluster"), lit(parentFam).as("family")))
+    famDf(s, famPre.toSeq.sortBy(_._1) :+ (child1 -> parentFam))
       .write.mode("overwrite").parquet(s"$path/model/families_new")
     swapDir(s"$path/model/families_new", s"$path/model/families")
     // rewrite ONLY the touched partitions: drop the parent's directory
@@ -498,8 +516,13 @@ object AnnIndex {
   def mergeCells(s: SparkSession, path: String, a: Int, b: Int): Long = {
     require(a != b, s"cannot merge cell $a with itself")
     val (lo, hi) = (math.min(a, b), math.max(a, b))
-    val fams = families(s, path).collect()
-      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // r17 OPT: one centroid read feeds the family check, both centroid
+    // lookups and the swap (pre-r17: centroids read three times —
+    // families(), the checkpointed cent, and the families rewrite)
+    val centArr = s.read.parquet(s"$path/model/centroids")
+      .select(col("cluster").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val fams = familyMap(s, path, centArr)
     require(fams(lo) == fams(hi),
       s"cells $lo (family ${fams(lo)}) and $hi (family ${fams(hi)}) " +
         "are not in the same family — merging across families would " +
@@ -515,11 +538,8 @@ object AnnIndex {
       .localCheckpoint()
     // survivor centroid: count-weighted mean of the two cells' means —
     // the merged region's center for future routing (6-dp rounded)
-    val cent = s.read.parquet(s"$path/model/centroids")
-      .select(col("cluster").cast("long").as("cluster"), col("cv"))
-      .localCheckpoint()
-    val cvLo = cent.filter(col("cluster") === lo).head.getSeq[Double](1)
-    val cvHi = cent.filter(col("cluster") === hi).head.getSeq[Double](1)
+    val cvLo = centArr.find(_._1 == lo).get._2
+    val cvHi = centArr.find(_._1 == hi).get._2
     val merged: Seq[Double] =
       if (nLo + nHi == 0L) cvLo
       else cvLo.zip(cvHi).map { case (x, y) =>
@@ -527,13 +547,10 @@ object AnnIndex {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     // model swap first (the splitCell ordering argument), then layout
-    cent.filter(col("cluster") =!= lo && col("cluster") =!= hi)
-      .unionByName(cent.sparkSession.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(lo.toLong, merged)),
-        cent.schema))
+    centDf(s, centArr.filter(c => c._1 != lo && c._1 != hi).toSeq :+
+        ((lo.toLong, merged)))
       .write.mode("overwrite").parquet(s"$path/model/centroids")
-    val famDf = families(s, path)
-    famDf.filter(col("cluster") =!= hi)
+    famDf(s, fams.toSeq.filter(_._1 != hi).sortBy(_._1))
       .write.mode("overwrite").parquet(s"$path/model/families_new")
     swapDir(s"$path/model/families_new", s"$path/model/families")
     deleteRec(new java.io.File(s"$path/postings/cluster=$hi"))
