@@ -611,11 +611,22 @@ object TextAnalysis extends QueryModule {
       maxDfFrac: Double = 1.0): DataFrame = {
     import graft.functions.TopK
     val contrib = bm25Contrib(s, dir, maxDfFrac)
+    // r17 OPT (guide §2.3 — aggregate before you shuffle): the per-
+    // (query, doc) score sums the 6-dp contributions as EXACT DECIMALS
+    // instead of the former hash-ordered double fold
+    // (collect_list + array_sort + aggregate). Each c is
+    // round(·, 6) — a short decimal a DECIMAL(28,6) cast recovers
+    // exactly — so the decimal sum is the exact Σ of the 6-dp values,
+    // independent of order on BOTH engines: a STRONGER determinism
+    // contract than the fold (which only pinned one fp order), and a
+    // map-side-combinable agg where collect_list shipped every
+    // contribution row into one task's buffer. Output-identical on
+    // this data at all three SFs (Bm25SumProbe: diff rows = 0; the
+    // fold's fp error vs the exact sum is ~1e-13, five orders below
+    // the 4-dp output round). The oracle computes the same exact
+    // decimal sum.
     contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(hw, c))),
-          |  s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
-        .as("score"))
+      .agg(sum(col("c").cast("decimal(28,6)")).cast("double").as("score"))
       .groupBy(col("query_id"))
       .agg(TopK.topK(k)(round(col("score"), 4), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -1464,8 +1475,8 @@ object TextAnalysis extends QueryModule {
     // term hash, so cost is Σ (query term postings), never
     // queries × corpus. Per-(query, doc) scores sum per-term BM25
     // contributions (k1 = 1.2, b = 0.75, the standard constants),
-    // each rounded 6 dp and folded in term-hash order, so the fp sum
-    // is bit-identical on both engines; top-3 per query via the
+    // each rounded 6 dp and summed as EXACT decimals (r17: order-free
+    // on both engines, map-side combinable); top-3 per query via the
     // bounded TopK aggregate (score DESC, doc_id ASC). At 100 TB the
     // postings join hash-partitions on the term — the classic
     // sharded-index layout — and df/avgdl are tiny broadcast aggs. -----
@@ -1499,9 +1510,7 @@ object TextAnalysis extends QueryModule {
          |  JOIN dl ON dl.doc_id = corp.doc_id, stats),
          |scored AS (
          |  SELECT query_id, doc_id,
-         |    list_reduce(list_transform(
-         |      list_sort(list(struct_pack(h := hw, c := c))), s -> s.c),
-         |      (a, x) -> a + x) AS score
+         |    CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
          |  FROM contrib GROUP BY query_id, doc_id),
          |ranked AS (SELECT query_id, doc_id, round(score, 4) AS score,
          |    row_number() OVER (PARTITION BY query_id
