@@ -458,8 +458,13 @@ object TextAnalysis extends QueryModule {
       .withColumn("term",
         round(log2(col("c1").cast("double") / col("cb")), 6))
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))
-      .agg(collect_list(when(col("term").isNotNull,
-          struct(col("p"), col("term")))).as("terms"),
+      // r17 OPT (the q171/q177 exact-decimal device, with a streaming
+      // dividend): per-doc state is now ONE decimal + a count instead
+      // of a collect_list of every (pos, term) struct — ingest state
+      // per group is O(1), not O(doc length), and the sum is exact and
+      // order-free, so any micro-batch schedule still equals the batch
+      // oracle
+      .agg(sum(col("term").cast("decimal(28,6)")).as("hsum_dec"),
         count(col("term")).as("n"))
       .drop("window")
     s.catalog.dropTempView("graft_stream_perplexity")
@@ -469,9 +474,7 @@ object TextAnalysis extends QueryModule {
     query.stop()
     s.table("graft_stream_perplexity")
       .filter(col("n") >= 1)
-      .withColumn("hsum", expr(
-        """aggregate(transform(array_sort(terms), s -> s.term),
-          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .withColumn("hsum", col("hsum_dec").cast("double"))
       .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
         round(col("hsum") / col("n"), 4).as("bits_per_word"))
       .withColumn("keep", (col("bits_per_word") <= 4.95).cast("int"))
@@ -494,9 +497,7 @@ object TextAnalysis extends QueryModule {
        |        round(log2(c1.c::DOUBLE / cb.c), 6) AS term
        |      FROM b JOIN cb USING (hb) JOIN c1 USING (h1)),
        |d AS (SELECT doc_id,
-       |        list_reduce(list_transform(
-       |          list_sort(list(struct_pack(p := pos, t := term))),
-       |          s -> s.t), (a, b) -> a + b) AS hsum,
+       |        CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS hsum,
        |        count(*) AS n
        |      FROM t GROUP BY doc_id)
        |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
@@ -1332,12 +1333,16 @@ object TextAnalysis extends QueryModule {
     // struct_pack) and fold left-to-right, so the fp sum is
     // bit-identical under any partitioning. -----
     q("q171_perplexity_filter", perplexityOracle) { (s, dir) =>
+      // r17 OPT: exact-decimal sum of the 6-dp surprisal terms (the
+      // q177 device) — order-free on both engines and map-side
+      // combinable, where the former position-ordered double fold
+      // shipped every term row into a collect_list buffer. Fold-vs-
+      // decimal fp delta ~1e-13 against a 4-dp output round; oracle
+      // computes the same exact decimal sum.
       perplexityTermsRaw(Tables.t(s, dir, "documents"))
-        .select(col("doc_id"), col("p"), round(col("raw"), 6).as("term"))
+        .select(col("doc_id"), round(col("raw"), 6).as("term"))
         .groupBy(col("doc_id"))
-        .agg(expr(
-          """aggregate(transform(array_sort(collect_list(struct(p, term))),
-            |  s -> s.term), CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin)
+        .agg(sum(col("term").cast("decimal(28,6)")).cast("double")
           .as("hsum"),
           count(lit(1)).as("n"))
         .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
