@@ -77,8 +77,25 @@ object AnnIndex {
       k: Int = 8, updates: Int = 2, m: Int = 4, ks: Int = 4,
       subDim: Int = 16, fitLimit: Option[Long] = None): Unit = {
     val fitOn = fitLimit.fold(corpus)(l => corpus.filter(col("vec_id") < l))
-    val cent = Similarity.kmeansCentroids(fitOn, k, updates)
-    val (_, cb1, _) = Similarity.pqModelP(Similarity.edOf(fitOn), m, ks, subDim)
+    // r18 fix (r17 ADVICE, medium): under the default geometry the
+    // fits return driver-local LITERAL frames, but on the
+    // over-ceiling / degenerate-fallback paths they are lazy
+    // aggregate plans — the write below would execute the fit once
+    // and collectModel would RE-execute it, and round(avg, 6) over
+    // shuffled doubles is not guaranteed bit-stable across
+    // executions, so postings could be assigned with a model
+    // differing at rounding boundaries from the persisted one (it
+    // also ran the fit twice). One localCheckpoint pins ONE execution
+    // to feed both consumers — model/postings consistency by
+    // construction, as the pre-r17 read-back gave.
+    def pinned(df: DataFrame): DataFrame =
+      df.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+        case _ => df.localCheckpoint()
+      }
+    val cent = pinned(Similarity.kmeansCentroids(fitOn, k, updates))
+    val cb1 = pinned(
+      Similarity.pqModelP(Similarity.edOf(fitOn), m, ks, subDim)._2)
     cent.write.mode("overwrite").parquet(s"$path/model/centroids")
     cb1.write.mode("overwrite").parquet(s"$path/model/codebooks")
     // r17 OPT: the postings assigner compiles from the just-fitted

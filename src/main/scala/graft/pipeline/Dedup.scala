@@ -202,14 +202,20 @@ object Dedup extends QueryModule {
       // infer schema") and feed update() a pathless read — write
       // zero-row frames with the exact batch schemas first (derived
       // by construction: the same plan a real batch runs)
+      // r18 OPT: one index handle for the whole ingest session — the
+      // schema seed and every micro-batch probe share one file-listing
+      // snapshot instead of re-listing the band/shingle partition
+      // directories per batch (the index is frozen until the day-close
+      // update below, which runs after the stream stops)
+      val idx = DedupIndex.open(s, idxPath)
       val emptyDelta = docs.limit(0).select(col("doc_id"), col("text"))
-      DedupIndex.dedupDelta(s, emptyDelta, idxPath)
+      DedupIndex.dedupDelta(idx, emptyDelta, Int.MaxValue)
         .write.mode("overwrite").parquet(outPath)
       emptyDelta.write.mode("overwrite").parquet(admittedPath)
       val q = stream.writeStream
         .option("checkpointLocation", tmp("graft-ingest-ckpt"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val verdict = DedupIndex.dedupDelta(s, batch, idxPath)
+          val verdict = DedupIndex.dedupDelta(idx, batch, Int.MaxValue)
             .localCheckpoint()
           verdict.write.mode("append").parquet(outPath)
           // day-close commit source: only docs the verdict admitted
@@ -475,19 +481,29 @@ object Dedup extends QueryModule {
       val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
       // r17 OPT: the signature table feeds both self-join sides —
       // materialize the (doc-sized, 16 B/row) frame once instead of
-      // replaying the explode + two-aggregation simhash fit per side
+      // replaying the explode + two-aggregation simhash fit per side.
+      // r18 OPT (guide §2.3 — decide with small rows, move big rows
+      // once): the text LENGTH rides the checkpoint (8 B/row), so the
+      // levenshtein length bound |len_a − len_b| ≤ 30 — implied by
+      // dist ≤ 30, so levenshtein(·,·,30) returns −1 on every pair it
+      // drops — prunes candidates BEFORE the pair distinct and before
+      // either text join; the full texts are fetched only for pairs
+      // that can still pass. Output-identical by the implication.
       val sh = simhashWithLang(s, dir).select(col("doc_id"), col("simhash"))
+        .join(docs.select(col("doc_id"), length(col("text")).as("len")),
+          "doc_id")
         .localCheckpoint()
-      val bytes = sh.select(col("doc_id"), col("simhash"),
+      val bytes = sh.select(col("doc_id"), col("simhash"), col("len"),
         explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("b", expr("shiftright(simhash, 8*j) & 255"))
       val a = bytes.select(col("doc_id").as("doc_a"), col("j"), col("b"),
-        col("simhash").as("ha"))
+        col("simhash").as("ha"), col("len").as("la"))
       val bb = bytes.select(col("doc_id").as("doc_b"), col("j"), col("b"),
-        col("simhash").as("hb"))
+        col("simhash").as("hb"), col("len").as("lb"))
       a.join(bb, Seq("j", "b"))
         .filter(col("doc_a") < col("doc_b")
-          && bit_count(col("ha").bitwiseXOR(col("hb"))) <= 10)
+          && bit_count(col("ha").bitwiseXOR(col("hb"))) <= 10
+          && abs(col("la") - col("lb")) <= 30)
         .select(col("doc_a"), col("doc_b")).distinct()
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
@@ -519,14 +535,26 @@ object Dedup extends QueryModule {
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
       // r17 OPT: the shingle table feeds both verification sides —
-      // materialize once (doc-sized) instead of re-shingling per side
-      val shl = docs
+      // materialize once (doc-sized) instead of re-shingling per side.
+      // r18 OPT (guide §1.2/§2.3): the minhash signatures now ALSO
+      // derive from this table (the pre-r18 lshCandidatePairs ran a
+      // second full shingling pass), and verification runs on 64-bit
+      // certified-hashed shingles (the lshVerifiedPairs device) —
+      // |∩| and the two sizes, hence cont_a/cont_b, are identical
+      // under an injective hash, at 8 B/element shuffle cost instead
+      // of 3-word strings through both joins.
+      val shlStr = docs
         .withColumn("w", split(lower(col("text")), " "))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), expr(sparkShingles).as("shingles"))
         .localCheckpoint()
+      val shl = certifiedHashedShingles(shlStr)
+      val cand = bucketPairs(minhashFromShingles(shlStr)
+        .select(col("doc_id"),
+          posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
+            .as(Seq("band", "bval"))))
       val inter = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double")
-      lshCandidatePairs(docs)
+      cand
         .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")),
           "doc_a")
         .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")),
@@ -693,25 +721,7 @@ object Dedup extends QueryModule {
     // exact (per run, no probabilistic argument) 3-5× shuffle-volume
     // cut; a failed certificate (≈ n²/2⁶⁴ odds) falls back to the
     // string plan with a WARN.
-    val useHashed = !forceStringVerify && {
-      // the certificate reads the checkpointed shingle table (docs
-      // with < 3 words contribute no rows there, exactly as the
-      // pre-r17 CASE-guarded raw-scan form contributed none)
-      val c = shlStr
-        .select(explode(col("shingles")).as("s"))
-        .agg(count_distinct(col("s")).as("ns"),
-          count_distinct(xxhash64(col("s"))).as("nh")).head
-      val ok = c.getLong(0) == c.getLong(1)
-      if (!ok) println("[lsh-verify] WARN 64-bit shingle hashing is " +
-        "NOT injective on this corpus (distinct shingles " +
-        s"${c.getLong(0)} vs distinct hashes ${c.getLong(1)}) — " +
-        "verifying on string shingles")
-      ok
-    }
-    val shl = if (useHashed)
-      shlStr.select(col("doc_id"),
-        expr("transform(shingles, x -> xxhash64(x))").as("shingles"))
-    else shlStr
+    val shl = certifiedHashedShingles(shlStr, forceStringVerify)
     // The scalable LSH shape: explode signatures into (band, value)
     // bucket rows and equi-join on the bucket key — a hash-partition
     // join linear in bucket sizes. An OR-of-bands join condition
@@ -742,6 +752,37 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
+  /** The r16/r17 certified-hash device, factored for reuse (r18):
+    * set arithmetic (|∩|, sizes, and anything derived from them) is
+    * IDENTICAL on 64-bit hashed shingles whenever the hash is
+    * injective on this corpus's shingle universe — certified per run
+    * by one map-side-combinable aggregate (count distinct shingles ==
+    * count distinct hashes). 8 bytes/element instead of ~3-word
+    * strings through every verification shuffle; a failed certificate
+    * (≈ n²/2⁶⁴ odds) falls back to the string plan with a WARN. The
+    * certificate reads the checkpointed shingle table (docs with < 3
+    * words contribute no rows there, exactly as the pre-r17
+    * CASE-guarded raw-scan form contributed none). */
+  private[pipeline] def certifiedHashedShingles(shlStr: DataFrame,
+      forceStringVerify: Boolean = false): DataFrame = {
+    val useHashed = !forceStringVerify && {
+      val c = shlStr
+        .select(explode(col("shingles")).as("s"))
+        .agg(count_distinct(col("s")).as("ns"),
+          count_distinct(xxhash64(col("s"))).as("nh")).head
+      val ok = c.getLong(0) == c.getLong(1)
+      if (!ok) println("[lsh-verify] WARN 64-bit shingle hashing is " +
+        "NOT injective on this corpus (distinct shingles " +
+        s"${c.getLong(0)} vs distinct hashes ${c.getLong(1)}) — " +
+        "verifying on string shingles")
+      ok
+    }
+    if (useHashed)
+      shlStr.select(col("doc_id"),
+        expr("transform(shingles, x -> xxhash64(x))").as("shingles"))
+    else shlStr
+  }
+
   /** Distinct (doc_a < doc_b) pairs sharing any LSH bucket — the
     * candidate equi-join shared by Jaccard verification and q192's
     * containment scoring. */
@@ -752,12 +793,6 @@ object Dedup extends QueryModule {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
-
-  /** LSH candidate pairs of a corpus (no similarity verification). */
-  private[pipeline] def lshCandidatePairs(docs: DataFrame): DataFrame =
-    bucketPairs(minhashSignatures(docs).select(col("doc_id"),
-      posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
-        .as(Seq("band", "bval"))))
 
   /** DuckDB CTE chain ending in `good(doc_a, doc_b, jacc)` — the
     * oracle twin of [[lshVerifiedPairs]]. `recursive` prepends the

@@ -204,15 +204,19 @@ object DedupIndex {
       docBuckets: Int = 0,
       shingleLayout: String = "pd",
       shingleGroups: Int = 0): Unit = {
-    require(bandBuckets >= 0 && docBuckets >= 0, "fan-outs must be positive")
+    require(bandBuckets >= 0 && docBuckets >= 0,
+      "fan-outs must be non-negative (0 = auto)")
     val (bb, db) =
       if (bandBuckets > 0 && docBuckets > 0) (bandBuckets, docBuckets)
       else {
         val n = corpus.count()
         val abb = math.min(4096L, math.max(8L, n / 1000)).toInt
         val adb = math.min(1024L, math.max(8L, n / 4000)).toInt
+        val chosen = Seq(
+          if (bandBuckets > 0) None else Some(s"bandBuckets=$abb"),
+          if (docBuckets > 0) None else Some(s"docBuckets=$adb")).flatten
         println(s"[dedup-index] auto fan-out: $n corpus docs -> " +
-          s"bandBuckets=$abb docBuckets=$adb")
+          chosen.mkString(" "))
         (if (bandBuckets > 0) bandBuckets else abb,
           if (docBuckets > 0) docBuckets else adb)
       }
@@ -281,12 +285,37 @@ object DedupIndex {
     *   the cheapest point in the plan. Default keeps exact
     *   semantics. */
   def dedupDelta(s: SparkSession, delta: DataFrame, path: String,
-      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
-    val m = meta(path)
+      maxBucketWidth: Int = Int.MaxValue): DataFrame =
+    dedupDelta(open(s, path), delta, maxBucketWidth)
+
+  /** The index's session handle (r18 OPT, guide §6 — file listing):
+    * metadata + the band/shingle/bucket-stats frames resolved ONCE.
+    * A probe loop (q185/ingestEos score every micro-batch against the
+    * FROZEN standing index) previously called `spark.read.parquet` per
+    * batch, re-listing the index's partition directories every
+    * trigger — a per-batch O(dirs) floor that grows with the adaptive
+    * fan-out. The handle's frames snapshot the file listing at open;
+    * that is exactly the ingest contract (the index is frozen while a
+    * stream scores against it — appends happen at day close, after
+    * the stream stops), and the handle lives inside one query
+    * invocation, so nothing caches across runs. */
+  final class Opened private[DedupIndex] (val m: Meta,
+      private[pipeline] val bands: DataFrame,
+      private[pipeline] val shingles: DataFrame,
+      private[pipeline] val bucketStats: DataFrame)
+
+  def open(s: SparkSession, path: String): Opened =
+    new Opened(meta(path),
+      s.read.parquet(s"$path/bands"),
+      s.read.parquet(s"$path/shingles"),
+      s.read.parquet(s"$path/bucket_stats"))
+
+  def dedupDelta(idx: Opened, delta: DataFrame,
+      maxBucketWidth: Int): DataFrame = {
     val deltaPruned =
       if (maxBucketWidth == Int.MaxValue) delta -> None
       else {
-        val wide = s.read.parquet(s"$path/bucket_stats")
+        val wide = idx.bucketStats
           .groupBy(col("band"), col("bval"))
           .agg(sum(col("n")).as("w"))
           .filter(col("w") > maxBucketWidth)
@@ -294,11 +323,11 @@ object DedupIndex {
         delta -> Some(broadcast(wide))
       }
     Dedup.incrementalDedup(deltaPruned._1,
-      s.read.parquet(s"$path/bands"),
-      s.read.parquet(s"$path/shingles"),
+      idx.bands,
+      idx.shingles,
       wideBuckets = deltaPruned._2,
-      bandBuckets = m.bandBuckets, docBuckets = m.docBuckets,
-      shingleGroups = m.effShingleGroups)
+      bandBuckets = idx.m.bandBuckets, docBuckets = idx.m.docBuckets,
+      shingleGroups = idx.m.effShingleGroups)
   }
 
   /** The q185 ingest loop with CRASH-SAFE delivery — the composition
@@ -315,11 +344,14 @@ object DedupIndex {
   def ingestEos(s: SparkSession, delta: DataFrame, path: String,
       url: String, verdictTable: String, admittedTable: String,
       checkpointDir: String, props: java.util.Properties)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // r18 OPT: list/resolve the frozen index once per ingest session,
+    // not once per micro-batch (see [[open]])
+    val idx = open(s, path)
     delta.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val verdict = dedupDelta(s, batch, path).localCheckpoint()
+        val verdict = dedupDelta(idx, batch, Int.MaxValue).localCheckpoint()
         graft.streaming.ExactlyOnceJdbc
           .commitBatch(verdict, id, url, verdictTable, props)
         graft.streaming.ExactlyOnceJdbc.commitBatch(
@@ -328,6 +360,7 @@ object DedupIndex {
           id, url, admittedTable, props)
       }
       .start()
+  }
 
   /** Day-close for [[ingestEos]]: append the admitted docs (read back
     * from the exactly-once store, so replays contributed each doc

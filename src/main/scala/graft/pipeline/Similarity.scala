@@ -114,6 +114,19 @@ object Similarity extends QueryModule {
     cent.select(col("cluster").cast("long"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
 
+  /** True when the centroid frame is a driver-local literal table
+    * (what [[kmeansCentroids]] returns under the ceiling). r18 fix
+    * (r17 ADVICE): [[assignFlat]]/[[withClusterLit]] previously
+    * collected ANY centroid frame to decide the literal-vs-aggregate
+    * route — when `cent` was the lazy over-ceiling aggregate plan
+    * that executed the whole Lloyd's fit just to learn the row count,
+    * discarded it, and re-executed the same lineage inside the
+    * aggregate fallback. A non-local frame now routes straight to the
+    * aggregate form (values identical — the AnnIngestSpec pin). */
+  private def isLocalModel(cent: DataFrame): Boolean =
+    cent.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+
   /** r17 OPT (guide §2.4, remove shuffles outright): compile collected
     * centroids into a PER-ROW literal argmin — the AnnIndex.assigner
     * device, which AnnIngestSpec pins bit-identical to the aggregate
@@ -140,6 +153,7 @@ object Similarity extends QueryModule {
     * call — remains as the large-k/empty fallback and is
     * output-identical by the AnnIngestSpec argument. */
   private def assignFlat(ed: DataFrame, cent: DataFrame): DataFrame = {
+    if (!isLocalModel(cent)) return assignFlatAgg(ed, cent)
     val arr = collectCent(cent)
     if (arr.nonEmpty && arr.length <= maxLitCentroids)
       ed.select(col("vec_id"), argminLit(arr, col("ev")).as("cluster"))
@@ -248,6 +262,8 @@ object Similarity extends QueryModule {
     * assignFlat + join (the AnnIngestSpec argument); the aggregate
     * form + join remains as the over-ceiling fallback. */
   private def withClusterLit(e: DataFrame, cent: DataFrame): DataFrame = {
+    if (!isLocalModel(cent))
+      return e.join(assignFlatAgg(edOf(e), cent), "vec_id")
     val arr = collectCent(cent)
     if (arr.nonEmpty && arr.length <= maxLitCentroids)
       e.withColumn("cluster",
@@ -427,21 +443,21 @@ object Similarity extends QueryModule {
     // r17 OPT: cluster attaches to ed as a projection; the residual
     // subtraction then needs only the broadcast centroid join — the
     // former assignment join back on vec_id (N-row exchange) is gone
-    val arr = collectCent(cent)
-    val edc =
-      if (arr.nonEmpty && arr.length <= maxLitCentroids)
-        ed.withColumn("cluster", argminLit(arr, col("ev")))
-      else ed.join(assignFlatAgg(ed, cent), "vec_id")
-    val assigned = edc.select(col("vec_id"), col("cluster"))
+    val edc = withClusterLitEd(ed, cent)
+    // r18 OPT (guide §2.4): the cluster rides the residual projection
+    // and the code projection (pqModelP passThrough) — the pre-r18
+    // codes ⋈ assigned join on vec_id, an (N·m)-row exchange, is gone
+    // (the r17 "Not yet optimized" item 1).
     val res = edc.join(broadcast(cent), "cluster")
-      .select(col("vec_id"), expr("zip_with(ev, cv, (x, c) -> x - c)").as("ev"))
-    val (svs, cb1, codes) = pqModel(res)
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(ev, cv, (x, c) -> x - c)").as("ev"))
+    val (svs, cb1, codes) = pqModelP(res, pqM, pqKs, pqSubDim,
+      passThrough = Seq("cluster"))
     val lt = pqLookup(svs, cb1)
-      .join(broadcast(assigned.filter(col("vec_id") < 10)
+      .join(broadcast(edc.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))),
         "query_id")
-    adcTop3(codes.join(assigned, "vec_id")
-      .join(broadcast(lt), Seq("j", "code"))
+    adcTop3(codes.join(broadcast(lt), Seq("j", "code"))
       .filter(col("cluster") === col("q_cluster")
         && col("vec_id") =!= col("query_id")))
   }
@@ -815,9 +831,19 @@ object Similarity extends QueryModule {
     * dims, `ks` codewords per subspace. Same deterministic recipe at
     * any size — first-`ks`-vectors init, one Lloyd update, 6-dp
     * rounding, ties to the lowest code. The q186/q190 defaults are
-    * pqM/pqKs/pqSubDim, so every oracle-gated query is untouched. */
+    * pqM/pqKs/pqSubDim, so every oracle-gated query is untouched.
+    *
+    * @param passThrough r18 OPT (guide §2.4, the r17 "Not yet
+    *   optimized" item 1): extra `ed` columns carried through the
+    *   code PROJECTION into the returned code table — q190/q194
+    *   previously joined the coarse assignment back onto the codes on
+    *   vec_id, an (N·m)-row exchange the literal-argmin projection
+    *   makes unnecessary. Values are untouched (the fit never reads
+    *   them); the aggregate fallback attaches them with the pre-r18
+    *   vec_id join instead (no registered geometry routes there). */
   private[pipeline] def pqModelP(ed: DataFrame, m: Int, ks: Int,
-      subDim: Int): (DataFrame, DataFrame, DataFrame) = {
+      subDim: Int, passThrough: Seq[String] = Nil)
+      : (DataFrame, DataFrame, DataFrame) = {
     // (vec_id, j, sv): the m subvectors — a pure map, no shuffle
     val svs = ed.select(col("vec_id"), explode(array(
         (0 until m).map(j => struct(lit(j).as("j"),
@@ -843,19 +869,29 @@ object Similarity extends QueryModule {
         .map { case (j, rows) =>
           j -> rows.map(t => (t._2, t._3)).sortBy(_._1)
         }
-    // per-row (vec_id, j, code, sv) against a collected codebook
+    val ptCols = passThrough.map(col(_))
+    // per-row (vec_id, [passThrough...,] j, code, sv) against a
+    // collected codebook
     def coded(cb: Map[Int, CentArr]): DataFrame =
-      ed.select(col("vec_id"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"),
-          argminLit(cb(j), slice(col("ev"), j * subDim + 1, subDim))
-            .as("code"),
-          slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p"))
-        .select(col("vec_id"), col("p.j").as("j"), col("p.code").as("code"),
-          col("p.sv").as("sv"))
+      ed.select((col("vec_id") +: ptCols :+
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            argminLit(cb(j), slice(col("ev"), j * subDim + 1, subDim))
+              .as("code"),
+            slice(col("ev"), j * subDim + 1, subDim).as("sv"))): _*)).as("p")): _*)
+        .select((col("vec_id") +: ptCols :+ col("p.j").as("j") :+
+          col("p.code").as("code") :+ col("p.sv").as("sv")): _*)
     val cb0 = collectCb(svs.filter(col("vec_id") < ks)
       .select(col("j"), col("vec_id").as("code"), col("sv").as("cv")))
-    if (cb0.size < m || ks > maxLitCentroids)
-      return pqModelAgg(ed, m, ks, subDim, svs) // degenerate/oversized
+    if (cb0.size < m || ks > maxLitCentroids) {
+      // degenerate/oversized: the aggregate fallback, pass-through
+      // attached by the pre-r18 vec_id join
+      val (s0, c0, codes0) = pqModelAgg(ed, m, ks, subDim, svs)
+      return (s0, c0,
+        if (passThrough.isEmpty) codes0
+        else codes0.join(
+          ed.select((col("vec_id") +: ptCols): _*), "vec_id"))
+    }
     val cb1 = coded(cb0)
       .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("si", "x")))
       .groupBy(col("j"), col("code"), col("si"))
@@ -879,7 +915,8 @@ object Similarity extends QueryModule {
         case (j, rows) => rows.map(r =>
           org.apache.spark.sql.Row(j, r._1, r._2))
       }: _*), cb1Schema)
-    (svs, cb1Lit, coded(cb1Arr).select(col("vec_id"), col("j"), col("code")))
+    (svs, cb1Lit, coded(cb1Arr)
+      .select((col("vec_id") +: ptCols :+ col("j") :+ col("code")): _*))
   }
 
   /** Pre-r17 aggregate PQ fit — the fallback for degenerate inits
@@ -956,16 +993,38 @@ object Similarity extends QueryModule {
     * index × broadcast(query lookup tables ⋈ query clusters). */
   private[pipeline] def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val coarse = kmeansClusters(e, 8, 2)
-    val (svs, cb1, codes) = pqModel(edOf(e))
+    // r18 OPT (guide §2.4 — the r17 "Not yet optimized" item 1): the
+    // coarse cluster attaches to the embedding row as a literal-argmin
+    // PROJECTION and rides the code projection via passThrough; the
+    // pre-r18 plan joined the (vec_id, cluster) assignment back onto
+    // the (N·m)-row code table — a full-index exchange. Same argmin
+    // expression as assignFlat (the AnnIngestSpec pin), so values are
+    // identical; the over-ceiling fallback keeps the join.
+    val cent = kmeansCentroids(e, 8, 2)
+    val ed = edOf(e)
+    val edc = withClusterLitEd(ed, cent)
+    val (svs, cb1, codes) = pqModelP(edc, pqM, pqKs, pqSubDim,
+      passThrough = Seq("cluster"))
     val lt = pqLookup(svs, cb1)
-      .join(broadcast(coarse.filter(col("vec_id") < 10)
+      .join(broadcast(edc.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"))),
         "query_id")
-    adcTop3(codes.join(coarse, "vec_id")
-      .join(broadcast(lt), Seq("j", "code"))
+    adcTop3(codes.join(broadcast(lt), Seq("j", "code"))
       .filter(col("cluster") === col("q_cluster")
         && col("vec_id") =!= col("query_id")))
+  }
+
+  /** [[withClusterLit]] for an already-`ev`-projected frame: attaches
+    * the nearest-centroid `cluster` as a literal-argmin projection,
+    * falling back to the aggregate assignment join for non-local or
+    * over-ceiling models (same gating as [[assignFlat]]). */
+  private def withClusterLitEd(ed: DataFrame, cent: DataFrame): DataFrame = {
+    if (!isLocalModel(cent))
+      return ed.join(assignFlatAgg(ed, cent), "vec_id")
+    val arr = collectCent(cent)
+    if (arr.nonEmpty && arr.length <= maxLitCentroids)
+      ed.withColumn("cluster", argminLit(arr, col("ev")))
+    else ed.join(assignFlatAgg(ed, cent), "vec_id")
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -2621,13 +2680,19 @@ object Similarity extends QueryModule {
     val q = stream.writeStream
       .option("checkpointLocation", Dedup.scratchDir("graft-ann-ckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val assigned = fn(batch).localCheckpoint()
-        assigned.write.mode("append").parquet(outPath)
-        AnnIndex.append(assigned, idxPath, epoch = 0L)
+        // per batch: the per-row assignment and ONE flat parquet
+        // append (the exactly-once-store stand-in). r18 OPT: the
+        // index-partition append moved to day close below — the
+        // pre-r18 loop paid AnnIndex.append's repartition(cluster) +
+        // partitioned write PER MICRO-BATCH, exactly the work the
+        // scaladoc's "append postings at day close" posture defers;
+        // the index ends in the same state (same rows, epoch 0).
+        fn(batch).write.mode("append").parquet(outPath)
       }
       .start()
     q.processAllAvailable()
     q.stop()
+    AnnIndex.append(s.read.parquet(outPath), idxPath, epoch = 0L)
     s.read.parquet(outPath)
       .select(col("vec_id"), col("cluster"), col("c0"), col("c1"),
         col("c2"), col("c3"))

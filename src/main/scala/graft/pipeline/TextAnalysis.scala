@@ -433,10 +433,17 @@ object TextAnalysis extends QueryModule {
         hexHash(concat(expr("element_at(w, p+1)"), lit(" "),
           expr("element_at(w, p+2)"))).as("hb"))
     // r17 OPT: the frozen LM's two count tables both read the batch
-    // bigram frame — materialize it once ((doc, pos, h1, hb) hash
-    // rows) instead of re-running the split+explode+2×md5 corpus pass
-    // per aggregation
+    // bigram frame — materialize it once instead of re-running the
+    // split+explode+2×md5 corpus pass per aggregation. r18 (r17
+    // ADVICE): the frame is TOKEN-granularity (one row per bigram
+    // position), so it is pinned NARROWED to the two 8-byte hash
+    // longs its only consumers (the count aggs) read — 16 B/row, the
+    // lightest exact representation of the LM's training stream; at
+    // corpus sizes where even that breaks executor storage, drop the
+    // checkpoint and repay the second corpus pass (recompute is the
+    // fallback, never a correctness question).
     val batchBi = bigrams(docs.withColumn("ts", lit(null).cast("timestamp")))
+      .select(col("h1"), col("hb"))
       .localCheckpoint()
     val cb = batchBi.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
     val c1 = batchBi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
@@ -458,13 +465,17 @@ object TextAnalysis extends QueryModule {
       .withColumn("term",
         round(log2(col("c1").cast("double") / col("cb")), 6))
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))
-      // r17 OPT (the q171/q177 exact-decimal device, with a streaming
-      // dividend): per-doc state is now ONE decimal + a count instead
-      // of a collect_list of every (pos, term) struct — ingest state
-      // per group is O(1), not O(doc length), and the sum is exact and
-      // order-free, so any micro-batch schedule still equals the batch
-      // oracle
-      .agg(sum(col("term").cast("decimal(28,6)")).as("hsum_dec"),
+      // r17 OPT (the q171/q177 exact-sum device, with a streaming
+      // dividend): per-doc state is ONE number + a count instead of a
+      // collect_list of every (pos, term) struct — ingest state per
+      // group is O(1), not O(doc length), and the sum is exact and
+      // order-free, so any micro-batch schedule still equals the
+      // batch oracle. r18 OPT: the exact sum runs in LONG MICROS
+      // (bit-identical by the q177 floor(·+0.5) argument) — one long
+      // of state per group instead of a BigDecimal-backed
+      // decimal(38,6) buffer.
+      .agg(sum(floor(col("term") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("hsum_mic"),
         count(col("term")).as("n"))
       .drop("window")
     s.catalog.dropTempView("graft_stream_perplexity")
@@ -474,7 +485,7 @@ object TextAnalysis extends QueryModule {
     query.stop()
     s.table("graft_stream_perplexity")
       .filter(col("n") >= 1)
-      .withColumn("hsum", col("hsum_dec").cast("double"))
+      .withColumn("hsum", col("hsum_mic").cast("double") / lit(1e6))
       .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
         round(col("hsum") / col("n"), 4).as("bits_per_word"))
       .withColumn("keep", (col("bits_per_word") <= 4.95).cast("int"))
@@ -613,21 +624,28 @@ object TextAnalysis extends QueryModule {
     import graft.functions.TopK
     val contrib = bm25Contrib(s, dir, maxDfFrac)
     // r17 OPT (guide §2.3 — aggregate before you shuffle): the per-
-    // (query, doc) score sums the 6-dp contributions as EXACT DECIMALS
-    // instead of the former hash-ordered double fold
-    // (collect_list + array_sort + aggregate). Each c is
-    // round(·, 6) — a short decimal a DECIMAL(28,6) cast recovers
-    // exactly — so the decimal sum is the exact Σ of the 6-dp values,
-    // independent of order on BOTH engines: a STRONGER determinism
-    // contract than the fold (which only pinned one fp order), and a
-    // map-side-combinable agg where collect_list shipped every
-    // contribution row into one task's buffer. Output-identical on
-    // this data at all three SFs (Bm25SumProbe: diff rows = 0; the
-    // fold's fp error vs the exact sum is ~1e-13, five orders below
-    // the 4-dp output round). The oracle computes the same exact
-    // decimal sum.
+    // (query, doc) score sums the 6-dp contributions EXACTLY, order-
+    // free on both engines, instead of the pre-r17 hash-ordered double
+    // fold (collect_list + array_sort + aggregate) — map-side
+    // combinable where collect_list shipped every contribution row
+    // into one task's buffer.
+    // r18 OPT: the exact sum runs in LONG MICROS instead of
+    // DECIMAL(28,6) — sum(decimal(28,6)) carries a 38-digit buffer
+    // that Spark backs with java BigDecimal (~1.8 µs/row: 8 of q177's
+    // 10 s were THIS aggregate, MetricsDump aggTime=8066 ms over the
+    // 4.5 M contribution rows). Bit-identical to the decimal sum the
+    // oracle computes, by construction: c is round(·, 6), the double
+    // nearest to an integer n of micro-units, so c·1e6 lands within
+    // ~1e-8 of n and floor(c·1e6 + 0.5) recovers n EXACTLY (never at
+    // a half: the error bound is 8 orders below 0.5); Σn fits a long
+    // with 10⁴ headroom (|c| ≤ ~25 ⇒ |n| ≤ 2.5e7; group sizes are
+    // per-(query, doc) term matches); and for the exact integer sum
+    // S < 2⁵³, S.toDouble / 1e6 is the correctly-rounded double of
+    // S·10⁻⁶ — the same value CAST(DECIMAL AS DOUBLE) yields. The
+    // oracle SQL is UNCHANGED (it keeps the decimal sum).
     contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c").cast("decimal(28,6)")).cast("double").as("score"))
+      .agg((sum(floor(col("c") * lit(1e6) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e6)).as("score"))
       .groupBy(col("query_id"))
       .agg(TopK.topK(k)(round(col("score"), 4), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -643,20 +661,64 @@ object TextAnalysis extends QueryModule {
     * clocks at probe scale swing ±30%; this does not). */
   private[graft] def bm25Contrib(s: SparkSession, dir: String,
       maxDfFrac: Double): DataFrame = {
-    val h = Tables.t(s, dir, "documents")
+    // r18 OPT (guide §2.5): spread the single-split scan before the
+    // explode+md5 pass — it ran as ONE task at any core count
+    val h = Tables.spread(Tables.t(s, dir, "documents"), "doc_id")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .withColumn("hw", hexHash(col("word")))
     val isQ = col("doc_id") % 97 === 0
-    val corp = h.filter(!isQ).groupBy(col("doc_id"), col("hw"))
+    // r18 OPT (guide §1.2 — the r17 plan replayed the corpus
+    // explode+md5 pass SIX times: qt, corp×2 [df + the join], dl×2
+    // [stats + dk], stats again under dk): qt materializes once and
+    // feeds both the contribution join and the query-term set below.
+    // lazy checkpoints throughout: eager ones execute serially on the
+    // driver (one blocking job each), while lazy ones materialize
+    // inside the first consuming job, where independent subtrees still
+    // run as CONCURRENT stages (guide §2.6) — measured 1.3 s faster
+    // here than the eager form
+    val qt = h.filter(isQ).select(col("doc_id").as("query_id"), col("hw"))
+      .distinct().localCheckpoint(false)
+    // r18 OPT (guide §3.2 — prefilter the big side before the join):
+    // only postings of terms that appear in SOME query can ever reach
+    // the contribution join (it is an inner equi-join on hw), so the
+    // corpus explode semi-joins against the broadcast query-term set
+    // BEFORE the (doc, term) aggregation — non-query-term instances
+    // never enter the tf aggregate, its exchange, the df table or the
+    // join. EXACT: dropped terms contribute zero rows by definition,
+    // and df for surviving terms counts the same per-term doc set.
+    // The query-term set is vocabulary-bounded (Heaps' law), the same
+    // broadcast class as the df table the plan already broadcasts.
+    val qTerms = qt.select(col("hw")).distinct()
+    val corp = h.filter(!isQ)
+      .join(broadcast(qTerms), Seq("hw"), "left_semi")
+      .groupBy(col("doc_id"), col("hw"))
       .agg(count(lit(1)).as("tf"))
+      // r18 OPT: restore parallelism before the EXPANDING contribution
+      // join — AQE rightly coalesces this agg's output by bytes
+      // (~14 MB → 1-2 partitions), but the per-row fan-out of the join
+      // below (~39 queries per posting here) makes per-byte cost huge;
+      // the measured result was the 4.5 M-row join+partial-agg stage
+      // running on TWO tasks (7 s of CPU serialized — the q177 floor).
+      // Hash-repartition on doc_id (shuffle.partitions-sized, 115 k
+      // tiny rows) so the expansion stage fills the cluster. The
+      // count is EXPLICIT — a bare repartition(col) is advisory and
+      // AQE coalesces it straight back by bytes.
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      // two consumers (df and the contribution join) — one execution
+      .localCheckpoint(false)
     // r17 OPT note: deriving dl from corp (Σ tf — removes the second
     // corpus explode) was tried and MEASURED SLOWER code-vs-code
     // (14.5-15.1 s → 16.7-19.7 s at sf0.1): the doc-length pass
     // partial-aggregates to doc counts map-side (shuffles doc rows,
     // not corpus bytes) and runs as an independent stage, while the
     // corp-derived form serializes behind corp's exchange and re-runs
-    // its post-shuffle (doc, term) aggregate. Kept as-is.
+    // its post-shuffle (doc, term) aggregate. Kept as-is. (And with
+    // the r18 prefilter corp no longer sees every term, so dl MUST
+    // stay independent.)
+    // r18 OPT: dl materializes once for its two consumers (stats, dk).
     val dl = h.filter(!isQ).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false)
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // idf per TERM and the length normalizer per DOC are computed
     // once in their own (tiny) tables, not per posting row — the
@@ -677,14 +739,19 @@ object TextAnalysis extends QueryModule {
     val dk = dl.crossJoin(broadcast(stats))
       .select(col("doc_id"), (lit(1.2) *
         (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))).as("k1dl"))
-    val qt = h.filter(isQ).select(col("doc_id").as("query_id"), col("hw"))
-      .distinct()
     // join df (tiny, already pruned) onto the query terms FIRST: a
     // dialed-out hot term disappears here, before its postings list
-    // is ever read by the corp join — pruning at the cheapest point
-    qt.join(df, "hw")
-      .join(corp, "hw")
-      .join(dk, "doc_id")
+    // is ever read by the corp join — pruning at the cheapest point.
+    // r18 OPT: corp is explicitly the STREAMED side and (qt ⋈ df) the
+    // broadcast build — the planner's size estimates had it backwards
+    // (corp broadcast, the one-partition query table streamed), which
+    // ran the entire ~4.5 M-row expansion + partial aggregation as
+    // ONE task (MetricsDump: a single 5.5 s task carrying the whole
+    // stage); with corp streaming, the expansion runs at the
+    // repartitioned parallelism. Inner joins — order/build-side
+    // changes cannot alter the result set.
+    corp.join(broadcast(qt.join(df, "hw")), "hw")
+      .join(broadcast(dk), "doc_id")
       .select(col("query_id"), col("doc_id"), col("hw"), col("idf_raw"),
         (col("idf") * (col("tf") * 2.2 / (col("tf") + col("k1dl"))))
           .as("c_raw"))
@@ -1339,11 +1406,16 @@ object TextAnalysis extends QueryModule {
       // shipped every term row into a collect_list buffer. Fold-vs-
       // decimal fp delta ~1e-13 against a 4-dp output round; oracle
       // computes the same exact decimal sum.
+      // r18 OPT: exact sum in LONG MICROS instead of decimal(28,6) —
+      // bit-identical by the q177 floor(·+0.5) argument (terms are
+      // 6-dp values ≤ ~25 bits/word; see bm25TopK), without the
+      // BigDecimal-backed agg buffer's ~1.8 µs/row cost. Oracle SQL
+      // unchanged (decimal sum).
       perplexityTermsRaw(Tables.t(s, dir, "documents"))
         .select(col("doc_id"), round(col("raw"), 6).as("term"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("term").cast("decimal(28,6)")).cast("double")
-          .as("hsum"),
+        .agg((sum(floor(col("term") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("hsum"),
           count(lit(1)).as("n"))
         .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
           round(col("hsum") / col("n"), 4).as("bits_per_word"))
@@ -2035,7 +2107,13 @@ object TextAnalysis extends QueryModule {
   private def perplexityTermsRaw(docs: DataFrame): DataFrame = {
     // r17 OPT: the bigram hash frame feeds three consumers (both LM
     // count tables and the scoring join) — materialize once instead
-    // of replaying the split+explode+2×md5 pass per consumer
+    // of replaying the split+explode+2×md5 pass per consumer. r18
+    // note (r17 ADVICE): this frame is TOKEN-granularity (one row per
+    // bigram position — doc_id, p, two hash longs ≈ 28 B/row), not
+    // doc-sized; the scoring join needs every column, so it cannot
+    // narrow further. At corpus sizes where pinning it breaks
+    // executor storage, drop the checkpoint and repay the two extra
+    // corpus passes — a recompute-vs-storage dial, not correctness.
     val b = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("w"),
