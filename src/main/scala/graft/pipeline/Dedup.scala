@@ -500,16 +500,31 @@ object Dedup extends QueryModule {
         col("simhash").as("ha"), col("len").as("la"))
       val bb = bytes.select(col("doc_id").as("doc_b"), col("j"), col("b"),
         col("simhash").as("hb"), col("len").as("lb"))
+      // r18 OPT (the q177 device, guide §2.2/§2.5): the verified-pair
+      // stage is tiny in BYTES (16 B/pair) but huge per ROW (a bounded
+      // levenshtein each) — AQE's byte-based coalescing folded it to 2
+      // tasks (MetricsDump: 2 × 6.3 s); the explicit-count repartition
+      // pins the fan-out so the verify runs cluster-wide. It keys on
+      // doc_a ONLY: keyed identically to the distinct below it, the
+      // exchange would be elided as already-satisfied and the coalesced
+      // read would win (measured — the 2-task stage survived). The
+      // localCheckpoint materializes the (tiny) verified result ONCE:
+      // the final orderBy's range-partitioning SAMPLES its child, and
+      // without the cut the whole levenshtein pipeline executed twice
+      // (MetricsDump: two identical 10.5 s-taskSum stages).
       a.join(bb, Seq("j", "b"))
         .filter(col("doc_a") < col("doc_b")
           && bit_count(col("ha").bitwiseXOR(col("hb"))) <= 10
           && abs(col("la") - col("lb")) <= 30)
         .select(col("doc_a"), col("doc_b")).distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_a"))
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .withColumn("dist", levenshtein(col("ta"), col("tb"), 30))
         .filter(col("dist") =!= -1)
         .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+        .localCheckpoint()
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -554,7 +569,15 @@ object Dedup extends QueryModule {
           posexplode(array(col("m0"), col("m1"), col("m2"), col("m3")))
             .as(Seq("band", "bval"))))
       val inter = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double")
+      // r18 OPT (the q191 device): pin the candidate fan-out before
+      // the per-pair set intersections (AQE coalesces the 16 B/pair
+      // frame by bytes, not by per-row cost; doc_a-only keying keeps
+      // the exchange from being elided against cand's distinct), and
+      // materialize the (tiny) scored survivors once so the orderBy's
+      // range sampling cannot re-execute the intersection pipeline.
       cand
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_a"))
         .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")),
           "doc_a")
         .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")),
@@ -563,6 +586,7 @@ object Dedup extends QueryModule {
           round(inter / size(col("x_sh")), 6).as("cont_a"),
           round(inter / size(col("y_sh")), 6).as("cont_b"))
         .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .localCheckpoint()
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -657,7 +681,9 @@ object Dedup extends QueryModule {
   /** (doc_id, lang, simhash) — shared by q53's signature dump and
     * q56b's pair stage. */
   private def simhashWithLang(s: SparkSession, dir: String): DataFrame = {
-    val wh = Tables.t(s, dir, "documents")
+    // r18 OPT (guide §2.5, the Tables.spread device): the fit's
+    // explode + per-word md5 ran as ONE task on the single-split scan
+    val wh = Tables.spread(Tables.t(s, dir, "documents"), "doc_id")
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("word"))
       .withColumn("h", hexHash(col("word")))
