@@ -390,7 +390,7 @@ object Quality extends QueryModule {
     // weight table after each epoch (dims 0–1 = engineered, 2–9 =
     // hashed, 10 = bias). -----
     q("q212_quality_logreg", duckLogregSql) { (s, dir) =>
-      val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
+      val feats = logregFeats(graft.Tables.spread(Tables.t(s, dir, "documents"), "doc_id")).localCheckpoint()
       val (m, sd) = featMoments(feats)
       val hist = trainLogreg(feats, m, sd, epochs)
       import s.implicits._
@@ -417,7 +417,7 @@ object Quality extends QueryModule {
       // mechanized bench recheck caught the doubled featurization
       // (3.27 → 7.53 s isolated, same data — bench_recheck.py's first
       // real catch)
-      val feats = logregFeats(Tables.t(s, dir, "documents"))
+      val feats = logregFeats(graft.Tables.spread(Tables.t(s, dir, "documents"), "doc_id"))
         .localCheckpoint()
       val (b, w, m, sd) = gateModelFromFeats(feats)
       feats.withColumn("p",
@@ -657,7 +657,7 @@ object Quality extends QueryModule {
     *    p sits within ~ulp of 0.5). */
   private[graft] def quantMargins(
       s: SparkSession, dir: String): Seq[(String, Double)] = {
-    val feats = logregFeats(Tables.t(s, dir, "documents")).localCheckpoint()
+    val feats = logregFeats(graft.Tables.spread(Tables.t(s, dir, "documents"), "doc_id")).localCheckpoint()
     val (m, sd) = featMoments(feats)
     val sink = scala.collection.mutable.ArrayBuffer[Double]()
     val hist = trainLogreg(feats, m, sd, epochs, Some(sink))
@@ -752,7 +752,13 @@ object Quality extends QueryModule {
         s.readStream.schema(raw).parquet(s"$dir/documents.parquet")
       else s.readStream.schema(raw)
         .option("pathGlobFilter", "documents.parquet").parquet(dir))
-    val scored = logregFeats(stream)
+    // r18 OPT (guide §2.5, the q243 stream device): the single-file
+    // source gives each micro-batch a 1-2-split map side, serializing
+    // the per-word-md5 featurization; one doc-sized exchange fans the
+    // stateless scoring map across the cluster. Batch featurization
+    // sites spread the same way via Tables.spread.
+    val scored = logregFeats(stream.repartition(
+        s.sessionState.conf.numShufflePartitions, col("doc_id")))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
       .select(col("doc_id"), round(col("p"), 6).as("score"),
         (col("p") >= 0.5).cast("int").as("admitted"))
@@ -821,7 +827,7 @@ object Quality extends QueryModule {
       sampleFrac: Double = 1.0)
       : (Double, Seq[Double], Array[Double], Array[Double]) =
     gateModelFromFeats(trainSample(
-      logregFeats(Tables.t(s, dir, "documents")), sampleFrac)
+      logregFeats(graft.Tables.spread(Tables.t(s, dir, "documents"), "doc_id")), sampleFrac)
       .localCheckpoint())
 
   /** Train off an ALREADY-MATERIALIZED feature frame — q213 passes
@@ -841,7 +847,7 @@ object Quality extends QueryModule {
       model: (Double, Seq[Double], Array[Double], Array[Double]))
       : org.apache.spark.sql.DataFrame = {
     val (b, w, m, sd) = model
-    logregFeats(Tables.t(s, dir, "documents"))
+    logregFeats(graft.Tables.spread(Tables.t(s, dir, "documents"), "doc_id"))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-zCol(b, w, m, sd))))
       .select(col("doc_id"), (col("p") >= 0.5).cast("int").as("admitted"))
   }

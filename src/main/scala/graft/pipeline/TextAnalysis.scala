@@ -290,6 +290,10 @@ object TextAnalysis extends QueryModule {
         expr("(doc_id div 97) % 4").cast("string")).as("benchmark"),
         explode(expr(sparkGrams3)).as("g"))
       .distinct()
+      // r18 OPT (guide §1.2): every micro-batch's IncrementalExecution
+      // re-runs the batch-side broadcast subtree — materialize the
+      // (suite-sized) eval gram table once for all batches
+      .localCheckpoint()
     val sentinel = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     sentinel.addData((SentinelId, "zsentinela zsentinelb zsentinelc"))
@@ -304,11 +308,35 @@ object TextAnalysis extends QueryModule {
       .withColumn("ts", expr("timestamp_seconds(doc_id + 1)"))
       .withWatermark("ts", "0 seconds")
       .filter(col("doc_id") % 97 =!= 0)
+      // r18 OPT (guide §2.5 input skew, the Tables.spread posture for
+      // streams): the single-file source gives each micro-batch a 1-2
+      // split map side, so the gram explode + probe ran as 2 tasks
+      // (MetricsDump: one 4.4 s stage per batch at any core count).
+      // One doc-sized exchange buys cluster-wide fan-out for the
+      // ~100× bigger exploded stage; deterministic hash keying, and
+      // partitioning cannot change the windowed aggregate's result.
+      // A production source sizes its own partitions (Kafka topic
+      // partitions / many ingest files) — this matters exactly when
+      // the source under-fills the cluster.
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .withColumn("gr", expr(sparkGrams3))
-      .select(col("doc_id"), col("ts"), size(col("gr")).as("ng"),
-        explode(col("gr")).as("g"))
+      // r18 OPT (the q155/r8 InferFiltersFromGenerate lesson): the
+      // former projected-`gr` + size + explode shape let the inferred
+      // size(gr) > 0 filter inline the WHOLE gram expression and push
+      // it below the repartition — an interpreted per-row re-eval on
+      // the 1-2-task pre-shuffle stage (MetricsDump: 3.7 s there).
+      // One INLINE generator carries ng alongside each gram: the
+      // lambda binds the array once (a := grams, evaluated once per
+      // row), and the inline-expensive shape is exactly the one the
+      // rule leaves alone.
+      .select(col("doc_id"), col("ts"), explode(expr(
+        s"""flatten(transform(array($sparkGrams3), a ->
+           |  transform(a, x -> struct(size(a) AS ng, x AS g))))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("ts"), col("p.ng").as("ng"),
+        col("p.g").as("g"))
       .join(broadcast(evB), "g")
       .groupBy(window(col("ts"), "1 second"), col("doc_id"),
         col("benchmark"))
