@@ -265,7 +265,7 @@ object Dedup extends QueryModule {
           |          * (2**(4*(8-hx))))) AS BIGINT) AS h
           |  FROM keep)
           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = Tables.t(s, dir, "documents")
+      val base = Tables.spread(Tables.t(s, dir, "documents"), "doc_id")
         .filter(TextAnalysis.quality(col("text")) >= 0.5)
         .select(col("doc_id"), col("text"))
       val pairs = lshVerifiedPairs(base).select(col("doc_a"), col("doc_b"))
@@ -324,7 +324,7 @@ object Dedup extends QueryModule {
           |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS selected
           |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val base = Tables.t(s, dir, "documents")
+      val base = Tables.spread(Tables.t(s, dir, "documents"), "doc_id")
         .filter(TextAnalysis.quality(col("text")) >= 0.5)
         .select(col("doc_id"), col("text"))
       val pairs = lshVerifiedPairs(base).select(col("doc_a"), col("doc_b"))
@@ -729,7 +729,9 @@ object Dedup extends QueryModule {
     // from the materialized column is InferFiltersFromGenerate-safe
     // (nothing to re-evaluate below a checkpoint — the r8 hazard only
     // bites on explode over a PROJECTED transform).
-    val shlStr = docs
+    // r18 OPT (guide §2.5, the Tables.spread device): the shingling
+    // pass ran as ONE task on a single-split scan at any core count
+    val shlStr = graft.Tables.spread(docs, "doc_id")
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(sparkShingles).as("shingles"))
@@ -770,7 +772,13 @@ object Dedup extends QueryModule {
     val cand = bucketPairs(bands)
     val jacc = size(array_intersect(col("x_sh"), col("y_sh"))).cast("double") /
       size(array_distinct(concat(col("x_sh"), col("y_sh"))))
+    // r18 OPT (the q191/q192 device): pin the candidate fan-out before
+    // the per-pair set arithmetic — AQE coalesces the 16 B/pair frame
+    // by bytes while each row costs an O(|A|+|B|) intersection; keyed
+    // on doc_a only so the exchange is not elided against the distinct
     cand
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"))
       .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("x_sh")), "doc_a")
       .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("y_sh")), "doc_b")
       .withColumn("jacc", jacc)
@@ -966,7 +974,8 @@ object Dedup extends QueryModule {
   }
 
   private[pipeline] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
+    // r18 OPT: spread the single-split scan (one shingle+md5 task)
+    val sh = graft.Tables.spread(docs, "doc_id")
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(sparkShingles)).as("s"))

@@ -510,7 +510,8 @@ object Quality extends QueryModule {
           |GROUP BY ss.shard, ss.n_docs, ss.tot_chars, tt.nt
           |ORDER BY shard""".stripMargin) { (s, dir) =>
       import graft.functions.TopK
-      val gated = Tables.t(s, dir, "documents").filter(gopherPass)
+      val gated = graft.Tables.spread(Tables.t(s, dir, "documents"), "doc_id")
+        .filter(gopherPass)
         .localCheckpoint() // feeds shingling, the quality join, survivors
       val pairs = Dedup.lshVerifiedPairs(gated)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
