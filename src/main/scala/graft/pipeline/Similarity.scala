@@ -294,9 +294,13 @@ object Similarity extends QueryModule {
     * monotonicity + the nProbe=superK equality on the real table.
     * Same 6-dp/lowest-id determinism contract as the flat pass, so
     * results are reproducible under any partitioning. */
-  private[pipeline] def assignTwoLevel(s: SparkSession, vecs: DataFrame,
-      cent: DataFrame, superK: Int, iters: Int = 2, nProbe: Int = 1): DataFrame = {
-    import s.implicits._
+  private[graft] def assignTwoLevel(s: SparkSession, vecs: DataFrame,
+      cent: DataFrame, superK: Int, iters: Int = 2, nProbe: Int = 1): DataFrame =
+    assignTwoLevelAll(s, vecs, cent, superK, iters, nProbe)
+      .select(col("vec_id"), col("cluster"))
+
+  private def assignTwoLevelAll(s: SparkSession, vecs: DataFrame,
+      cent: DataFrame, superK: Int, iters: Int, nProbe: Int): DataFrame = {
     val centArr = cent.select(col("cluster").cast("long"), col("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -327,22 +331,46 @@ object Similarity extends QueryModule {
         }.getOrElse(sup(sId))
       }
     }
-    val memberDf = broadcast(
-      centArr.map { case (c, v) => (nearest(v, sup), c, v.toSeq) }
-        .toSeq.toDF("m_sup", "cluster", "cv"))
-    // stage-1 routing is a PURE MAP: the super-centroid table rides
-    // inside the vec_nearest_indices expression, so no join, no
-    // shuffle, and the embedding array never leaves its partition
-    // (the explode fans each vector out nProbe× — still map-side)
-    val routed = vecs.withColumn("sup",
-      explode(graft.functions.VecMath.vec_nearest_indices(col("ev"),
-        sup.map(_.toSeq), nProbe)))
-    routed.join(memberDf, col("sup") === col("m_sup"))
-      .withColumn("dist", round(VecMath.vec_sq_dist(col("ev"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    // r18 OPT (verdict item 8 — the large-k join-back): stage 2 is a
+    // PER-ROW PROJECTION, like stage 1. The super → member-(cluster,
+    // centroid)-list map rides as a literal (it is the same
+    // driver-collected model stage 1 already ships), each row flattens
+    // its nProbe probed supers' member lists and takes the same
+    // lexicographic (round(dist, 6), cluster) min the former
+    // member-join + per-vector aggregate computed — so the pre-r18
+    // N-row argmin exchange is gone, callers can keep the cluster on
+    // the vector row without an assignment join-back on vec_id, and
+    // results are identical (supers partition the centroids, so the
+    // candidate set per row is unchanged; TwoLevelAssignSpec pins
+    // exactness/monotonicity/degeneracy on the same fixtures). A
+    // vector whose probed supers are ALL memberless gets a NULL min
+    // and is dropped — exactly the rows the former inner join
+    // dropped.
+    val members: Map[Int, Seq[(Long, Seq[Double])]] =
+      (0 until sup.length).map { sId =>
+        sId -> centArr.toSeq.collect {
+          case (c, v) if nearest(v, sup) == sId => (c, v.toSeq)
+        }
+      }.toMap
+    val memberLit = typedlit(members)
+    val cands = flatten(transform(
+      graft.functions.VecMath.vec_nearest_indices(col("ev"),
+        sup.map(_.toSeq), nProbe),
+      sId => element_at(memberLit, sId)))
+    val clusterCol = array_min(transform(cands, m =>
+      struct(round(VecMath.vec_sq_dist(col("ev"), m.getField("_2")), 6)
+        .as("dist"), m.getField("_1").as("id")))).getField("id")
+    vecs.withColumn("cluster", clusterCol)
+      .filter(col("cluster").isNotNull)
   }
+
+  /** [[assignTwoLevel]] keeping the input columns: `cluster` attaches
+    * to the vector row as a projection, so large-k callers skip the
+    * assignment join-back on vec_id entirely (r18, verdict item 8). */
+  private[pipeline] def withClusterTwoLevel(s: SparkSession,
+      vecs: DataFrame, cent: DataFrame, superK: Int, iters: Int = 2,
+      nProbe: Int = 1): DataFrame =
+    assignTwoLevelAll(s, vecs, cent, superK, iters, nProbe)
 
   /** IVF with real k-means routing: cluster the corpus with the
     * relational Lloyd's above, then run the two-stage search — probes
@@ -570,14 +598,18 @@ object Similarity extends QueryModule {
       r
     }
     // r17 OPT: the exact flat route attaches the cluster as a
-    // projection (no assignment join back on vec_id); the two-level
-    // route keeps the join — its assignment is not a projection
+    // projection (no assignment join back on vec_id); r18 (verdict
+    // item 8): the two-level route does too — withClusterTwoLevel
+    // keeps cluster on the vector row, so the former N-row
+    // assignment ⋈ embeddings join-back is gone
     val clustered = (if (sk <= 1)
         withClusterLit(e.select(col("vec_id"), col("embedding")),
           kmeansCentroids(e, k, updates))
-      else assignTwoLevel(s, edOf(e), kmeansCentroids(e, k, updates),
-          sk, nProbe = nProbe)
-        .join(e.select(col("vec_id"), col("embedding")), "vec_id"))
+      else withClusterTwoLevel(s,
+          e.select(col("vec_id"), col("embedding"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev")),
+          kmeansCentroids(e, k, updates), sk, nProbe = nProbe)
+        .drop("ev"))
       .select(col("vec_id"), col("cluster"), col("embedding"),
         normExpr("embedding").as("nrm"))
       .localCheckpoint()

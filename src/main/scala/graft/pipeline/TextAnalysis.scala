@@ -2132,7 +2132,7 @@ object TextAnalysis extends QueryModule {
 
   /** q171/q172's per-(doc, pos) frame with the PRE-ROUND bigram
     * log-ratio as `raw`; the query emits round(raw, 6). */
-  private def perplexityTermsRaw(docs: DataFrame): DataFrame = {
+  private[pipeline] def perplexityTermsRaw(docs: DataFrame): DataFrame = {
     // r17 OPT: the bigram hash frame feeds three consumers (both LM
     // count tables and the scoring join) — materialize once instead
     // of replaying the split+explode+2×md5 pass per consumer. r18

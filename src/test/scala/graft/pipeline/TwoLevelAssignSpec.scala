@@ -92,10 +92,13 @@ class TwoLevelAssignSpec extends SparkSpec {
       "auto default at small k must be the exact flat path")
   }
 
-  test("plan: routing is a pure map, one argmin exchange, no sort-merge join") {
+  test("plan: both routing stages are pure maps — no join, no exchange at all") {
     val cent = (0 until 8).map(c => (c.toLong, centroid(c))).toDF("cluster", "cv")
+    // localCheckpoint blocks ConvertToLocalRelation from folding the
+    // whole (now pure-projection) assignment into a LocalTableScan on
+    // the driver, so the plan stays observable
     val vecs = (0 until 100).map(i => (i.toLong, centroid(i % 8)))
-      .toDF("vec_id", "ev")
+      .toDF("vec_id", "ev").localCheckpoint()
     val df = Similarity.assignTwoLevel(spark, vecs, cent, superK = 4)
     df.collect()
     // AQE's toString repeats the tree under "== Initial Plan ==" —
@@ -103,7 +106,10 @@ class TwoLevelAssignSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for a join")
     assert(p.contains("vec_nearest_ind"), s"stage-1 routing expression missing:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      s"only the final argmin aggregate may exchange:\n$p")
+    // r18 (verdict item 8): stage 2 compiles to a literal-map argmin
+    // projection — the former member join + per-vector aggregate
+    // exchange are gone entirely
+    assert(!p.contains("Exchange"),
+      s"assignment must be exchange-free end to end:\n$p")
   }
 }
